@@ -1,0 +1,201 @@
+"""Graph layer (SURVEY.md §2.9, reference G1-G4 + S4-S7).
+
+The reference loads a labeled property graph into Neo4j (country /
+region / good nodes; trades / contains / exports / imports edges,
+preprocess_upload_neo4j.py:217-395) and runs GDS PageRank + ArticleRank
+(:400-447).  Spark-first equivalent: the GraphFrames representation --
+a ``vertices(id, ...)`` DataFrame and an ``edges(src, dst, ...)``
+DataFrame -- plus iterative DataFrame algorithms (one join + one
+aggregation per superstep, i.e. Pregel-on-DataFrames).
+
+Scale design (the part GDS does in closed-source memory):
+
+- Per-iteration lineage grows unboundedly; we ``localCheckpoint`` every
+  ``checkpoint_every`` supersteps to truncate it, and those are the
+  ONLY driver actions in the loop -- the dangling-mass total is folded
+  into the superstep plan as a broadcast 1-row aggregate instead of a
+  per-iteration ``collect``.
+- The contribution join shuffles nothing big: edges are normalized and
+  checkpointed ONCE (stationary for all supersteps); each superstep
+  broadcast-hash-joins the vertex-sized rank vector into the stationary
+  edge partitions, then reduces with one vertex-sized shuffle.
+- Hub skew (China/US analogs) lands on the vertex-sized aggregation,
+  handled by AQE skew split; the 100-TB-edge case keeps the edge table
+  stationary on disk-backed partitions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import assert_unique_key, read_table
+from .relational import dsum
+
+
+@dataclass
+class Graph:
+    """Property graph as two DataFrames (vertices must have unique
+    ``id`` -- S6 node-key constraint, asserted at build time)."""
+    vertices: DataFrame
+    edges: DataFrame  # src, dst, + properties
+
+    def project(self, edge_type: str | None = None) -> "Graph":
+        """S7: gds.graph.project equivalent -- restrict to one edge
+        type (preprocess_upload_neo4j.py:401-409)."""
+        e = self.edges
+        if edge_type is not None and "type" in e.columns:
+            e = e.where(F.col("type") == edge_type)
+        return Graph(self.vertices, e)
+
+    def degrees(self) -> DataFrame:
+        """A5/G-degrees: in/out degree + weighted totals per vertex.
+        Two vertex-sized partial aggs joined back -- all map-side
+        combined, shuffles are vertex-sized."""
+        has_amount = "amount" in self.edges.columns
+        amount = F.col("amount") if has_amount else F.lit(0.0)
+        out = self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("out_deg"),
+            dsum(amount).alias("out_amount"))
+        inn = self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            dsum(amount).alias("in_amount"))
+        return (self.vertices.select("id")
+                .join(out, "id", "left").join(inn, "id", "left")
+                .na.fill({"out_deg": 0, "in_deg": 0,
+                          "out_amount": 0.0, "in_amount": 0.0}))
+
+
+def build_trade_graph(spark: SparkSession, sf_dir: str) -> Graph:
+    """Build the testdata analog of the reference's country trade graph
+    (trade_partners.csv): supplier-nation -> customer-nation edges with
+    the summed lineitem revenue as the ``amount`` property.
+
+    lineitem joins orders (fact-fact, shuffle on orderkey) then two
+    broadcast dim joins map both sides to nations; the final groupBy is
+    vertex-squared-sized (25x25 here; countries-squared at reference
+    scale) so it collapses 100 TB of fact rows into a tiny edge table
+    via map-side partial aggregation.
+    """
+    nation = read_table(spark, sf_dir, "nation")
+    customer = read_table(spark, sf_dir, "customer")
+    supplier = read_table(spark, sf_dir, "supplier")
+    orders = read_table(spark, sf_dir, "orders")
+    lineitem = read_table(spark, sf_dir, "lineitem")
+
+    cust_nation = (customer.join(F.broadcast(nation),
+                                 customer.c_nationkey == nation.n_nationkey)
+                   .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    supp_nation = (supplier.join(F.broadcast(nation),
+                                 supplier.s_nationkey == nation.n_nationkey)
+                   .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+
+    edges = (lineitem
+             .join(orders.select("o_orderkey", "o_custkey"),
+                   lineitem.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(cust_nation), F.col("o_custkey") == F.col("c_custkey"))
+             .join(F.broadcast(supp_nation), lineitem.l_suppkey == F.col("s_suppkey"))
+             .where(F.col("supp_nation") != F.col("cust_nation"))
+             .groupBy(F.col("supp_nation").alias("src"),
+                      F.col("cust_nation").alias("dst"))
+             .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                  .alias("amount"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+    vertices = nation.select(F.col("n_name").alias("id"),
+                             F.col("n_regionkey").alias("regionkey"))
+    assert_unique_key(vertices, "id")
+    return Graph(vertices=vertices, edges=edges)
+
+
+def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
+               damping: float, max_iter: int, checkpoint_every: int,
+               out_name: str) -> DataFrame:
+    """Shared power-iteration driver.  ``edges_share`` must carry
+    (src, dst, share) where ``share`` is the per-edge contribution
+    fraction of the source's rank.  Ranks start uniform 1/N; each step
+    ``r' = (1-d)/N + d * (in_contribs + dangling_mass/N)`` -- the
+    classic formulation with dangling-mass redistribution, so ranks
+    stay a distribution (sum 1) when shares sum to 1 per source (true
+    for PageRank; ArticleRank deliberately leaks mass, as published).
+    """
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    has_out = edges_share.select(F.col("src").alias("id")).distinct()
+    dangling = verts.join(has_out, "id", "left_anti").localCheckpoint()
+    n_dangling = dangling.count()
+
+    for i in range(max_iter):
+        contribs = (edges_share.join(F.broadcast(ranks),
+                                     edges_share.src == ranks.id)
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
+        new = (verts.join(contribs, "id", "left")
+               .select("id", F.coalesce(F.col("contrib"), F.lit(0.0))
+                       .alias("contrib")))
+        if n_dangling:
+            # 1-row aggregate folded into the plan (no driver action)
+            dm = (ranks.join(F.broadcast(dangling), "id", "left_semi")
+                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")))
+            new = new.crossJoin(F.broadcast(dm))
+        else:
+            new = new.withColumn("__dm", F.lit(0.0))
+        ranks = new.select(
+            "id",
+            (F.lit((1.0 - damping) / n)
+             + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
+            .alias("rank"))
+        if (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.withColumnRenamed("rank", out_name)
+
+
+def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
+             weighted: bool = False, checkpoint_every: int = 5) -> DataFrame:
+    """G1: PageRank as iterative DataFrame supersteps.
+
+    Parity: GDS run at preprocess_upload_neo4j.py:420-430 with
+    maxIterations=20, dampingFactor=0.85.  NOTE the reference projects
+    the ``amount`` weight (:406-408) but does NOT pass
+    ``relationshipWeightProperty``, so its ranks are UNWEIGHTED -- our
+    default matches; ``weighted=True`` exposes the variant the
+    reference author probably intended.
+    """
+    verts = graph.vertices.select("id").localCheckpoint()
+    n = verts.count()
+
+    weight = (F.col("amount") if weighted and "amount" in graph.edges.columns
+              else F.lit(1.0))
+    edges = graph.edges.select("src", "dst", weight.cast("double").alias("w"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_share = (edges.join(out_w, "src")
+                   .select("src", "dst",
+                           (F.col("w") / F.col("out_w")).alias("share"))
+                   .localCheckpoint())  # stationary for all supersteps
+    return _rank_loop(verts, edges_share, n, damping, max_iter,
+                      checkpoint_every, "pagerank")
+
+
+def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
+                checkpoint_every: int = 5) -> DataFrame:
+    """G2: ArticleRank (GDS defaults, preprocess_upload_neo4j.py:442-447).
+
+    Published formulation: like PageRank but each source's contribution
+    divisor is ``out_deg(src) + avg_out_deg`` where ``avg_out_deg`` is
+    the mean out-degree over ALL vertices; damping 0.85, start 1/N,
+    dangling mass redistributed as in PageRank.
+    """
+    verts = graph.vertices.select("id").localCheckpoint()
+    n = verts.count()
+
+    edges = graph.edges.select("src", "dst")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    avg_out_deg = edges.count() / n
+    edges_share = (edges.join(out_deg, "src")
+                   .select("src", "dst",
+                           (F.lit(1.0) / (F.col("out_deg") + F.lit(avg_out_deg)))
+                           .alias("share"))
+                   .localCheckpoint())
+    return _rank_loop(verts, edges_share, n, damping, max_iter,
+                      checkpoint_every, "articlerank")

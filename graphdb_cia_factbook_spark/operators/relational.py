@@ -1,0 +1,213 @@
+"""Relational operators (SURVEY.md §2.2-2.7).
+
+Each function is a small composable transformation over DataFrames --
+the Spark-first re-expression of the reference's pandas calls.  All of
+them stay inside Catalyst (no Python UDFs) so predicate pushdown,
+column pruning, broadcast selection and whole-stage codegen apply
+unchanged at 100 TB.
+
+Determinism note: pandas ``drop_duplicates(keep="first")`` depends on
+input order; Spark has no input order, so every keep-first operator
+here takes an explicit total order (the reference itself adds tiebreak
+keys when it matters, preprocess_upload_neo4j.py:181).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Aggregation-determinism helpers
+# ---------------------------------------------------------------------------
+
+def dsum(col, scale: int = 4) -> Column:
+    """Order-independent sum of a double column.
+
+    Double addition is not associative; at 32 shuffle partitions
+    (let alone 1000 executors) the reduction order is nondeterministic,
+    so ``SUM(double)`` differs run-to-run in the last ulps.  Casting
+    each value to an exact decimal first makes the sum associative and
+    bit-stable across engines and cluster sizes -- required for the
+    DuckDB oracle hash-match and good hygiene for any reproducible
+    pipeline.  Result is cast back to double.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def davg(col, scale: int = 4) -> Column:
+    """Order-independent mean built from the exact decimal sum."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return (F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+            / F.count(c))
+
+
+# ---------------------------------------------------------------------------
+# P: projections / filters
+# ---------------------------------------------------------------------------
+
+def filter_in_not_skipped(df: DataFrame, col: str, allowed: Sequence[str],
+                          skip: Sequence[str]) -> DataFrame:
+    """P1: membership + skip-list predicate (link filter,
+    scrape_cia.py:53-55 with skip list :298-302)."""
+    return df.where(F.col(col).isin(list(allowed))
+                    & ~F.col(col).isin(list(skip)))
+
+
+def filter_rlike(df: DataFrame, col: str, pattern: str) -> DataFrame:
+    """P2: regex row filter (`\\(\\d{4}.+\\)` gate, scrape_cia.py:60)."""
+    return df.where(F.col(col).rlike(pattern))
+
+
+def masked_update(df: DataFrame, col: str, cond: Column,
+                  value: Column) -> DataFrame:
+    """P8: conditional update -- pandas ``df.loc[mask, col] = f(...)``
+    (scrape_cia.py:66-67, 73-74) as a ``when/otherwise`` projection."""
+    return df.withColumn(col, F.when(cond, value).otherwise(F.col(col)))
+
+
+def canonicalize(df: DataFrame, col: str,
+                 fixes: Mapping[str, str]) -> DataFrame:
+    """J6: country-name canonicalization ("Korea, South" -> "South
+    Korea", scrape_cia.py:305-309).  A small ``when`` chain keeps it in
+    codegen; for a large fixes table use a broadcast join instead."""
+    expr = F.col(col)
+    out = None
+    for raw, fixed in fixes.items():
+        out = (F.when(expr == raw, F.lit(fixed)) if out is None
+               else out.when(expr == raw, F.lit(fixed)))
+    return df.withColumn(col, out.otherwise(expr) if out is not None else expr)
+
+
+# ---------------------------------------------------------------------------
+# A/W: keep-first dedup family (the reference's workhorse)
+# ---------------------------------------------------------------------------
+
+def latest_per_key(df: DataFrame, keys: Sequence[str],
+                   order_by: Sequence[Column]) -> DataFrame:
+    """A1/W3: latest-row-per-key argmax dedup -- the reference's
+    ``sort_values(...).drop_duplicates(keys, keep="first")`` used 7x
+    (preprocess_upload_neo4j.py:139-140, 159-160, 167-168, 181-182).
+
+    One window shuffle on ``keys``; at scale this is a single hash
+    exchange and AQE splits skewed keys.  ``order_by`` must be a total
+    order for determinism.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def group_collect_sorted(df: DataFrame, key: str, value: str,
+                         alias: str) -> DataFrame:
+    """A4: group-collect set->list (sub-goods per mapped good,
+    preprocess_upload_neo4j.py:204-208).  ``array_sort`` makes the list
+    order-insensitive for comparison."""
+    return df.groupBy(key).agg(
+        F.array_sort(F.collect_set(value)).alias(alias))
+
+
+def rank_in_group(df: DataFrame, partition: Sequence[str],
+                  order_by: Sequence[Column], alias: str) -> DataFrame:
+    """W1: grouped rank, pandas ``rank("min", ascending=False)`` ==
+    SQL ``RANK()`` (export/import_trade_rank,
+    preprocess_upload_neo4j.py:184-185)."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return df.withColumn(alias, F.rank().over(w))
+
+
+def top_k_per_group(df: DataFrame, partition: Sequence[str],
+                    order_by: Sequence[Column], k: int) -> DataFrame:
+    """W1+O3: top-k per group (the README's "top partner per country").
+    ``row_number`` (not rank) so exactly k rows survive; order must be
+    total for determinism."""
+    w = Window.partitionBy(*partition).orderBy(*order_by)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def positional_rank(df: DataFrame, array_col: str, out_item: str,
+                    out_pos: str, one_based: bool = True) -> DataFrame:
+    """W2: rank = position in a scraped list (scrape_cia.py:172, 214)
+    via ``posexplode`` -- keeps the original array order as an explicit
+    column instead of relying on row order."""
+    shift = 1 if one_based else 0
+    return (df.select("*", F.posexplode(F.col(array_col))
+                      .alias(out_pos, out_item))
+            .withColumn(out_pos, F.col(out_pos) + shift)
+            .drop(array_col))
+
+
+# ---------------------------------------------------------------------------
+# J: join family
+# ---------------------------------------------------------------------------
+
+def left_broadcast_join(df: DataFrame, dim: DataFrame,
+                        on, how: str = "left") -> DataFrame:
+    """J1-J3/J5: left equi-join with an explicitly broadcast dimension.
+    Every reference join is dimension-sized on the right
+    (preprocess_upload_neo4j.py:121-122, 128-144, 156-157); broadcasting
+    removes the shuffle of the fact side entirely -- at 100 TB that is
+    the only viable plan for dim joins."""
+    return df.join(F.broadcast(dim), on, how)
+
+
+def chained_indicator_join(base: DataFrame, indicators: Mapping[str, DataFrame],
+                           key: str, value_col: str, year_col: str,
+                           order_by: Sequence[Column]) -> DataFrame:
+    """J2: the reference's loop joining 5 economic indicators onto the
+    country dim after latest-year dedup, renaming to ``amount_<name>`` /
+    ``year_<name>`` (preprocess_upload_neo4j.py:128-144)."""
+    out = base
+    for name, ind in indicators.items():
+        latest = latest_per_key(ind, [key], order_by)
+        dim = latest.select(
+            key,
+            F.col(value_col).alias(f"amount_{name}"),
+            F.col(year_col).alias(f"year_{name}"),
+        )
+        out = left_broadcast_join(out, dim, key)
+    return out
+
+
+def validate_edges(edges: DataFrame, vertices: DataFrame,
+                   src: str = "src", dst: str = "dst",
+                   vid: str = "id") -> DataFrame:
+    """J7: graph-pattern endpoint validation -- Cypher's
+    ``MATCH (n),(m) MERGE (n)-[e]->(m)`` drops edges whose endpoints
+    don't exist (preprocess_upload_neo4j.py:291-293).  Two broadcast
+    semi-joins; no edge-table shuffle."""
+    ids = vertices.select(F.col(vid))
+    return (edges
+            .join(F.broadcast(ids.withColumnRenamed(vid, src)), src, "left_semi")
+            .join(F.broadcast(ids.withColumnRenamed(vid, dst)), dst, "left_semi"))
+
+
+# ---------------------------------------------------------------------------
+# U/O: set ops & sorts
+# ---------------------------------------------------------------------------
+
+def union_tagged(dfs: Mapping[str, DataFrame], tag_col: str) -> DataFrame:
+    """U1: ``pd.concat`` of differently-sourced frames with a role tag
+    (exports/imports merge, preprocess_upload_neo4j.py:176).  UnionByName
+    tolerates column-order drift between sources."""
+    out = None
+    for tag, df in dfs.items():
+        tagged = df.withColumn(tag_col, F.lit(tag))
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True)
+    return out
+
+
+def multisort(df: DataFrame, order_by: Sequence[Column],
+              limit: int | None = None) -> DataFrame:
+    """O1-O3: multi-key mixed-direction sort (+ optional top-k limit).
+    Spark implements global sort as range-partitioned sort (sampled
+    boundaries) -- scales linearly; ``limit`` after ``orderBy`` becomes
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    full global sort."""
+    out = df.orderBy(*order_by)
+    return out.limit(limit) if limit is not None else out

@@ -1,0 +1,474 @@
+"""CORE relational operator queries (SURVEY.md §2.1-2.7) with DuckDB
+oracles.  Each query exercises one inventory row on the driver's
+testdata tables; reference citations are in the operator library
+(:mod:`.operators.relational`) docstrings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.relational import (
+    davg,
+    dsum,
+    filter_in_not_skipped,
+    filter_rlike,
+    group_collect_sorted,
+    latest_per_key,
+    left_broadcast_join,
+    masked_update,
+    multisort,
+    rank_in_group,
+    union_tagged,
+)
+from .registry import register
+from .sources import read_table
+
+
+# ---------------------------------------------------------------------------
+# S: scans
+# ---------------------------------------------------------------------------
+
+@register("s2_typed_scan", """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1995-06-01' AND l_quantity > 40
+""")
+def s2_typed_scan(spark, sf):
+    """S2: schema-enforced scan with predicate+projection pushdown --
+    the plan must read only 3 columns and push both filters to parquet."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.where((F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp"))
+                     & (F.col("l_quantity") > 40))
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+# ---------------------------------------------------------------------------
+# P: filters / projections
+# ---------------------------------------------------------------------------
+
+@register("p1_filter_in_skip", """
+SELECT event_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'view', 'purchase')
+  AND event_type NOT IN ('view')
+  AND props LIKE '%"k"%'
+""")
+def p1_filter_in_skip(spark, sf):
+    """P1: membership + skip-list predicate (link filter,
+    scrape_cia.py:53-55, 298-302)."""
+    ev = read_table(spark, sf, "events")
+    out = filter_in_not_skipped(ev, "event_type",
+                                ["click", "view", "purchase"], ["view"])
+    return (out.where(F.col("props").contains('"k"'))
+            .select("event_id", "event_type", "value"))
+
+
+@register("p2_regex_filter", """
+SELECT doc_id, n_chars
+FROM documents
+WHERE regexp_matches(text, 'join \\w+ join')
+""")
+def p2_regex_filter(spark, sf):
+    """P2: regex row filter (the `\\(\\d{4}.+\\)` gate, scrape_cia.py:60)."""
+    docs = read_table(spark, sf, "documents")
+    return filter_rlike(docs, "text", r"join \w+ join").select("doc_id", "n_chars")
+
+
+@register("p8_masked_update", """
+SELECT c_custkey,
+       c_name AS name,
+       CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS acctbal_clean,
+       c_nationkey
+FROM customer
+""")
+def p8_masked_update(spark, sf):
+    """P5-P8: conditional masked update + rename + drop
+    (pandas `.loc[mask, col] =` pattern, scrape_cia.py:66-80)."""
+    cust = read_table(spark, sf, "customer")
+    out = masked_update(cust, "c_acctbal", F.col("c_acctbal") < 0, F.lit(0.0))
+    return (out.withColumnRenamed("c_name", "name")
+            .withColumnRenamed("c_acctbal", "acctbal_clean")
+            .drop("c_mktsegment")
+            .select("c_custkey", "name", "acctbal_clean", "c_nationkey"))
+
+
+# ---------------------------------------------------------------------------
+# J: joins
+# ---------------------------------------------------------------------------
+
+@register("j1_left_broadcast", """
+SELECT c_custkey, c_name, n.n_name AS nation_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""")
+def j1_left_broadcast(spark, sf):
+    """J1: left equi-join with broadcast dimension
+    (population->country, preprocess_upload_neo4j.py:121-122)."""
+    cust = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation_name"))
+    return (left_broadcast_join(cust, nation, "c_nationkey")
+            .select("c_custkey", "c_name", "nation_name"))
+
+
+@register("j2_chained_dims", """
+SELECT o_orderkey, o_totalprice, c.c_name, n.n_name AS nation, r.r_name AS region
+FROM orders o
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def j2_chained_dims(spark, sf):
+    """J2: chained left dimension joins (the x5 indicator-join loop,
+    preprocess_upload_neo4j.py:128-144)."""
+    orders = read_table(spark, sf, "orders")
+    cust = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    return (orders
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left")
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left")
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+            .select("o_orderkey", "o_totalprice", "c_name",
+                    F.col("n_name").alias("nation"),
+                    F.col("r_name").alias("region")))
+
+
+@register("j4_derived_share", """
+WITH totals AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+              AS DOUBLE) AS order_total
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT l.l_orderkey, l.l_linenumber,
+       l.l_extendedprice * (1 - l.l_discount) / t.order_total AS l_share
+FROM lineitem l JOIN totals t ON l.l_orderkey = t.l_orderkey
+""")
+def j4_derived_share(spark, sf):
+    """J4/F11: join partner share to total then derive amount
+    (`amount = amount * percentage`, preprocess_upload_neo4j.py:162-171).
+    Self-aggregate join: the fact table joins its own per-key totals."""
+    li = read_table(spark, sf, "lineitem")
+    totals = (li.groupBy("l_orderkey")
+              .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                   .alias("order_total")))
+    return (li.join(totals, "l_orderkey")
+            .select("l_orderkey", "l_linenumber",
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                     / F.col("order_total")).alias("l_share")))
+
+
+@register("j5_map_lookup", """
+SELECT s_suppkey, n.n_name AS nation_name
+FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+""")
+def j5_map_lookup(spark, sf):
+    """J5: dict-map lookup (`df["exports"].map(di_exp)`,
+    preprocess_upload_neo4j.py:194-201) == broadcast hash lookup."""
+    supp = read_table(spark, sf, "supplier")
+    nation = read_table(spark, sf, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("nation_name"))
+    return (left_broadcast_join(supp, nation, "s_nationkey")
+            .select("s_suppkey", "nation_name"))
+
+
+@register("j7_semi_endpoints", """
+SELECT l_orderkey, l_linenumber, l_partkey
+FROM lineitem l
+WHERE EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+  AND EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+""")
+def j7_semi_endpoints(spark, sf):
+    """J7: graph-pattern endpoint validation (Cypher MATCH-MATCH-MERGE,
+    preprocess_upload_neo4j.py:291-293) as broadcast semi-joins."""
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part")
+    supp = read_table(spark, sf, "supplier")
+    return (li.join(F.broadcast(part.select(F.col("p_partkey").alias("l_partkey"))),
+                    "l_partkey", "left_semi")
+            .join(F.broadcast(supp.select(F.col("s_suppkey").alias("l_suppkey"))),
+                  "l_suppkey", "left_semi")
+            .select("l_orderkey", "l_linenumber", "l_partkey"))
+
+
+@register("j_anti_no_orders", """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""")
+def j_anti_no_orders(spark, sf):
+    """EXT join: anti-join (customers without orders) -- the 100-TB
+    complement of J7's semi-join."""
+    cust = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    return (cust.join(orders.select(F.col("o_custkey").alias("c_custkey")),
+                      "c_custkey", "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# ---------------------------------------------------------------------------
+# A: aggregations
+# ---------------------------------------------------------------------------
+
+@register("a1_latest_per_key", """
+SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+""")
+def a1_latest_per_key(spark, sf):
+    """A1/W3: latest-row-per-key argmax dedup -- the reference workhorse
+    (sort_values + drop_duplicates keep-first x7,
+    preprocess_upload_neo4j.py:139-140, 159-160, 167-168, 181-182)."""
+    orders = read_table(spark, sf, "orders")
+    return latest_per_key(
+        orders, ["o_custkey"],
+        [F.desc("o_orderdate"), F.desc("o_orderkey")],
+    ).select("o_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+
+
+@register("a2_dedup_pairs", """
+SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+""")
+def a2_dedup_pairs(spark, sf):
+    """A2: key dedup (`drop_duplicates(["regions","country"])`,
+    preprocess_upload_neo4j.py:150-151) restricted to key columns =>
+    order-independent."""
+    li = read_table(spark, sf, "lineitem")
+    return li.select("l_partkey", "l_suppkey").dropDuplicates()
+
+
+@register("a3_distinct_values", """
+SELECT DISTINCT c_mktsegment FROM customer
+""")
+def a3_distinct_values(spark, sf):
+    """A3: distinct values (`df["regions"].unique()`,
+    preprocess_upload_neo4j.py:309)."""
+    return read_table(spark, sf, "customer").select("c_mktsegment").distinct()
+
+
+@register("a4_group_collect", """
+SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+FROM nation GROUP BY n_regionkey
+""")
+def a4_group_collect(spark, sf):
+    """A4: group-collect set->sorted list (sub-goods per mapped good,
+    preprocess_upload_neo4j.py:204-208)."""
+    nation = read_table(spark, sf, "nation")
+    return group_collect_sorted(nation, "n_regionkey", "n_name", "nations")
+
+
+@register("a5_count_distinct", """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+""")
+def a5_count_distinct(spark, sf):
+    """A5/EXT: exact distinct aggregation (Catalyst expands to a
+    two-stage partial/final plan automatically)."""
+    cust = read_table(spark, sf, "customer")
+    return (cust.groupBy("c_mktsegment")
+            .agg(F.countDistinct("c_nationkey").alias("n_nations"),
+                 F.count(F.lit(1)).alias("n_customers")))
+
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4)))
+            AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE)
+         / COUNT(l_quantity) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark, sf):
+    """TPC-H Q1 shape: the canonical wide aggregation; map-side partial
+    agg collapses 100 TB to |groups| x |partitions| rows before the
+    shuffle.  Decimal-exact sums (see dsum) keep it bit-stable."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("sum_disc_price"),
+                 davg("l_quantity").alias("avg_qty"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+@register("agg_cube", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def agg_cube(spark, sf):
+    """EXT agg: CUBE grouping sets (SURVEY §2.4 EXT row)."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register("agg_rollup", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def agg_rollup(spark, sf):
+    """EXT agg: ROLLUP hierarchy totals."""
+    orders = read_table(spark, sf, "orders")
+    return (orders.rollup("o_orderpriority", "o_orderstatus")
+            .agg(dsum("o_totalprice").alias("total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# W: windows
+# ---------------------------------------------------------------------------
+
+@register("w1_rank_min", """
+SELECT s_suppkey, s_nationkey,
+       RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC)
+         AS acctbal_rank
+FROM supplier
+""")
+def w1_rank_min(spark, sf):
+    """W1: grouped min-method rank == SQL RANK()
+    (export/import_trade_rank, preprocess_upload_neo4j.py:184-185)."""
+    supp = read_table(spark, sf, "supplier")
+    return rank_in_group(supp, ["s_nationkey"], [F.desc("s_acctbal")],
+                         "acctbal_rank").select(
+        "s_suppkey", "s_nationkey", "acctbal_rank")
+
+
+@register("w3_lag_lead", """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def w3_lag_lead(spark, sf):
+    """EXT window: lag/lead analytics over a total per-user order."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id",
+                     F.lag("value").over(w).alias("prev_value"),
+                     F.lead("value").over(w).alias("next_value"))
+
+
+@register("w4_moving_sum", """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_value
+FROM events
+""")
+def w4_moving_sum(spark, sf):
+    """EXT window: running aggregate with an explicit rowsBetween frame
+    (decimal-exact so the cumulative order is bit-stable)."""
+    ev = read_table(spark, sf, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(27,4)")).over(w)
+        .cast("double").alias("running_value"))
+
+
+@register("w5_topk_per_group", """
+SELECT o_custkey, o_orderkey, rn
+FROM (
+  SELECT o_custkey, o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""")
+def w5_topk_per_group(spark, sf):
+    """W1+O3: top-k per group (top partner per country, README.md:21)."""
+    orders = read_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn"))
+
+
+# ---------------------------------------------------------------------------
+# O/U: sorts, limits, set ops
+# ---------------------------------------------------------------------------
+
+@register("o1_top50_orders", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 50
+""")
+def o1_top50_orders(spark, sf):
+    """O1-O3: multi-key sort + top-k limit; Spark compiles this to
+    TakeOrderedAndProject (per-partition heap), never a global sort."""
+    orders = read_table(spark, sf, "orders")
+    return multisort(orders.select("o_orderkey", "o_totalprice"),
+                     [F.desc("o_totalprice"), F.asc("o_orderkey")], limit=50)
+
+
+@register("u1_union_tagged", """
+SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS role
+FROM customer WHERE c_acctbal > 9000
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS role
+FROM supplier WHERE s_acctbal > 1000
+""")
+def u1_union_tagged(spark, sf):
+    """U1: concat of differently-sourced frames with a role tag
+    (exports+imports merge, preprocess_upload_neo4j.py:176)."""
+    cust = (read_table(spark, sf, "customer")
+            .where(F.col("c_acctbal") > 9000)
+            .select(F.col("c_name").alias("name"),
+                    F.col("c_acctbal").alias("acctbal")))
+    supp = (read_table(spark, sf, "supplier")
+            .where(F.col("s_acctbal") > 1000)
+            .select(F.col("s_name").alias("name"),
+                    F.col("s_acctbal").alias("acctbal")))
+    return union_tagged({"customer": cust, "supplier": supp}, "role")
+
+
+@register("set_intersect", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_intersect(spark, sf):
+    """EXT set op: INTERSECT (distinct semantics)."""
+    orders = read_table(spark, sf, "orders")
+    o = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+@register("set_except_all", """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except_all(spark, sf):
+    """EXT set op: EXCEPT ALL (multiset difference)."""
+    orders = read_table(spark, sf, "orders")
+    return (orders.select("o_custkey")
+            .exceptAll(orders.where(F.col("o_orderstatus") == "F")
+                       .select("o_custkey")))

@@ -1,0 +1,57 @@
+"""Query registry: every implemented SURVEY.md §2 operator gets a
+named (spark_builder, duckdb_oracle_sql) pair here.
+
+Cross-engine determinism rules used throughout (see
+``operators.relational.dsum``):
+
+- double SUMs go through exact decimal casts so the reduction order
+  (Spark's 32-partition tree vs DuckDB's) cannot change the result;
+- every keep-first/top-k has an explicit total order;
+- ``collect_set`` results are ``array_sort``-ed;
+- session timezone is UTC on both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: register a query builder + optional DuckDB oracle."""
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load()
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    _load()
+    return dict(ORACLES)
+
+
+_LOADED = False
+
+
+def _load() -> None:
+    """Import all query modules (they self-register on import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from . import queries_relational  # noqa: F401
+    from . import queries_functions  # noqa: F401
+    from . import queries_graph  # noqa: F401
+    from . import queries_llm  # noqa: F401
+    from . import queries_streaming  # noqa: F401
+    _LOADED = True

@@ -1,0 +1,45 @@
+"""SparkSession builder.
+
+Local testing runs a single JVM (``local[N]``); the configuration is
+nevertheless the one we would ship to a 1000-executor cluster reading
+100 TB:
+
+- AQE on (runtime coalescing of shuffle partitions, skew-join splitting
+  for hub keys -- the trade graph's China/US analogs).
+- ``spark.sql.shuffle.partitions`` sized to the core count locally; on a
+  real cluster this is a starting point that AQE re-plans per stage.
+- Arrow enabled so the Pandas-UDF path (multimodal decode, grouped ops)
+  transfers columnar batches, not pickled rows.
+- Session timezone pinned to UTC so timestamp semantics match the DuckDB
+  oracle (and any other engine) bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "graphdb_cia_factbook_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    shuffle = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,111 @@
+"""Sources & sinks (reference S1-S7, SURVEY.md §2.1).
+
+The reference reads typed CSVs (`pd.read_csv(..., dtype=di_types)`,
+preprocess_upload_neo4j.py:98-112) and writes CSVs (`df.to_csv`,
+scrape_cia.py:86-87); its graph sink is a per-row Cypher ``MERGE`` loop
+(preprocess_upload_neo4j.py:219-395) -- the known bottleneck
+(:212-215).  Spark-first re-expression:
+
+- S1 from_records: driver-collected records -> DataFrame with explicit
+  schema (the scrape stage's list-of-dicts -> frame boundary).
+- S2 typed scans: parquet (testdata) / CSV with declared StructType;
+  schemas never inferred.  Parquet scans get predicate pushdown and
+  column pruning from Catalyst for free -- at 100 TB this is the
+  difference between reading 2 columns and reading 40.
+- S3/S5 sinks: bulk ``DataFrameWriter`` overwrite (idempotent
+  insert-overwrite replaces MERGE upsert: dedup-by-key *before* the
+  write, see :func:`merge_upsert_by_key`).
+- S6 constraint check: Spark has no constraints; key uniqueness is a
+  build-time assertion (``groupBy(key).count > 1`` must be empty).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..schemas import TESTDATA
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2: schema-checked parquet scan of a driver testdata table.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; we read it as raw nanos
+    (``legacy.parquet.nanosAsLong``) and truncate to microseconds with
+    integer DIV (double division would lose precision above 2^53).
+    DuckDB oracles match via ``CAST(ts AS TIMESTAMP)`` (ns->us floor).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        return df
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    expected = TESTDATA.get(name)
+    if expected is not None:
+        got = {f.name for f in df.schema.fields}
+        want = {f.name for f in expected.fields}
+        if got != want:
+            raise ValueError(f"{name}: schema drift, got {got}, want {want}")
+    return df
+
+
+def read_csv(spark: SparkSession, path: str, schema: T.StructType,
+             header: bool = True) -> DataFrame:
+    """S2: typed CSV scan -- explicit schema, no inference (mirrors
+    ``pd.read_csv(f, dtype=di_types)``, preprocess_upload_neo4j.py:98-112)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def from_records(spark: SparkSession, records: Iterable[Mapping],
+                 schema: T.StructType) -> DataFrame:
+    """S1: list-of-dicts -> DataFrame (the scrape stage's record build,
+    scrape_cia.py:47-64).  At 100 TB the fetch itself becomes
+    ``spark.read.text`` over a crawl dump + a parse stage; this boundary
+    function is where that swap happens."""
+    rows = [{f.name: r.get(f.name) for f in schema.fields} for r in records]
+    return spark.createDataFrame(rows, schema=schema)
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: Sequence[str] = ()) -> None:
+    """S3/S5: bulk overwrite sink (columnar parquet replaces CSV-at-rest).
+    ``partition_by`` gives partition pruning on re-read at scale."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """S3: CSV sink parity (`df.to_csv(path, index=False)`,
+    scrape_cia.py:86-87)."""
+    df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def assert_unique_key(df: DataFrame, *key: str) -> None:
+    """S6: node-key constraint (`CREATE CONSTRAINT ... IS NODE KEY`,
+    preprocess_upload_neo4j.py:45-54) as a build-time assertion.
+    Distributed: a single shuffled count, no collect of data rows."""
+    dupes = (df.groupBy(*key).count().where(F.col("count") > 1)
+             .limit(5).collect())
+    if dupes:
+        raise AssertionError(f"key {key} not unique; sample dupes: {dupes}")
+
+
+def merge_upsert_by_key(df: DataFrame, key: Sequence[str],
+                        order_by: Sequence = ()) -> DataFrame:
+    """S4: Cypher ``MERGE`` upsert semantics -> deterministic
+    dedup-by-key before an insert-overwrite write.  ``order_by`` picks
+    the winner (the reference's latest-year-wins rule); defaults to an
+    arbitrary-but-deterministic total order over all columns."""
+    order = list(order_by) if order_by else [F.col(c) for c in df.columns]
+    w = Window.partitionBy(*key).orderBy(*order)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
