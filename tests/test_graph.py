@@ -1,0 +1,107 @@
+"""PageRank / ArticleRank validation against independent hand-rolled
+power iteration (SURVEY.md §5 strategy (3))."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_cia_factbook_spark.operators.graph import (
+    Graph,
+    articlerank,
+    pagerank,
+)
+
+
+def ref_pagerank(nodes, edges, d=0.85, iters=20, weights=None):
+    """Independent driver-side power iteration (dangling mass
+    redistributed uniformly)."""
+    n = len(nodes)
+    out = {v: [] for v in nodes}
+    for s, t in edges:
+        w = weights[(s, t)] if weights else 1.0
+        out[s].append((t, w))
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for s in nodes:
+            if out[s]:
+                tot = sum(w for _, w in out[s])
+                for t, w in out[s]:
+                    contrib[t] += r[s] * w / tot
+            else:
+                dangling += r[s]
+        r = {v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes}
+    return r
+
+
+def ref_articlerank(nodes, edges, d=0.85, iters=20):
+    n = len(nodes)
+    out = {v: [] for v in nodes}
+    for s, t in edges:
+        out[s].append(t)
+    avg = len(edges) / n
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for s in nodes:
+            if out[s]:
+                for t in out[s]:
+                    contrib[t] += r[s] / (len(out[s]) + avg)
+            else:
+                dangling += r[s]
+        r = {v: (1 - d) / n + d * (contrib[v] + dangling / n) for v in nodes}
+    return r
+
+
+NODES = ["A", "B", "C", "D"]
+EDGES = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A")]  # D dangling
+AMOUNTS = {("A", "B"): 10.0, ("A", "C"): 30.0, ("B", "C"): 5.0,
+           ("C", "A"): 1.0}
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    v = spark.createDataFrame([(x,) for x in NODES], "id string")
+    e = spark.createDataFrame(
+        [(s, t, AMOUNTS[(s, t)]) for s, t in EDGES],
+        "src string, dst string, amount double")
+    return Graph(vertices=v, edges=e)
+
+
+def test_pagerank_unweighted(graph):
+    got = {r["id"]: r["pagerank"] for r in pagerank(graph).collect()}
+    want = ref_pagerank(NODES, EDGES)
+    assert set(got) == set(want)
+    for v in NODES:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_weighted(graph):
+    got = {r["id"]: r["pagerank"]
+           for r in pagerank(graph, weighted=True).collect()}
+    want = ref_pagerank(NODES, EDGES, weights=AMOUNTS)
+    for v in NODES:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+
+
+def test_articlerank(graph):
+    got = {r["id"]: r["articlerank"] for r in articlerank(graph).collect()}
+    want = ref_articlerank(NODES, EDGES)
+    for v in NODES:
+        assert got[v] == pytest.approx(want[v], rel=1e-9), v
+
+
+def test_degrees(graph):
+    rows = {r["id"]: r for r in graph.degrees().collect()}
+    assert rows["A"]["out_deg"] == 2 and rows["A"]["in_deg"] == 1
+    assert rows["A"]["out_amount"] == 40.0 and rows["A"]["in_amount"] == 1.0
+    assert rows["D"]["out_deg"] == 0 and rows["D"]["in_deg"] == 0
+
+
+def test_project(graph):
+    e = graph.edges.withColumn("type", F.lit("trades"))
+    g2 = Graph(graph.vertices, e)
+    assert g2.project("trades").edges.count() == 4
+    assert g2.project("contains").edges.count() == 0
