@@ -1,1 +1,196 @@
-"""Placeholder -- populated in a later milestone."""
+"""Graph operator queries (SURVEY.md §2.9) with DuckDB oracles.
+
+The trade graph is the testdata analog of the reference's
+trade_partners edge table (supplier-nation -> customer-nation revenue
+flows).  PageRank / ArticleRank run as iterative DataFrame supersteps
+on Spark; their oracles are GENERATED SQL -- a 20-step chained CTE
+that performs the identical power iteration in DuckDB (one CTE per
+superstep, same damping / dangling-mass / share definitions).  Both
+sides round to 8 decimals; per-iteration float drift between engines
+is ~1e-15 and damping is a contraction, so 8 decimals is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.graph import articlerank, build_trade_graph, pagerank
+from .registry import register
+
+# Shared edge definition (must mirror operators.graph.build_trade_graph
+# exactly: decimal-exact revenue sums, self-loops removed).
+EDGES_CTE = """
+verts AS MATERIALIZED (SELECT n_name AS id FROM nation),
+edges AS MATERIALIZED (
+  SELECT sn.n_name AS src, cn.n_name AS dst,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS amount,
+         COUNT(*) AS n_lines
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  WHERE sn.n_name != cn.n_name
+  GROUP BY sn.n_name, cn.n_name
+)"""
+
+
+def _power_iteration_sql(share_sql: str, out_name: str,
+                         damping: float = 0.85, iters: int = 20) -> str:
+    """Generate the chained-CTE power iteration.  ``share_sql`` defines
+    shares(src, dst, share) = the per-edge fraction of the source's
+    rank transferred each superstep."""
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+    dangling = ("(SELECT COALESCE(SUM(r.rank), 0) FROM {prev} r WHERE r.id "
+                "NOT IN (SELECT src FROM edges))")
+    parts = [f"WITH {EDGES_CTE},", share_sql + ",",
+             f"r0 AS (SELECT id, 1.0 / {n} AS rank FROM verts)"]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT v.id,
+         (1 - {damping}) / {n}
+         + {damping} * (COALESCE(c.contrib, 0)
+                        + {dangling.format(prev=prev)} / {n}) AS rank
+  FROM verts v
+  LEFT JOIN (SELECT s.dst AS id, SUM(r.rank * s.share) AS contrib
+             FROM shares s JOIN {prev} r ON s.src = r.id
+             GROUP BY s.dst) c ON v.id = c.id
+)""")
+    parts.append(f"\nSELECT id AS nation, ROUND(rank, 8) AS {out_name} "
+                 f"FROM r{iters}")
+    return "".join(parts)
+
+
+UNWEIGHTED_SHARES = """
+shares AS MATERIALIZED (
+  SELECT src, dst, 1.0 / COUNT(*) OVER (PARTITION BY src) AS share
+  FROM edges
+)"""
+
+WEIGHTED_SHARES = """
+shares AS MATERIALIZED (
+  SELECT src, dst, amount / SUM(amount) OVER (PARTITION BY src) AS share
+  FROM edges
+)"""
+
+ARTICLERANK_SHARES = """
+shares AS MATERIALIZED (
+  SELECT src, dst,
+         1.0 / (COUNT(*) OVER (PARTITION BY src)
+                + (SELECT COUNT(*) FROM edges) * 1.0
+                  / (SELECT COUNT(*) FROM verts)) AS share
+  FROM edges
+)"""
+
+
+@register("g_edge_build", f"""
+WITH {EDGES_CTE}
+SELECT src, dst, amount, n_lines FROM edges
+""")
+def g_edge_build(spark, sf):
+    """S4/J7 edge construction: the trade_partners analog -- fact
+    tables collapse to a nation^2-sized edge list (map-side partial
+    agg does the 100-TB heavy lifting)."""
+    return build_trade_graph(spark, sf).edges
+
+
+@register("g_degrees", f"""
+WITH {EDGES_CTE}
+SELECT v.id,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(o.out_amount, 0.0) AS out_amount,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(i.in_amount, 0.0) AS in_amount
+FROM verts v
+LEFT JOIN (SELECT src, COUNT(*) AS out_deg,
+                  CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                    AS out_amount
+           FROM edges GROUP BY src) o ON v.id = o.src
+LEFT JOIN (SELECT dst, COUNT(*) AS in_deg,
+                  CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                    AS in_amount
+           FROM edges GROUP BY dst) i ON v.id = i.dst
+""")
+def g_degrees(spark, sf):
+    """A5/G-degrees: weighted in/out degrees per vertex
+    (country totals, preprocess_upload_neo4j.py:194-201)."""
+    return build_trade_graph(spark, sf).degrees()
+
+
+@register("g_trade_rank", f"""
+WITH {EDGES_CTE}
+SELECT src, dst, amount,
+       RANK() OVER (PARTITION BY src ORDER BY amount DESC)
+         AS export_trade_rank,
+       RANK() OVER (PARTITION BY dst ORDER BY amount DESC)
+         AS import_trade_rank
+FROM edges
+""")
+def g_trade_rank(spark, sf):
+    """W1 on the graph: export/import trade ranks
+    (preprocess_upload_neo4j.py:184-185)."""
+    edges = build_trade_graph(spark, sf).edges
+    return (edges
+            .withColumn("export_trade_rank", F.rank().over(
+                Window.partitionBy("src").orderBy(F.desc("amount"))))
+            .withColumn("import_trade_rank", F.rank().over(
+                Window.partitionBy("dst").orderBy(F.desc("amount"))))
+            .select("src", "dst", "amount",
+                    "export_trade_rank", "import_trade_rank"))
+
+
+@register("g_top_partner", f"""
+WITH {EDGES_CTE}
+SELECT src, dst AS top_partner, amount
+FROM (SELECT src, dst, amount,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY amount DESC, dst) AS rn
+      FROM edges)
+WHERE rn = 1
+""")
+def g_top_partner(spark, sf):
+    """The README flagship sub-query: each nation's #1 export partner
+    (top-1-per-key with deterministic tiebreak)."""
+    edges = build_trade_graph(spark, sf).edges
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    return (edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("src", F.col("dst").alias("top_partner"), "amount"))
+
+
+@register("g1_pagerank", _power_iteration_sql(UNWEIGHTED_SHARES, "pagerank"))
+def g1_pagerank(spark, sf):
+    """G1: PageRank, 20 iterations, damping 0.85, UNWEIGHTED (matches
+    the reference's actual GDS invocation -- weights projected but
+    unused, preprocess_upload_neo4j.py:406-430)."""
+    g = build_trade_graph(spark, sf)
+    return (pagerank(g, damping=0.85, max_iter=20, weighted=False)
+            .select(F.col("id").alias("nation"),
+                    F.round("pagerank", 8).alias("pagerank")))
+
+
+@register("g1_pagerank_weighted",
+          _power_iteration_sql(WEIGHTED_SHARES, "pagerank"))
+def g1_pagerank_weighted(spark, sf):
+    """G1 variant: amount-weighted PageRank (the rank the reference
+    author probably intended when projecting the weight)."""
+    g = build_trade_graph(spark, sf)
+    return (pagerank(g, damping=0.85, max_iter=20, weighted=True)
+            .select(F.col("id").alias("nation"),
+                    F.round("pagerank", 8).alias("pagerank")))
+
+
+@register("g2_articlerank",
+          _power_iteration_sql(ARTICLERANK_SHARES, "articlerank"))
+def g2_articlerank(spark, sf):
+    """G2: ArticleRank with GDS defaults (damping 0.85, 20 iters,
+    divisor out_deg + avg_out_deg; preprocess_upload_neo4j.py:442-447)."""
+    g = build_trade_graph(spark, sf)
+    return (articlerank(g, damping=0.85, max_iter=20)
+            .select(F.col("id").alias("nation"),
+                    F.round("articlerank", 8).alias("articlerank")))
