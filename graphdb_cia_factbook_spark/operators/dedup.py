@@ -1,0 +1,139 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension; SURVEY.md Phase 5): exact, MinHash-LSH, SimHash, n-gram
+Jaccard.
+
+Hash-function portability: every hash here is md5 (hex string), so
+signatures/buckets are identical on any engine and any cluster -- the
+property the DuckDB oracles verify.  At 100 TB the md5 cost is
+negligible next to the shuffle; swap in xxhash64 for speed only if
+cross-system stability is not required.
+
+Scale notes per operator are in each docstring; the common theme:
+never materialize the O(N^2) pair space -- LSH buckets (band join)
+keep candidate generation linear in the number of colliding docs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, shingles
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by md5(normalized text); canonical doc is the
+    min id.  One hash-shuffle on the 32-byte fingerprint -- the 100-TB
+    baseline dedup (the fingerprint, not the document, shuffles)."""
+    return (df.select(F.col(id_col), fingerprint(F.col(text_col))
+                      .alias("fingerprint"))
+            .groupBy("fingerprint")
+            .agg(F.min(id_col).alias("canonical_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 3) -> DataFrame:
+    """Distinct word-k-shingles per doc: (id, shingle) rows."""
+    return (df.select(F.col(id_col),
+                      F.explode(shingles(F.col(text_col), k)).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(sh: DataFrame, id_col: str,
+                       num_hashes: int = 12) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of
+    md5(i || '|' || shingle).  Lexicographic min over md5 hex == min
+    over a uniform 128-bit hash family, and is engine-portable.
+    One groupBy over the shingle rows computes all ``num_hashes``
+    mins map-side (partial agg) -- no per-hash pass."""
+    return sh.groupBy(id_col).agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
+        .alias(f"h{i}") for i in range(num_hashes)])
+
+
+def lsh_bands(sig: DataFrame, id_col: str, bands: int,
+              rows_per_band: int) -> DataFrame:
+    """Band the signature: bucket key = md5 of the concatenated band
+    slice.  Output (id, band, bucket)."""
+    pairs = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}")
+                for r in range(rows_per_band)]
+        pairs.append(F.struct(F.lit(b).alias("band"),
+                              F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    return (sig.select(id_col, F.explode(F.array(*pairs)).alias("bb"))
+            .select(id_col, F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+    """Candidate pairs: docs sharing any (band, bucket).  The join is
+    per-bucket -- linear in sum(bucket_size^2), not N^2; AQE's skew
+    split handles a degenerate hot bucket."""
+    a = bands_df.select(F.col("band"), F.col("bucket"),
+                        F.col(id_col).alias("id_a"))
+    b = bands_df.select(F.col("band"), F.col("bucket"),
+                        F.col(id_col).alias("id_b"))
+    return (a.join(b, ["band", "bucket"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for given pairs from the distinct-shingle rows:
+    |A∩B| via a shingle-keyed join restricted to candidate pairs,
+    |A∪B| = |A|+|B|-|A∩B|.  Integer counts -> exact double division."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    inter = (sh.withColumnRenamed(id_col, "id_a")
+             .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
+             .where(F.col("id_a") < F.col("id_b"))
+             .join(pairs, ["id_a", "id_b"], "left_semi")
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_inter")))
+    return (inter
+            .join(sizes.select(F.col(id_col).alias("id_a"),
+                               F.col("sz").alias("sz_a")), "id_a")
+            .join(sizes.select(F.col(id_col).alias("id_b"),
+                               F.col("sz").alias("sz_b")), "id_b")
+            .select("id_a", "id_b",
+                    (F.col("n_inter")
+                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+                    .alias("jaccard")))
+
+
+def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", k_shingle: int = 3,
+                      num_hashes: int = 12, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash-LSH near-dedup: shingle -> signature -> band
+    buckets -> candidate pairs -> exact-Jaccard verification >= threshold.
+
+    With b=4, r=3 the candidate probability is 1-(1-j^3)^4 (~50% at
+    j=0.5); verification removes false positives, so the output equals
+    brute-force Jaccard dedup restricted to LSH-recalled pairs."""
+    rows_per_band = num_hashes // bands
+    sh = shingle_sets(df, id_col, text_col, k_shingle)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band),
+                               id_col)
+    return (pair_jaccard(cand, sh, id_col)
+            .where(F.col("jaccard") >= threshold))
+
+
+def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k_shingle: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Brute n-gram Jaccard: all pairs sharing >= 1 shingle, exact
+    Jaccard >= threshold.  The shingle-keyed join bounds the pair space
+    to actually-overlapping docs (never a cross join), but degenerates
+    on very common shingles -- prefer MinHash-LSH beyond ~10M docs or
+    add a document-frequency cap on shingles first."""
+    sh = shingle_sets(df, id_col, text_col, k_shingle)
+    all_pairs = (sh.withColumnRenamed(id_col, "id_a")
+                 .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
+                 .where(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+    return (pair_jaccard(all_pairs, sh, id_col)
+            .where(F.col("jaccard") >= threshold))

@@ -1,0 +1,152 @@
+"""Multimodal (image/audio/video) column plumbing (north-star
+extension; SURVEY.md Phase 5).
+
+Media are opaque ``binary`` columns plus a typed metadata struct --
+the lakehouse pattern for multimodal training data.  The Spark-side
+plumbing (schemas, Arrow batch shape, ``mapInPandas`` signatures,
+partitioning) is real and tested; the actual codec work is stubbed
+because no image/audio library ships in this container:
+
+- :func:`decode_media` runs a *deterministic fake decode* (md5
+  checksum + size-derived dimensions) through the same Arrow batch
+  path a real decoder would use, so the pipeline is end-to-end
+  testable and DuckDB-oracle-checkable;
+- :func:`resize_images` raises ``NotImplementedError`` unless PIL is
+  importable (clearly-marked stub per the build contract).
+
+Scale notes: media bytes never hit the driver; ``mapInPandas``
+streams Arrow batches executor-side, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory
+(media rows are wide -- set it low, e.g. 64, for >MB media).  Decode
+output drops the payload column as early as possible so downstream
+stages shuffle metadata, not bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: metadata produced by the (fake) decoder -- what a real image decode
+#: would yield (dimensions, channel count, byte size, checksum).
+MEDIA_META_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("checksum", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("frame_checksum", T.StringType()),
+])
+
+
+def media_table(df: DataFrame, id_col: str, payload_col,
+                media_type: str = "image") -> DataFrame:
+    """Normalize any source into the engine's media layout:
+    (media_id, content binary, media_type).  ``payload_col`` may be a
+    string column (UTF-8 encoded -- the test path, deterministic fake
+    bytes) or an existing binary column."""
+    content = F.col(payload_col) if isinstance(payload_col, str) \
+        else payload_col
+    return df.select(F.col(id_col).cast("long").alias("media_id"),
+                     content.cast("binary").alias("content"),
+                     F.lit(media_type).alias("media_type"))
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Fake-decode each binary payload via ``mapInPandas`` (Arrow
+    batches, executor-side, payload never collected).
+
+    The "decode" is deterministic: md5 checksum of the raw bytes,
+    dimensions derived from the byte length -- a stand-in with the
+    exact plumbing (schema in/out, batch iteration, per-row bytes
+    access) of a real ``PIL.Image.open``/ffmpeg call, so swapping the
+    real codec in changes only the body of ``decode_batch``."""
+
+    def decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            content = pdf["content"]
+            n_bytes = content.map(len)
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": n_bytes.astype("int64"),
+                "checksum": content.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                "width": (n_bytes % 640 + 1).astype("int32"),
+                "height": (n_bytes * 7 % 480 + 1).astype("int32"),
+                "channels": pd.Series([3] * len(pdf), dtype="int32"),
+            })
+
+    return media.select("media_id", "content") \
+        .mapInPandas(decode_batch, schema=MEDIA_META_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every: int = 10,
+                  frames_mod: int = 100) -> DataFrame:
+    """Video frame sampling through the same Arrow path: each payload
+    "contains" ``len(bytes) % frames_mod`` frames; emit every
+    ``every``-th frame with a per-frame checksum (md5 of
+    "<payload-md5>:<idx>" -- where a real pipeline would emit decoded
+    frame tensors).  One input row fans out to many output rows --
+    the mapInPandas analog of a generator/UDTF."""
+
+    def frame_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                base = hashlib.md5(bytes(buf)).hexdigest()
+                for i in range(0, len(buf) % frames_mod, every):
+                    ids.append(mid)
+                    idxs.append(i)
+                    sums.append(hashlib.md5(
+                        f"{base}:{i}".encode()).hexdigest())
+            yield pd.DataFrame({
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_checksum": pd.Series(sums, dtype="object"),
+            })
+
+    return media.select("media_id", "content") \
+        .mapInPandas(frame_batch, schema=FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB -- real image resize requires PIL/opencv, not present in
+    this container.  The Spark plumbing (mapInPandas over binary in /
+    binary out) is what a real implementation plugs into."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "resize_images needs PIL; container ships no image codecs. "
+            "The mapInPandas decode path (decode_media) demonstrates "
+            "the plumbing.") from exc
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+        for pdf in batches:
+            out = []
+            for buf in pdf["content"]:
+                img = Image.open(io.BytesIO(bytes(buf)))
+                bio = io.BytesIO()
+                img.resize((width, height)).save(bio, format="PNG")
+                out.append(bio.getvalue())
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "content": out})
+
+    return media.select("media_id", "content").mapInPandas(
+        resize_batch,
+        schema=T.StructType([T.StructField("media_id", T.LongType()),
+                             T.StructField("content", T.BinaryType())]))

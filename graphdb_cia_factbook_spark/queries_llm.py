@@ -1,1 +1,411 @@
-"""Placeholder -- populated in a later milestone."""
+"""LLM-training-data pipeline queries (north-star extensions;
+SURVEY.md Phase 5) with DuckDB oracles: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, winnowing), text analysis
+(quality, language ID, token stats), similarity search (brute-force
+cosine top-k, sign-LSH ANN, embedding near-dup), and multimodal
+decode/frame-sample plumbing.
+
+Oracle construction: every hash is md5 (identical hex on both
+engines); every float reduction is a sequential left fold (DuckDB
+``list_reduce`` == Spark ``F.aggregate`` bit-for-bit, see
+:mod:`.operators.similarity`); integer-ratio divisions are exact.  The
+big MinHash/SimHash CTE chains are generated programmatically below so
+the SQL provably uses the same constants as the Spark operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+)
+from .operators.multimodal import decode_media, media_table, sample_frames
+from .operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+    near_dup_pairs,
+)
+from .operators.text import (
+    LANG_STOPWORDS,
+    lang_id,
+    quality_metrics,
+    simhash_bits,
+    tokens,
+    winnow_fingerprints,
+)
+from .registry import register
+from .sources import read_table
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (must mirror operators/text.py exactly)
+# ---------------------------------------------------------------------------
+
+TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+NORM_MD5 = r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+
+#: word 3-shingles of the token array (empty when < 3 tokens), as the
+#: unnest-ready list expression -- mirrors text.shingles(k=3)
+SHINGLE_LIST = ("list_transform(range(1, len(toks) - 1), "
+                "i -> array_to_string(toks[i:i+2], ' '))")
+
+SHINGLE_CTE = f"""
+tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, unnest({SHINGLE_LIST}) AS shingle FROM tk
+)"""
+
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND = 12, 4, 3
+
+_SIG_COLS = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES))
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+        b=b, cat=" || '|' || ".join(
+            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)))
+    for b in range(_BANDS))
+
+#: cand/jaccard tail shared by the LSH and brute-force dedup oracles
+_JACCARD_TAIL = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold dot product -- bit-equal to similarity.dot."""
+    return (f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+            f"(x, y) -> x + y)")
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (f"({_dot_sql(a, b)} / "
+            f"sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}))")
+
+
+def _bucket_sql(vec: str, nbits: int) -> str:
+    return " || ".join(
+        f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(nbits))
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+@register("llm_exact_dedup", f"""
+SELECT {NORM_MD5} AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def llm_exact_dedup(spark, sf):
+    """Exact dedup by normalized-text md5 (hash-groupBy; the 100-TB
+    baseline -- only 32-byte fingerprints shuffle)."""
+    return exact_dedup(read_table(spark, sf, "documents"))
+
+
+@register("llm_minhash_lsh", f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.rstrip()}
+WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+""")
+def llm_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dedup: shingle -> 12-hash signature -> 4 bands
+    -> bucket join -> exact-Jaccard verify >= 0.5."""
+    return minhash_lsh_dedup(read_table(spark, sf, "documents"),
+                             num_hashes=_NUM_HASHES, bands=_BANDS,
+                             threshold=0.5)
+
+
+@register("llm_ngram_jaccard", f"""
+WITH {SHINGLE_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.rstrip()}
+WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+""")
+def llm_ngram_jaccard(spark, sf):
+    """Brute n-gram (3-shingle) Jaccard dedup >= 0.5 -- the exact
+    reference answer MinHash-LSH approximates."""
+    return ngram_jaccard_dedup(read_table(spark, sf, "documents"),
+                               threshold=0.5)
+
+
+_SIMHASH_BITS = 16
+_HEX_HIGH_SQL = "('8','9','a','b','c','d','e','f')"
+_SIMHASH_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(hx, {p + 1}, 1) IN {_HEX_HIGH_SQL} "
+    f"THEN 1 ELSE -1 END) AS b{p}" for p in range(_SIMHASH_BITS))
+_SIMHASH_CHARS = " || ".join(
+    f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)"
+    for p in range(_SIMHASH_BITS))
+
+
+@register("llm_simhash", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+hx AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+sums AS (SELECT doc_id, {_SIMHASH_SUMS} FROM hx GROUP BY doc_id)
+SELECT doc_id, {_SIMHASH_CHARS} AS simhash FROM sums
+""")
+def llm_simhash(spark, sf):
+    """16-bit SimHash signatures over whitespace tokens."""
+    return simhash_bits(read_table(spark, sf, "documents"),
+                        "doc_id", "text", _SIMHASH_BITS)
+
+
+_WINNOW_W = 4
+
+
+@register("llm_winnow_fingerprint", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+shp AS (
+  SELECT doc_id,
+         unnest({SHINGLE_LIST}) AS shingle,
+         generate_subscripts({SHINGLE_LIST}, 1) AS pos
+  FROM tk
+),
+h AS (SELECT doc_id, pos, md5(shingle) AS hx FROM shp),
+wmin AS (
+  SELECT doc_id, pos,
+         min(hx) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+)
+SELECT DISTINCT doc_id, sel AS fp
+FROM wmin WHERE pos <= n - {_WINNOW_W} + 1
+""")
+def llm_winnow_fingerprint(spark, sf):
+    """Winnowing document fingerprints (rolling min-hash over shingle
+    windows, w=4) -- the classic plagiarism/near-dup sketch."""
+    return winnow_fingerprints(read_table(spark, sf, "documents"),
+                               window=_WINNOW_W)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@register("llm_quality", f"""
+WITH t AS (
+  SELECT doc_id, text, {TOKS} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_char
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok, n_char,
+         (n_char - CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                        AS DOUBLE)) AS n_alpha,
+         CAST(len(list_filter(toks, x -> x IN ({_STOP_EN}))) AS DOUBLE)
+           AS n_stop
+  FROM t
+)
+SELECT doc_id,
+       n_tok AS n_tokens, n_char AS n_chars_obs,
+       CASE WHEN n_tok > 0 THEN (n_char - (n_tok - 1)) / n_tok
+            ELSE 0.0 END AS avg_token_len,
+       CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END
+         AS stopword_ratio,
+       CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END
+         AS alpha_ratio,
+       least(n_tok / 100, 1.0) * 0.3
+         + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 0.3
+         + (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+         AS quality_score
+FROM m
+""")
+def llm_quality(spark, sf):
+    """Per-document quality metrics + blended [0,1] score."""
+    return quality_metrics(read_table(spark, sf, "documents"))
+
+
+def _langid_case() -> str:
+    order = list(LANG_STOPWORDS)
+    arms = []
+    for i, lang in enumerate(order):
+        conds = [f"s_{lang} > 0"] + [
+            f"s_{lang} >= s_{other}" for other in order[i + 1:]]
+        arms.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+_LANG_SCORES = ", ".join(
+    "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
+        ", ".join(f"'{w}'" for w in words), lang)
+    for lang, words in LANG_STOPWORDS.items())
+
+
+@register("llm_langid", f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t)
+SELECT doc_id, lang, {_langid_case()} AS lang_pred FROM s
+""")
+def llm_langid(spark, sf):
+    """Heuristic stopword language ID next to the ground-truth lang."""
+    docs = read_table(spark, sf, "documents")
+    return docs.select("doc_id", "lang",
+                       lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register("llm_token_stats", f"""
+WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents)
+SELECT doc_id, source,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens
+FROM t
+""")
+def llm_token_stats(spark, sf):
+    """Token counting: total + distinct tokens per document."""
+    docs = read_table(spark, sf, "documents")
+    t = tokens(F.col("text"))
+    return docs.select("doc_id", "source",
+                       F.size(t).alias("n_tokens"),
+                       F.size(F.array_distinct(t))
+                       .alias("n_distinct_tokens"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+@register("llm_ann_brute", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 5
+""")
+def llm_ann_brute(spark, sf):
+    """Exact cosine top-5 for 8 query vectors against the full corpus
+    (broadcast nested-loop + two-phase top-k)."""
+    emb = read_table(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@register("llm_ann_lsh", f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_bucket_sql('embedding', 8)} AS bucket
+           FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.bucket,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM e c JOIN e q ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < 32
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 3
+""")
+def llm_ann_lsh(spark, sf):
+    """Approximate top-3 via 8-bit sign-LSH buckets (equi-join on the
+    bucket key -- the large-Q scale path)."""
+    emb = read_table(spark, sf, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 32), k=3, nbits=8)
+
+
+@register("llm_embed_neardup", f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_bucket_sql('embedding', 4)} AS bucket
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+""")
+def llm_embed_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs (cos >= 0.35) candidate-limited
+    to 4-bit sign-LSH buckets."""
+    return near_dup_pairs(read_table(spark, sf, "embeddings"),
+                          threshold=0.35, nbits=4)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (mapInPandas; deterministic fake decode)
+# ---------------------------------------------------------------------------
+
+@register("mm_decode", """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum,
+       CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+       CAST(octet_length(encode(text)) * 7 % 480 + 1 AS INTEGER) AS height,
+       3 AS channels
+FROM documents
+""")
+def mm_decode(spark, sf):
+    """Multimodal decode plumbing: binary payload -> metadata via
+    mapInPandas Arrow batches (fake decode: md5 checksum +
+    size-derived dimensions; real codec slots into decode_batch)."""
+    docs = read_table(spark, sf, "documents")
+    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    return decode_media(media)
+
+
+@register("mm_frame_sample", """
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS base,
+         octet_length(encode(text)) AS nb
+  FROM documents
+),
+fr AS (
+  SELECT media_id, base, unnest(range(0, nb % 100, 10)) AS i FROM m
+)
+SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+       md5(base || ':' || i) AS frame_checksum
+FROM fr
+""")
+def mm_frame_sample(spark, sf):
+    """Video frame-sampling plumbing: one payload fans out to every
+    10th 'frame' with a per-frame checksum (mapInPandas generator)."""
+    docs = read_table(spark, sf, "documents")
+    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
+                        media_type="video")
+    return sample_frames(media, every=10, frames_mod=100)
