@@ -1,1 +1,99 @@
-"""Placeholder -- populated in a later milestone."""
+"""Streaming-surface queries (SURVEY.md §2.10 EXT) in their
+batch-equivalent form, each with a DuckDB oracle.
+
+Every builder here calls the SAME transform functions
+(:mod:`.streaming`) that the streaming tests drive over
+``readStream`` + memory sink -- one logical plan, two execution modes
+(the Structured Streaming contract).  Oracles: ``time_bucket`` for
+tumbling/sliding alignment (epoch-aligned, like ``F.window``),
+gaps-and-islands SQL for session windows.
+"""
+
+from __future__ import annotations
+
+from .registry import register
+from .sources import read_table
+from .streaming import (
+    dedup_events,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@register("st_tumbling", """
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def st_tumbling(spark, sf):
+    """Tumbling 1h event-time windows per event_type (streaming-ready:
+    identical plan under readStream + watermark)."""
+    return tumbling_agg(read_table(spark, sf, "events"), "1 hour")
+
+
+@register("st_sliding", """
+WITH k AS (SELECT * FROM (VALUES (0), (1)) t(k)),
+w AS (
+  SELECT e.value,
+         time_bucket(INTERVAL 30 MINUTE, CAST(e.ts AS TIMESTAMP))
+           - k.k * INTERVAL 30 MINUTE AS window_start,
+         CAST(e.ts AS TIMESTAMP) AS ts
+  FROM events e CROSS JOIN k
+)
+SELECT window_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) / COUNT(value)
+         AS avg_value
+FROM w
+WHERE ts < window_start + INTERVAL 60 MINUTE
+GROUP BY 1
+""")
+def st_sliding(spark, sf):
+    """Sliding 1h windows every 30min: each event belongs to 2 windows
+    (the oracle materializes the overlap with a 2-row offset join)."""
+    return sliding_agg(read_table(spark, sf, "events"),
+                       "1 hour", "30 minutes")
+
+
+@register("st_session", """
+WITH x AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+         CASE WHEN CAST(ts AS TIMESTAMP)
+                   - lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 10 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+y AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM y GROUP BY user_id, sid
+""")
+def st_session(spark, sf):
+    """Per-user session windows (10-minute gap): native session_window
+    on Spark; the oracle is the equivalent gaps-and-islands SQL.
+    A new session starts when the gap is >= 10min (windows [t, t+10m)
+    merge only on strict overlap)."""
+    return session_agg(read_table(spark, sf, "events"), "10 minutes")
+
+
+@register("st_dedup", """
+SELECT DISTINCT event_id FROM events
+""")
+def st_dedup(spark, sf):
+    """Streaming dedup by event key (state-store keyed dropDuplicates
+    on a stream; distinct projection in batch)."""
+    return dedup_events(read_table(spark, sf, "events"))

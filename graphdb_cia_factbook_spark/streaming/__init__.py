@@ -1,0 +1,156 @@
+"""Structured Streaming surface (SURVEY.md §2.10 EXT -- the reference
+is batch-only; the driver's ``events`` table mandates a streaming
+layer).
+
+Design: every windowed aggregation is written once as a *batch*
+DataFrame transform (DuckDB-oracle-checkable, registered in
+``queries_streaming``) and runs unchanged on a streaming DataFrame --
+the Structured Streaming contract that batch and stream share one
+logical plan.  :func:`stream_events` turns a testdata directory into a
+file-source stream; tests drive it with ``trigger(availableNow)`` into
+a memory sink and assert stream == batch.
+
+Scale notes (100-TB / unbounded):
+
+- watermarks bound state: :func:`with_watermark` + append mode drops
+  late rows past the horizon instead of growing state forever;
+- session windows use Spark's native ``session_window`` (state-store
+  merge) -- the batch twin is the gaps-and-islands SQL the oracle runs;
+- streaming dedup keys state by event_id; with a watermark the state
+  for old ids is reclaimed (``dropDuplicatesWithinWatermark`` in 4.x);
+- stateful per-key running totals use ``applyInPandasWithState``
+  (Arrow-batched, executor-side state store).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..operators.relational import davg, dsum
+from ..schemas import TESTDATA
+
+#: events schema as the parquet file actually stores it (ts = NANOS,
+#: read as long under spark.sql.legacy.parquet.nanosAsLong)
+_EVENTS_NS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, sf_dir: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream over the testdata ``events`` parquet: the
+    same rows as the batch table, delivered as a stream (nanos ts
+    truncated to micros exactly like ``sources.read_table``)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+              .option("pathGlobFilter", "events.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (reader.parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Late-data horizon: rows older than max(ts) - delay are dropped
+    and window state below the horizon is finalized + freed."""
+    return events.withWatermark("ts", delay)
+
+
+def tumbling_agg(events: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows per event_type (epoch-aligned --
+    identical buckets to DuckDB ``time_bucket``)."""
+    return (events
+            .groupBy(F.window("ts", duration).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "total_value"))
+
+
+def sliding_agg(events: DataFrame, duration: str = "1 hour",
+                slide: str = "30 minutes") -> DataFrame:
+    """Sliding windows: each event lands in duration/slide windows."""
+    return (events
+            .groupBy(F.window("ts", duration, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 davg("value").alias("avg_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "n_events", "avg_value"))
+
+
+def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps
+    stay under ``gap``; window end = last event + gap (native
+    ``session_window`` state merge; batch twin = gaps-and-islands)."""
+    return (events
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value").alias("total_value"))
+            .select("user_id", F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events", "total_value"))
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Streaming dedup on the event key.  On a stream this keys the
+    state store by event_id (bound it with a watermark /
+    ``dropDuplicatesWithinWatermark``); projected to the key column so
+    batch output is deterministic."""
+    return events.select("event_id").dropDuplicates(["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+_USER_TOTALS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("total_value", T.DoubleType()),
+])
+_USER_TOTALS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("total", T.DoubleType()),
+])
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user event count + value
+    total via ``applyInPandasWithState`` -- the engine's template for
+    operators Spark lacks natively (per-key state, Arrow batches,
+    update-mode emission)."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, _USER_TOTALS_OUT, _USER_TOTALS_STATE, "update",
+        GroupStateTimeout.NoTimeout))
+
+
+def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
+    """Drive a streaming frame to a memory sink with availableNow (one
+    pass over all available files, then stop).  Returns the query;
+    results land in table ``name``."""
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,116 @@
+"""Property tests for the LLM-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) -- semantics the DuckDB oracles
+can't express: LSH recall vs brute force, the winnowing guarantee,
+stub gating."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_cia_factbook_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_dedup,
+)
+from graphdb_cia_factbook_spark.operators.multimodal import (
+    decode_media,
+    media_table,
+    resize_images,
+)
+from graphdb_cia_factbook_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+from graphdb_cia_factbook_spark.operators.text import (
+    lang_id,
+    winnow_fingerprints,
+)
+from graphdb_cia_factbook_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return read_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return read_table(spark, SF, "embeddings")
+
+
+def test_exact_dedup_partitions_corpus(spark, docs):
+    out = exact_dedup(docs)
+    n_docs = docs.count()
+    agg = out.agg(F.sum("n_dups"), F.count(F.lit(1))).first()
+    assert agg[0] == n_docs            # every doc in exactly one group
+    assert agg[1] <= n_docs
+
+
+def test_minhash_lsh_recall_vs_bruteforce(spark, docs):
+    """At jaccard >= 0.5 with b=4,r=3 the LSH candidate set must
+    recover most true pairs; every reported pair must be a true pair
+    (verification step removes false positives)."""
+    lsh = {(r.id_a, r.id_b) for r in
+           minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    true = {(r.id_a, r.id_b) for r in
+            ngram_jaccard_dedup(docs, threshold=0.5).collect()}
+    assert lsh <= true                      # no false positives
+    if true:
+        assert len(lsh) / len(true) >= 0.7  # recall
+    assert true, "testdata should contain near-duplicate documents"
+
+
+def test_winnowing_guarantee(spark):
+    """Two docs sharing a long token run must share a fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, "xx yy " + shared), (2, shared + " zz ww qq")],
+        "doc_id long, text string")
+    fps = winnow_fingerprints(df, window=4)
+    a = {r.fp for r in fps.where("doc_id = 1").collect()}
+    b = {r.fp for r in fps.where("doc_id = 2").collect()}
+    assert a & b
+
+
+def test_lsh_topk_subset_of_bruteforce_pool(spark, emb):
+    """Every LSH neighbor must appear in the same bucket and its cosine
+    must match the brute-force cosine for that pair."""
+    queries = emb.where(F.col("vec_id") < 4)
+    brute = brute_force_topk(emb, queries, k=1000)
+    lsh = lsh_topk(emb, queries, k=3, nbits=8)
+    bmap = {(r.query_id, r.neighbor_id): r.cos for r in brute.collect()}
+    for r in lsh.collect():
+        assert bmap[(r.query_id, r.neighbor_id)] == r.cos
+
+
+def test_lang_id_beats_chance(spark, docs):
+    """Heuristic language ID: accuracy on the labeled corpus must beat
+    uniform chance over the 4 scored languages + und."""
+    scored = docs.select(
+        "lang", lang_id(F.col("text")).alias("pred")).collect()
+    known = [r for r in scored if r.lang in ("en", "de", "es", "fr")]
+    if known:
+        acc = sum(r.lang == r.pred for r in known) / len(known)
+        assert acc >= 0.25
+
+
+def test_multimodal_decode_roundtrip(spark, docs):
+    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    meta = decode_media(media)
+    joined = (meta.join(docs, meta.media_id == docs.doc_id)
+              .select("media_id", "n_bytes", "n_chars", "width"))
+    for r in joined.collect():
+        assert r.n_bytes >= r.n_chars   # utf-8 >= char count
+        assert 1 <= r.width <= 640
+
+
+def test_resize_is_gated_stub(spark, docs):
+    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("PIL present; stub gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 32, 32)
