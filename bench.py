@@ -1,0 +1,74 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the noop sink (full computation, no
+driver-side row transfer -- the number measures the engine, not
+toPandas).  One untimed warm-up query absorbs JVM/codegen start-up.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from graphdb_cia_factbook_spark import registry
+from graphdb_cia_factbook_spark.session import get_spark
+
+#: headline set: the reference's workhorse shapes (scan/join/argmax-
+#: dedup/rank/top-k/graph) + the north-star LLM ops + streaming twins.
+HEADLINE = [
+    "q1_pricing_summary",    # wide agg (TPC-H Q1 shape)
+    "j2_chained_dims",       # chained broadcast dim joins
+    "j4_derived_share",      # self-aggregate join + derive
+    "a1_latest_per_key",     # the reference's argmax-dedup workhorse
+    "w5_topk_per_group",     # rank + top-k per key
+    "o1_top50_orders",       # global top-k
+    "g1_pagerank",           # iterative graph rank (20 supersteps)
+    "g_top_partner",         # flagship: top trade partner per nation
+    "llm_exact_dedup",       # hash dedup over documents
+    "llm_minhash_lsh",       # MinHash-LSH near-dedup
+    "llm_ann_brute",         # cosine top-k similarity search
+    "st_tumbling",           # event-time tumbling windows
+    "st_session",            # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    queries = registry.queries()
+
+    # warm-up: scan every table once (JVM + codegen + file listing)
+    queries["a3_distinct_values"](spark, sf_dir).write \
+        .format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).write \
+            .format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()
