@@ -152,7 +152,7 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
 
 
 def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
-             weighted: bool = False, checkpoint_every: int = 5) -> DataFrame:
+             weighted: bool = False, checkpoint_every: int = 10) -> DataFrame:
     """G1: PageRank as iterative DataFrame supersteps.
 
     Parity: GDS run at preprocess_upload_neo4j.py:420-430 with
@@ -178,7 +178,7 @@ def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
 
 
 def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
-                checkpoint_every: int = 5) -> DataFrame:
+                checkpoint_every: int = 10) -> DataFrame:
     """G2: ArticleRank (GDS defaults, preprocess_upload_neo4j.py:442-447).
 
     Published formulation: like PageRank but each source's contribution

@@ -37,7 +37,7 @@ from .operators.text import (
     winnow_fingerprints,
 )
 from .registry import register
-from .sources import read_table
+from .sources import read_parallel, read_table
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (must mirror operators/text.py exactly)
@@ -115,7 +115,7 @@ FROM documents GROUP BY 1
 def llm_exact_dedup(spark, sf):
     """Exact dedup by normalized-text md5 (hash-groupBy; the 100-TB
     baseline -- only 32-byte fingerprints shuffle)."""
-    return exact_dedup(read_table(spark, sf, "documents"))
+    return exact_dedup(read_parallel(spark, sf, "documents"))
 
 
 @register("llm_minhash_lsh", f"""
@@ -136,7 +136,7 @@ WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
 def llm_minhash_lsh(spark, sf):
     """MinHash+LSH near-dedup: shingle -> 12-hash signature -> 4 bands
     -> bucket join -> exact-Jaccard verify >= 0.5."""
-    return minhash_lsh_dedup(read_table(spark, sf, "documents"),
+    return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
                              num_hashes=_NUM_HASHES, bands=_BANDS,
                              threshold=0.5)
 
@@ -153,7 +153,7 @@ WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
 def llm_ngram_jaccard(spark, sf):
     """Brute n-gram (3-shingle) Jaccard dedup >= 0.5 -- the exact
     reference answer MinHash-LSH approximates."""
-    return ngram_jaccard_dedup(read_table(spark, sf, "documents"),
+    return ngram_jaccard_dedup(read_parallel(spark, sf, "documents"),
                                threshold=0.5)
 
 
@@ -175,7 +175,7 @@ SELECT doc_id, {_SIMHASH_CHARS} AS simhash FROM sums
 """)
 def llm_simhash(spark, sf):
     """16-bit SimHash signatures over whitespace tokens."""
-    return simhash_bits(read_table(spark, sf, "documents"),
+    return simhash_bits(read_parallel(spark, sf, "documents"),
                         "doc_id", "text", _SIMHASH_BITS)
 
 
@@ -205,7 +205,7 @@ FROM wmin WHERE pos <= n - {_WINNOW_W} + 1
 def llm_winnow_fingerprint(spark, sf):
     """Winnowing document fingerprints (rolling min-hash over shingle
     windows, w=4) -- the classic plagiarism/near-dup sketch."""
-    return winnow_fingerprints(read_table(spark, sf, "documents"),
+    return winnow_fingerprints(read_parallel(spark, sf, "documents"),
                                window=_WINNOW_W)
 
 
@@ -247,7 +247,7 @@ FROM m
 """)
 def llm_quality(spark, sf):
     """Per-document quality metrics + blended [0,1] score."""
-    return quality_metrics(read_table(spark, sf, "documents"))
+    return quality_metrics(read_parallel(spark, sf, "documents"))
 
 
 def _langid_case() -> str:
@@ -273,7 +273,7 @@ SELECT doc_id, lang, {_langid_case()} AS lang_pred FROM s
 """)
 def llm_langid(spark, sf):
     """Heuristic stopword language ID next to the ground-truth lang."""
-    docs = read_table(spark, sf, "documents")
+    docs = read_parallel(spark, sf, "documents")
     return docs.select("doc_id", "lang",
                        lang_id(F.col("text")).alias("lang_pred"))
 
@@ -287,7 +287,7 @@ FROM t
 """)
 def llm_token_stats(spark, sf):
     """Token counting: total + distinct tokens per document."""
-    docs = read_table(spark, sf, "documents")
+    docs = read_parallel(spark, sf, "documents")
     t = tokens(F.col("text"))
     return docs.select("doc_id", "source",
                        F.size(t).alias("n_tokens"),
@@ -320,7 +320,7 @@ FROM ranked WHERE rank <= 5
 def llm_ann_brute(spark, sf):
     """Exact cosine top-5 for 8 query vectors against the full corpus
     (broadcast nested-loop + two-phase top-k)."""
-    emb = read_table(spark, sf, "embeddings")
+    emb = read_parallel(spark, sf, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
 
 
@@ -347,7 +347,7 @@ FROM ranked WHERE rank <= 3
 def llm_ann_lsh(spark, sf):
     """Approximate top-3 via 8-bit sign-LSH buckets (equi-join on the
     bucket key -- the large-Q scale path)."""
-    emb = read_table(spark, sf, "embeddings")
+    emb = read_parallel(spark, sf, "embeddings")
     return lsh_topk(emb, emb.where(F.col("vec_id") < 32), k=3, nbits=8)
 
 
@@ -363,7 +363,7 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
 def llm_embed_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (cos >= 0.35) candidate-limited
     to 4-bit sign-LSH buckets."""
-    return near_dup_pairs(read_table(spark, sf, "embeddings"),
+    return near_dup_pairs(read_parallel(spark, sf, "embeddings"),
                           threshold=0.35, nbits=4)
 
 
@@ -384,7 +384,7 @@ def mm_decode(spark, sf):
     """Multimodal decode plumbing: binary payload -> metadata via
     mapInPandas Arrow batches (fake decode: md5 checksum +
     size-derived dimensions; real codec slots into decode_batch)."""
-    docs = read_table(spark, sf, "documents")
+    docs = read_parallel(spark, sf, "documents")
     media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
     return decode_media(media)
 
@@ -405,7 +405,7 @@ FROM fr
 def mm_frame_sample(spark, sf):
     """Video frame-sampling plumbing: one payload fans out to every
     10th 'frame' with a per-frame checksum (mapInPandas generator)."""
-    docs = read_table(spark, sf, "documents")
+    docs = read_parallel(spark, sf, "documents")
     media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
                         media_type="video")
     return sample_frames(media, every=10, frames_mod=100)

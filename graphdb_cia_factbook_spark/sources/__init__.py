@@ -56,6 +56,22 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def read_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """S2 variant for compute-heavy consumers (explodes, Pandas UDFs,
+    per-row hashing): ensure the scan feeds every core.
+
+    Small testdata tables arrive as ONE parquet row group = one input
+    split, which would run the whole downstream chain on 1 of 32 cores;
+    a real 100-TB table has thousands of splits and skips this path.
+    The round-robin repartition costs one tiny shuffle and only fires
+    when the scan is narrower than the cluster."""
+    df = read_table(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def read_csv(spark: SparkSession, path: str, schema: T.StructType,
              header: bool = True) -> DataFrame:
     """S2: typed CSV scan -- explicit schema, no inference (mirrors
