@@ -211,3 +211,81 @@ def multisort(df: DataFrame, order_by: Sequence[Column],
     full global sort."""
     out = df.orderBy(*order_by)
     return out.limit(limit) if limit is not None else out
+
+
+# ---------------------------------------------------------------------------
+# EXT joins: as-of, range, salted-skew (SURVEY.md §2.3 EXT row)
+# ---------------------------------------------------------------------------
+
+def asof_join(left: DataFrame, right: DataFrame, key: str, ts_col: str,
+              payload_cols: Sequence[str],
+              prefix: str = "asof_") -> DataFrame:
+    """As-of join: for each left row, the payload of the latest right
+    row with the same key and right.ts <= left.ts (equal timestamps
+    match).
+
+    Scalable plan (the union trick): instead of a per-row range probe
+    (O(L*R) nested loop), tag the two sides, union them, and carry the
+    last non-null right payload forward with one ordered window per
+    key -- a SINGLE shuffle on the key, linear scan per partition.
+    This is how you as-of-join two 100-TB streams.
+
+    Determinism: the right side is first deduped to one row per
+    (key, ts) -- greatest payload wins via the caller-visible rule
+    "max by remaining columns in ``payload_cols`` order" -- so ties at
+    identical timestamps cannot flip between runs or engines.
+    """
+    r = latest_per_key(right.select(key, ts_col, *payload_cols),
+                       [key, ts_col],
+                       [F.desc(c) for c in payload_cols])
+    lhs = left.withColumn("__side", F.lit(1))
+    rhs = r.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in (key, ts_col)],
+        F.col(key), F.col(ts_col),
+        *[F.col(c).alias(f"{prefix}{c}") for c in payload_cols],
+    ).withColumn("__side", F.lit(0))
+    unioned = lhs.select(
+        *left.columns, "__side",
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"{prefix}{c}")
+          for c in payload_cols]
+    ).unionByName(rhs, allowMissingColumns=False)
+    # right rows sort before left rows at equal ts => "<=" semantics
+    w = (Window.partitionBy(key).orderBy(ts_col, "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = unioned.select(
+        *left.columns, "__side",
+        *[F.last(f"{prefix}{c}", ignorenulls=True).over(w)
+          .alias(f"{prefix}{c}") for c in payload_cols])
+    return out.where(F.col("__side") == 1).drop("__side")
+
+
+def range_join(fact: DataFrame, bands: DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi") -> DataFrame:
+    """Range join: fact.value in [lo, hi) against a (small) band
+    dimension.  Broadcast the bands so the non-equi predicate runs as a
+    BroadcastNestedLoopJoin -- each fact partition scans the handful of
+    bands; never a shuffle of the fact table.  (For two LARGE range
+    sides, pre-bucket both to equi-join granularity first.)"""
+    cond = ((F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col)))
+    return fact.join(F.broadcast(bands), cond, "left")
+
+
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                salt: int = 8) -> DataFrame:
+    """Skew-beating equi-join: a hot key (the China/US hub problem)
+    lands every fact row in one reducer under a plain shuffle join.
+    Salting splits each key into ``salt`` sub-keys -- the fact side
+    picks one pseudo-randomly-but-deterministically (hash of all
+    columns), the dim side replicates to all -- restoring parallelism
+    at the cost of a ``salt``-times dim replication.  Result is
+    row-identical to the unsalted join.  (AQE's skew-join split solves
+    the same problem for sort-merge joins; explicit salting is the
+    portable form and also fixes skewed groupBys.)"""
+    fact_s = fact.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in fact.columns]),
+                         F.lit(salt)))
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")

@@ -1,0 +1,97 @@
+"""Physical-plan assertions: the 100-TB posture checks.
+
+Correctness says the answer is right; these tests pin the PLAN --
+filters reach the parquet scan, projections prune columns, small dims
+broadcast, hints pick the intended strategy, top-k never global-sorts,
+and no row-at-a-time Python sneaks into a hot path."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_cia_factbook_spark import registry
+from graphdb_cia_factbook_spark.sources import read_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, queries):
+    plan = plan_of(queries["s2_typed_scan"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+    # projection pruning: the 11-column lineitem scan must read only
+    # the 3 selected + 2 filtered columns
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in rs and "l_extendedprice" not in rs
+
+
+def test_small_dim_broadcasts(spark, queries):
+    plan = plan_of(queries["j1_left_broadcast"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_join_hints_control_strategy(spark, queries):
+    assert "SortMergeJoin" in plan_of(queries["j_merge_hint"](spark, SF))
+    assert "ShuffledHashJoin" in plan_of(
+        queries["j_shuffle_hash_hint"](spark, SF))
+
+
+def test_topk_never_global_sorts(spark, queries):
+    plan = plan_of(queries["o1_top50_orders"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_then_final(spark, queries):
+    plan = plan_of(queries["q1_pricing_summary"](spark, SF), "simple")
+    # map-side combine: partial aggregate below the exchange, final
+    # above -- 100 TB collapses to |groups| x |partitions| rows before
+    # the shuffle
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning" in plan
+
+
+def test_ann_brute_broadcasts_queries(spark, queries):
+    plan = plan_of(queries["llm_ann_brute"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
+    """Everything except the explicitly-Arrow multimodal path must stay
+    JVM-side: no BatchEvalPython (row-at-a-time Python) anywhere, and
+    mapInPandas only in the mm_* queries."""
+    # skip builders that EXECUTE on construction (power iteration and
+    # the checkpointed dedup pipelines) -- they are pure Catalyst +
+    # localCheckpoint by construction and cost minutes to build here
+    eager = {"g1_pagerank", "g1_pagerank_weighted", "g2_articlerank",
+             "llm_minhash_lsh", "llm_ngram_jaccard"}
+    for name, fn in queries.items():
+        if name in eager:
+            continue
+        plan = plan_of(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in plan, name
+        if not name.startswith("mm_"):
+            assert "MapInPandas" not in plan, name
+
+
+def test_approx_sketches_bounded_error(spark):
+    orders = read_table(spark, SF, "orders")
+    row = (orders.agg(
+        F.approx_count_distinct("o_custkey").alias("approx"),
+        F.countDistinct("o_custkey").alias("exact")).first())
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact
