@@ -125,6 +125,13 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
     has_out = edges_share.select(F.col("src").alias("id")).distinct()
     dangling = verts.join(has_out, "id", "left_anti").localCheckpoint()
     n_dangling = dangling.count()
+    if n_dangling:
+        # the dangling-mass branch references `ranks` a second time, so
+        # the un-truncated plan DOUBLES per superstep (2^k copies by
+        # the k-th iteration -- analyzer blowup); truncate every step.
+        # Without dangling the plan grows linearly and the sparser
+        # cadence wins.
+        checkpoint_every = 1
 
     for i in range(max_iter):
         contribs = (edges_share.join(F.broadcast(ranks),

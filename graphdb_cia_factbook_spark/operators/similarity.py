@@ -149,3 +149,49 @@ def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
                     cosine(F.col("__va"), F.col("__vb")).alias("cos"))
             .where(F.col("cos") >= threshold)
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+             n_centroids: int = 16, nprobe: int = 2,
+             id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    partitions the corpus into centroid lists; each query probes only
+    its ``nprobe`` nearest lists.
+
+    Centroids are SEEDED deterministically (the ``n_centroids``
+    lowest-id vectors) so results are reproducible and
+    oracle-checkable; a production build would k-means-refine them --
+    the list assignment, probe, and scoring plumbing is identical.
+
+    Scale shape: assignment is corpus x centroids (tiny broadcast
+    side, linear scan); the probe join is an equi-join on centroid_id
+    -- the corpus shuffles ONCE by list, queries replicate nprobe
+    times.  Search cost drops from Q*N to ~Q*N*nprobe/n_centroids."""
+    cents = (corpus.where(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("__cent")))
+
+    def nearest(df, src_id, out_id, n):
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(src_id), F.col(vec_col),
+            F.col("centroid_id"),
+            cosine(F.col(vec_col), F.col("__cent")).alias("__cc"))
+        w = Window.partitionBy(src_id).orderBy(
+            F.desc("__cc"), F.asc("centroid_id"))
+        return (scored.withColumn("__cr", F.row_number().over(w))
+                .where(F.col("__cr") <= n)
+                .select(F.col(src_id).alias(out_id), vec_col,
+                        "centroid_id"))
+
+    assign = nearest(corpus, id_col, "neighbor_id", 1) \
+        .withColumnRenamed(vec_col, "__cv")
+    probe = nearest(queries, id_col, "query_id", nprobe) \
+        .withColumnRenamed(vec_col, "__qv")
+    scored = (probe.join(assign, "centroid_id")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))

@@ -133,3 +133,29 @@ def agg_approx_sketches(spark, sf):
                  F.percentile_approx("o_totalprice", 0.5)
                  .alias("approx_median_price"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register("s1_from_records", """
+SELECT r.r_regionkey, r.r_name, m.hemisphere
+FROM region r
+LEFT JOIN (VALUES (0, 'south'), (1, 'north'), (2, 'east'),
+                  (3, 'west'), (4, 'mixed')) m(r_regionkey, hemisphere)
+  ON r.r_regionkey = m.r_regionkey
+""")
+def s1_from_records(spark, sf):
+    """S1: driver-side records -> DataFrame with explicit schema (the
+    scrape stage's list-of-dicts boundary, scrape_cia.py:47-64),
+    broadcast-joined as a dimension.  At 100 TB the records side
+    becomes spark.read over a crawl dump; the boundary is the same."""
+    from pyspark.sql import types as T
+
+    from .sources import from_records
+    schema = T.StructType([T.StructField("r_regionkey", T.IntegerType()),
+                           T.StructField("hemisphere", T.StringType())])
+    recs = [{"r_regionkey": i, "hemisphere": h}
+            for i, h in enumerate(["south", "north", "east", "west",
+                                   "mixed"])]
+    dim = from_records(spark, recs, schema)
+    region = read_table(spark, sf, "region")
+    return (region.join(F.broadcast(dim), "r_regionkey", "left")
+            .select("r_regionkey", "r_name", "hemisphere"))

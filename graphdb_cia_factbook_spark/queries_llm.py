@@ -25,6 +25,7 @@ from .operators.dedup import (
 from .operators.multimodal import decode_media, media_table, sample_frames
 from .operators.similarity import (
     brute_force_topk,
+    ivf_topk,
     lsh_topk,
     near_dup_pairs,
 )
@@ -349,6 +350,60 @@ def llm_ann_lsh(spark, sf):
     bucket key -- the large-Q scale path)."""
     emb = read_parallel(spark, sf, "embeddings")
     return lsh_topk(emb, emb.where(F.col("vec_id") < 32), k=3, nbits=8)
+
+
+_IVF_K, _IVF_NPROBE = 16, 2
+
+
+@register("llm_ann_ivf", f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS cent
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC,
+                      c.centroid_id) AS cr
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE cr <= 1
+),
+probe AS (
+  SELECT vec_id AS query_id, embedding AS qv, centroid_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC,
+                      c.centroid_id) AS cr
+    FROM embeddings e CROSS JOIN cents c
+    WHERE e.vec_id < 8
+  ) WHERE cr <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.cv')} AS cos
+  FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 3
+""")
+def llm_ann_ivf(spark, sf):
+    """IVF approximate top-3: 16 seeded centroid lists, 2-probe --
+    search cost ~ Q*N*nprobe/n_centroids instead of Q*N."""
+    emb = read_parallel(spark, sf, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=3,
+                    n_centroids=_IVF_K, nprobe=_IVF_NPROBE)
 
 
 @register("llm_embed_neardup", f"""

@@ -1,0 +1,80 @@
+"""Sink round-trips (S3/S5), upsert semantics (S4), constraint checks
+(S6), and the plan-inspection utilities (§4/G4)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphdb_cia_factbook_spark.plans import (
+    estimate_size_bytes,
+    explain_str,
+    plan_audit,
+)
+from graphdb_cia_factbook_spark.schemas import TESTDATA
+from graphdb_cia_factbook_spark.sources import (
+    assert_unique_key,
+    merge_upsert_by_key,
+    read_csv,
+    read_table,
+    write_csv,
+    write_parquet,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_parquet_roundtrip_with_partition_pruning(spark, tmp_path):
+    nation = read_table(spark, SF, "nation")
+    path = str(tmp_path / "nation_pq")
+    write_parquet(nation, path, partition_by=["n_regionkey"])
+    back = spark.read.parquet(path)
+    assert back.count() == nation.count()
+    # partition pruning: the filter must land in PartitionFilters, and
+    # the pruned scan reads a subset of the partition directories
+    pruned = back.where(F.col("n_regionkey") == 1)
+    plan = explain_str(pruned)
+    assert "PartitionFilters" in plan and "n_regionkey" in plan
+    assert pruned.count() == nation.where("n_regionkey = 1").count()
+
+
+def test_csv_roundtrip_schema_enforced(spark, tmp_path):
+    region = read_table(spark, SF, "region")
+    path = str(tmp_path / "region_csv")
+    write_csv(region, path)
+    back = read_csv(spark, path, TESTDATA["region"])
+    assert sorted(r.r_name for r in back.collect()) == \
+        sorted(r.r_name for r in region.collect())
+    assert back.schema == TESTDATA["region"]
+
+
+def test_merge_upsert_latest_wins(spark):
+    df = spark.createDataFrame(
+        [("FR", 2019, 1.0), ("FR", 2021, 3.0), ("FR", 2020, 2.0),
+         ("DE", 2021, 9.0)],
+        "country string, year int, amount double")
+    out = merge_upsert_by_key(df, ["country"], [F.desc("year")])
+    got = {r.country: (r.year, r.amount) for r in out.collect()}
+    assert got == {"FR": (2021, 3.0), "DE": (2021, 9.0)}
+
+
+def test_unique_key_assertion(spark):
+    ok = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    assert_unique_key(ok, "id")
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id int, v string")
+    with pytest.raises(AssertionError):
+        assert_unique_key(dup, "id")
+
+
+def test_estimate_and_audit(spark):
+    li = read_table(spark, SF, "lineitem")
+    nation = read_table(spark, SF, "nation")
+    assert estimate_size_bytes(li) > estimate_size_bytes(nation) > 0
+
+    supp = read_table(spark, SF, "supplier")
+    q = (li.where(F.col("l_quantity") > 30)
+         .join(F.broadcast(supp.select(
+             F.col("s_suppkey").alias("l_suppkey"), "s_name")),
+             "l_suppkey")
+         .select("l_orderkey", "s_name"))
+    audit = plan_audit(q)
+    assert audit.pushed_filters and audit.has_broadcast
+    assert audit.jvm_only and not audit.has_sort_merge
