@@ -133,9 +133,14 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
         # cadence wins.
         checkpoint_every = 1
 
+    # the rank vector is vertex-sized: broadcast it only while it
+    # plausibly fits executor memory (~24B/row); past that it must
+    # SHUFFLE onto the stationary src-partitioned edge table
+    small_vector = n <= 10_000_000
+
     for i in range(max_iter):
-        contribs = (edges_share.join(F.broadcast(ranks),
-                                     edges_share.src == ranks.id)
+        rhs = F.broadcast(ranks) if small_vector else ranks
+        contribs = (edges_share.join(rhs, edges_share.src == ranks.id)
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
         new = (verts.join(contribs, "id", "left")
