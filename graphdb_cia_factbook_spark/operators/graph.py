@@ -211,3 +211,37 @@ def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
                    .localCheckpoint())
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "articlerank")
+
+
+def undirected_edges(edges: DataFrame) -> DataFrame:
+    """Canonicalize a digraph to distinct undirected edges (a < b)."""
+    return (edges.select(F.least("src", "dst").alias("a"),
+                         F.greatest("src", "dst").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .distinct())
+
+
+def triangle_count(graph: Graph) -> DataFrame:
+    """Triangles per vertex on the undirected graph.
+
+    Classic two-join enumeration over canonicalized (a < b) edges:
+    wedges a-b-c (a < b < c) joined against the closing edge (a, c).
+    Each triangle is found exactly once, then credited to its three
+    vertices.  Scale shape: the wedge join is an equi-join on the
+    shared vertex -- sum(deg^2) work, the standard pre-AQE skew
+    concern; high-degree hubs are exactly what AQE skew-split handles.
+    """
+    e = undirected_edges(graph.edges)
+    wedge = (e.alias("e1")
+             .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+             .select(F.col("e1.a").alias("x"), F.col("e1.b").alias("y"),
+                     F.col("e2.b").alias("z")))
+    tri = (wedge.join(e, (F.col("x") == F.col("a"))
+                      & (F.col("z") == F.col("b")))
+           .select("x", "y", "z"))
+    per_vertex = (tri.select(F.explode(F.array("x", "y", "z")).alias("id"))
+                  .groupBy("id")
+                  .agg(F.count(F.lit(1)).alias("n_triangles")))
+    return (graph.vertices.select("id")
+            .join(per_vertex, "id", "left")
+            .na.fill({"n_triangles": 0}))

@@ -194,3 +194,33 @@ def g2_articlerank(spark, sf):
     return (articlerank(g, damping=0.85, max_iter=20)
             .select(F.col("id").alias("nation"),
                     F.round("articlerank", 8).alias("articlerank")))
+
+
+@register("g_triangles", f"""
+WITH {EDGES_CTE},
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.b = e2.a
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pv AS (
+  SELECT id, COUNT(*) AS n_triangles
+  FROM (SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY id
+)
+SELECT v.id, COALESCE(p.n_triangles, 0) AS n_triangles
+FROM verts v LEFT JOIN pv p ON v.id = p.id
+""")
+def g_triangles(spark, sf):
+    """EXT graph metric: triangles per vertex on the undirected trade
+    graph (two equi-joins over canonical a<b edges; each triangle
+    counted once, credited to its three corners)."""
+    from .operators.graph import triangle_count
+    return triangle_count(build_trade_graph(spark, sf))

@@ -15,6 +15,7 @@ the SQL provably uses the same constants as the Spark operators.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators.dedup import (
@@ -464,3 +465,71 @@ def mm_frame_sample(spark, sf):
     media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"),
                         media_type="video")
     return sample_frames(media, every=10, frames_mod=100)
+
+
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+_BPE_RE_SQL = _BPE_RE.replace("'", "''")  # SQL string-literal escaping
+
+
+@register("llm_bpe_token_count", f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_RE_SQL}')) AS n_bpe_tokens,
+       len({TOKS}) AS n_ws_tokens
+FROM documents
+""")
+def llm_bpe_token_count(spark, sf):
+    """Token counting, tokenizer-shaped: a GPT-2-ish pre-tokenizer
+    regex (contraction suffixes / letter runs / digit runs /
+    punctuation runs, each with optional leading space) next to the
+    whitespace count -- the cheap LLM-cost estimator for a 100-TB
+    corpus, entirely inside codegen."""
+    docs = read_parallel(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+        .alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"))
+
+
+_TFIDF_TOPK = 5
+
+
+@register("llm_tfidf", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((SELECT n FROM n) / df.df) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT doc_id, term, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rn
+  FROM scored
+)
+SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rn AS term_rank
+FROM ranked WHERE rn <= {_TFIDF_TOPK}
+""")
+def llm_tfidf(spark, sf):
+    """TF-IDF top-{k} terms per document: tf x ln(N/df).  Two
+    token-sized shuffles (tf groupBy, df groupBy) + a broadcast-sized
+    term-frequency join -- the classic keyword extractor at corpus
+    scale."""
+    docs = read_parallel(spark, sf, "documents")
+    n_docs = float(docs.count())
+    tok = docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (tf.join(df, "term")
+              .select("doc_id", "term",
+                      (F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
+                      .alias("tfidf")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= _TFIDF_TOPK)
+            .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"),
+                    F.col("rn").alias("term_rank")))
