@@ -24,6 +24,7 @@ import io
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
@@ -74,3 +75,16 @@ def plan_audit(df: DataFrame) -> PlanAudit:
                       or "ArrowEvalPython" in simple),
         exchanges=simple.count("Exchange "),
     )
+
+
+def partition_histogram(df: DataFrame) -> list[int]:
+    """Rows per partition -- the skew diagnostic.  A healthy 100-TB
+    stage has a flat histogram; one giant bar = a hot key that needs
+    salting (`relational.salted_join`) or AQE skew split.  Cost: one
+    pass counting per-partition (no data moved to the driver beyond
+    the counts)."""
+    counts = (df.withColumn("__pid", F.spark_partition_id())
+              .groupBy("__pid").count().collect())
+    by_pid = {r["__pid"]: r["count"] for r in counts}
+    return [by_pid.get(i, 0) for i in range(max(by_pid) + 1)] \
+        if by_pid else []

@@ -224,3 +224,37 @@ def g_triangles(spark, sf):
     counted once, credited to its three corners)."""
     from .operators.graph import triangle_count
     return triangle_count(build_trade_graph(spark, sf))
+
+
+@register("g_connected_components", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+top2 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 2
+),
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM top2 WHERE src != dst
+),
+bi AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+reach(a, b) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+)
+SELECT a AS id, MIN(b) AS component FROM reach GROUP BY a
+""")
+def g_connected_components(spark, sf):
+    """EXT graph algorithm: connected components of the sparsified
+    trade graph (top-2 partners per exporter), by iterative min-label
+    propagation; oracle = recursive-CTE transitive closure."""
+    from .operators.graph import Graph, connected_components
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top2 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 2).select("src", "dst"))
+    return connected_components(Graph(g.vertices, top2))

@@ -105,3 +105,26 @@ def test_project(graph):
     g2 = Graph(graph.vertices, e)
     assert g2.project("trades").edges.count() == 4
     assert g2.project("contains").edges.count() == 0
+
+
+def test_connected_components_disconnected(spark):
+    from graphdb_cia_factbook_spark.operators.graph import (
+        connected_components,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("D", "C")], "src string, dst string")
+    got = {r.id: r.component
+           for r in connected_components(Graph(v, e)).collect()}
+    assert got == {"A": "A", "B": "A", "C": "C", "D": "C", "E": "E"}
+
+
+def test_triangles_known_graph(spark):
+    from graphdb_cia_factbook_spark.operators.graph import triangle_count
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    # triangle A-B-C (via mixed directions + a duplicate edge); D outside
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"), ("B", "A"), ("C", "D")],
+        "src string, dst string")
+    got = {r.id: r.n_triangles for r in triangle_count(Graph(v, e)).collect()}
+    assert got == {"A": 1, "B": 1, "C": 1, "D": 0}
