@@ -258,3 +258,64 @@ def g_connected_components(spark, sf):
     top2 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 2).select("src", "dst"))
     return connected_components(Graph(g.vertices, top2))
+
+
+@register("g_property_edges", f"""
+WITH {EDGES_CTE},
+contains AS (
+  SELECT r.r_name AS src, n.n_name AS dst, 'contains' AS type,
+         CAST(NULL AS DOUBLE) AS amount
+  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+),
+exp AS (
+  SELECT sn.n_name AS src, p.p_brand AS dst, 'exports' AS type,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS amount
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+  GROUP BY sn.n_name, p.p_brand
+)
+SELECT src, dst, 'trades' AS type, amount FROM edges
+UNION ALL SELECT src, dst, type, amount FROM contains
+UNION ALL SELECT src, dst, type, amount FROM exp
+""")
+def g_property_edges(spark, sf):
+    """S4 parity on driver data: the reference's labeled property graph
+    (country/region/good nodes; trades/contains/exports edge types,
+    preprocess_upload_neo4j.py:217-395) as ONE typed edge DataFrame --
+    the bulk-load replacement for the per-row Cypher MERGE loops.
+    'good' nodes map to part brands; exports edges carry summed
+    revenue."""
+    from .sources import read_table
+    g = build_trade_graph(spark, sf)
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    part = read_table(spark, sf, "part")
+    supplier = read_table(spark, sf, "supplier")
+    lineitem = read_table(spark, sf, "lineitem")
+    from .operators.relational import dsum
+
+    trades = g.edges.select("src", "dst", F.lit("trades").alias("type"),
+                            "amount")
+    contains = (nation.join(F.broadcast(region),
+                            nation.n_regionkey == region.r_regionkey)
+                .select(F.col("r_name").alias("src"),
+                        F.col("n_name").alias("dst"),
+                        F.lit("contains").alias("type"),
+                        F.lit(None).cast("double").alias("amount")))
+    supp_nation = (supplier.join(F.broadcast(nation),
+                                 supplier.s_nationkey == nation.n_nationkey)
+                   .select("s_suppkey", F.col("n_name").alias("src")))
+    exports = (lineitem
+               .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                     lineitem.l_partkey == F.col("p_partkey"))
+               .join(F.broadcast(supp_nation),
+                     lineitem.l_suppkey == F.col("s_suppkey"))
+               .groupBy("src", F.col("p_brand").alias("dst"))
+               .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("amount"))
+               .select("src", "dst", F.lit("exports").alias("type"),
+                       "amount"))
+    return trades.unionByName(contains).unionByName(exports)
