@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from graphdb_cia_factbook_spark import registry
-from graphdb_cia_factbook_spark.session import get_spark
+from graphdb_cia_factbook_spark.session import clear_scratch, get_spark
 
 #: headline set: the reference's workhorse shapes (scan/join/argmax-
 #: dedup/rank/top-k/graph) + the north-star LLM ops + streaming twins.
@@ -30,11 +30,15 @@ HEADLINE = [
     "a1_latest_per_key",     # the reference's argmax-dedup workhorse
     "w5_topk_per_group",     # rank + top-k per key
     "o1_top50_orders",       # global top-k
+    "j_asof_prior_purchase", # as-of join (union-trick plan)
     "g1_pagerank",           # iterative graph rank (20 supersteps)
     "g_top_partner",         # flagship: top trade partner per nation
+    "g_triangles",           # triangle counting
     "llm_exact_dedup",       # hash dedup over documents
     "llm_minhash_lsh",       # MinHash-LSH near-dedup
     "llm_ann_brute",         # cosine top-k similarity search
+    "llm_ann_ivf",           # IVF approximate top-k
+    "llm_tfidf",             # TF-IDF keyword extraction
     "st_tumbling",           # event-time tumbling windows
     "st_session",            # session windows
 ]
@@ -55,6 +59,7 @@ def main() -> None:
         queries[name](spark, sf_dir).write \
             .format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        clear_scratch(spark)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -83,16 +83,23 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int,
 
 
 def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
-    """Candidate pairs: docs sharing any (band, bucket).  The join is
-    per-bucket -- linear in sum(bucket_size^2), not N^2; AQE's skew
-    split handles a degenerate hot bucket."""
-    a = bands_df.select(F.col("band"), F.col("bucket"),
-                        F.col(id_col).alias("id_a"))
-    b = bands_df.select(F.col("band"), F.col("bucket"),
-                        F.col(id_col).alias("id_b"))
-    return (a.join(b, ["band", "bucket"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+    """Candidate pairs: docs sharing any (band, bucket).
+
+    ONE shuffle: group the band rows by (band, bucket), then enumerate
+    in-bucket pairs from the sorted id array with higher-order
+    functions -- sum(bucket_size^2) work, the same cost shape as a
+    bucket self-join but without reading the signature table twice or
+    shuffling both join sides.  Degenerate hot buckets (everything
+    identical) bound the array size; cap bucket size upstream if a
+    corpus is pathological."""
+    buckets = (bands_df.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .where(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
@@ -141,9 +148,10 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     brute-force Jaccard dedup restricted to LSH-recalled pairs."""
     rows_per_band = num_hashes // bands
     # the shingle table feeds the signature AND the verification
-    # self-join; the signature feeds both sides of the band self-join
+    # self-join; the signature->bands->pairs chain is linear (single
+    # consumer each) so only sh and the final pairs materialize
     sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
-    sig = _hold(minhash_signatures(sh, id_col, num_hashes))
+    sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band),
                                id_col)
     return (pair_jaccard(cand, sh, id_col)

@@ -38,8 +38,42 @@ def get_spark(app_name: str = "graphdb_cia_factbook_spark",
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # whole-stage codegen emits a class per stage; a long session
+        # (60+ queries) fills the default 240m JIT code cache, after
+        # which HotSpot stops compiling and everything runs interpreted
+        # (observed 10x+ slowdowns late in a session)
+        .config("spark.driver.extraJavaOptions",
+                "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
+        # generated methods above HotSpot's 8000-bytecode HugeMethodLimit
+        # are NEVER JIT-compiled; wide fused stages (12-column min-hash
+        # aggregates) hit this and run interpreted with pathological
+        # compile-queue stalls in long sessions -- fall back to the
+        # Volcano path for such stages instead (observed 6-20x on the
+        # MinHash pipeline late in a session)
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def clear_scratch(spark: SparkSession) -> int:
+    """Drop all persisted/checkpointed RDD blocks and cached plans.
+
+    Iterative operators (PageRank supersteps) and multi-consumer
+    pipelines (MinHash shingle/pair tables) materialize scratch via
+    ``localCheckpoint`` -- non-recomputable blocks that must outlive
+    their own query but are dead weight afterwards.  Leaving them in
+    the block manager measurably degrades every LATER job in the
+    session (observed 3-5x on the bench); run this between logically
+    independent queries.  Returns the number of RDDs dropped."""
+    import gc
+
+    jrdds = spark.sparkContext._jsc.getPersistentRDDs()
+    ids = list(jrdds.keySet().toArray())
+    for rid in ids:
+        jrdds.get(rid).unpersist(True)
+    spark.catalog.clearCache()
+    gc.collect()
+    return len(ids)

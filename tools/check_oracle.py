@@ -90,7 +90,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
-    from graphdb_cia_factbook_spark.session import get_spark
+    from graphdb_cia_factbook_spark.session import clear_scratch, get_spark
     spark = get_spark("oracle-check")
 
     n_ok = n_fail = n_noracle = 0
@@ -100,6 +100,7 @@ def main() -> int:
         t0 = time.time()
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
+            clear_scratch(spark)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
