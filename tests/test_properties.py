@@ -1,0 +1,104 @@
+"""Property-based tests (SURVEY.md §5 strategy (4)): structural
+invariants that must hold for ANY input, checked over
+hypothesis-generated micro-tables.
+
+Kept to few examples per property -- each example is a Spark job; the
+point is random STRUCTURE (dup keys, ties, empties, singletons), not
+volume."""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graphdb_cia_factbook_spark.operators.relational import (
+    asof_join,
+    latest_per_key,
+    rank_in_group,
+    salted_join,
+)
+
+SETTINGS = dict(max_examples=8, deadline=None,
+                suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+rows_st = st.lists(
+    st.tuples(st.integers(0, 5),            # key
+              st.integers(0, 50),           # order value (ties likely)
+              st.integers(-100, 100)),      # payload
+    min_size=1, max_size=40)
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_latest_per_key_exactly_one_row_per_key(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, p int")
+    out = latest_per_key(df, ["k"], [F.desc("v"), F.desc("p")]).collect()
+    keys = [r.k for r in out]
+    assert sorted(set(keys)) == sorted(keys)          # one row per key
+    assert set(keys) == {r[0] for r in rows}          # no key lost
+    # winner really is the max under the total order
+    best = {}
+    for k, v, p in rows:
+        best[k] = max(best.get(k, (v, p)), (v, p))
+    for r in out:
+        assert (r.v, r.p) == best[r.k]
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_rank_min_semantics(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, p int")
+    out = rank_in_group(df, ["k"], [F.desc("v")], "rnk").collect()
+    by_key = {}
+    for r in out:
+        by_key.setdefault(r.k, []).append((r.v, r.rnk))
+    for k, pairs in by_key.items():
+        n = len(pairs)
+        assert all(1 <= rnk <= n for _, rnk in pairs)
+        assert min(rnk for _, rnk in pairs) == 1
+        # equal values share the min rank (SQL RANK == pandas 'min')
+        for (v1, r1), (v2, r2) in zip(sorted(pairs), sorted(pairs)[1:]):
+            if v1 == v2:
+                assert r1 == r2
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_explode_count_equals_sum_of_lengths(spark, rows):
+    df = spark.createDataFrame(rows, "k int, v int, p int")
+    arr = df.select("k", F.array_repeat(F.col("p"), F.col("v") % 4)
+                    .alias("a"))
+    exploded = arr.select("k", F.explode("a").alias("x"))
+    want = sum(r[1] % 4 for r in rows)
+    assert exploded.count() == want
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_salted_join_equals_plain_join(spark, rows):
+    fact = spark.createDataFrame(rows, "k int, v int, p int")
+    dim = spark.createDataFrame([(i, i * 10) for i in range(6)],
+                                "k int, w int")
+    plain = sorted((r.k, r.v, r.p, r.w) for r in
+                   fact.join(dim, "k").collect())
+    salted = sorted((r.k, r.v, r.p, r.w) for r in
+                    salted_join(fact, dim, "k", salt=4).collect())
+    assert plain == salted
+
+
+@given(rows=rows_st)
+@settings(**SETTINGS)
+def test_asof_join_row_count_and_bound(spark, rows):
+    left = spark.createDataFrame(
+        [(k, v, p) for k, v, p in rows], "k int, ts int, lv int")
+    right = spark.createDataFrame(
+        [(k, v + 1, p) for k, v, p in rows[: len(rows) // 2]],
+        "k int, ts int, rv int")
+    out = asof_join(left, right, "k", "ts", ["rv"]).collect()
+    assert len(out) == len(rows)                 # left rows preserved
+    right_ts = {}
+    for k, ts, _ in rows[: len(rows) // 2]:
+        right_ts.setdefault(k, []).append(ts + 1)
+    for r in out:
+        matches = [t for t in right_ts.get(r.k, []) if t <= r.ts]
+        if not matches:
+            assert r.asof_rv is None             # nothing at-or-before
