@@ -283,3 +283,40 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
+             directed: bool = True) -> DataFrame:
+    """Minimum hop count from any source vertex (unweighted BFS).
+
+    Frontier expansion: each superstep joins the CURRENT frontier
+    (only newly-discovered vertices, not the full visited set) against
+    the edge table, anti-joins out already-visited vertices, and
+    checkpoints the (visited, frontier) pair.  Work per superstep is
+    frontier-out-degree-sized -- the scalable BFS shape; unreached
+    vertices get NULL."""
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.union(graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+
+    frontier = (graph.vertices.select("id")
+                .where(F.col("id").isin(sources))
+                .withColumn("dist", F.lit(0)).localCheckpoint())
+    visited = frontier
+
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier, edges.src == frontier.id)
+               .select(F.col("dst").alias("id"))
+               .distinct()
+               .join(visited.select("id"), "id", "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return (graph.vertices.select("id")
+            .join(visited, "id", "left")
+            .select("id", "dist"))

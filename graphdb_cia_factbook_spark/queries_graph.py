@@ -319,3 +319,36 @@ def g_property_edges(spark, sf):
                .select("src", "dst", F.lit("exports").alias("type"),
                        "amount"))
     return trades.unionByName(contains).unionByName(exports)
+
+
+@register("g_bfs_hops", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+reach(id, dist) AS (
+  SELECT id, 0 FROM verts WHERE id = 'NATION_0'
+  UNION
+  SELECT e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+)
+SELECT v.id, MIN(r.dist) AS dist
+FROM verts v LEFT JOIN reach r ON v.id = r.id
+GROUP BY v.id
+""")
+def g_bfs_hops(spark, sf):
+    """EXT graph algorithm: BFS hop distance from NATION_0 over the
+    top-3-partner digraph (frontier-expansion supersteps; oracle =
+    bounded recursive CTE + MIN per vertex)."""
+    from .operators.graph import Graph, bfs_hops
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return bfs_hops(Graph(g.vertices, top3), ["NATION_0"])

@@ -128,3 +128,17 @@ def test_triangles_known_graph(spark):
         "src string, dst string")
     got = {r.id: r.n_triangles for r in triangle_count(Graph(v, e)).collect()}
     assert got == {"A": 1, "B": 1, "C": 1, "D": 0}
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    from graphdb_cia_factbook_spark.operators.graph import bfs_hops
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "B"), ("E", "A")],
+        "src string, dst string")
+    got = {r.id: r.dist for r in bfs_hops(Graph(v, e), ["A"]).collect()}
+    # E points INTO A, so it is unreachable from A (directed)
+    assert got == {"A": 0, "B": 1, "C": 2, "D": None, "E": None}
+    und = {r.id: r.dist
+           for r in bfs_hops(Graph(v, e), ["A"], directed=False).collect()}
+    assert und == {"A": 0, "B": 1, "C": 2, "D": None, "E": 1}
