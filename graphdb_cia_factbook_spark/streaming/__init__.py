@@ -154,3 +154,72 @@ def run_to_memory(sdf: DataFrame, name: str, output_mode: str = "complete"):
          .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return q
+
+
+def dedup_events_within_watermark(events: DataFrame,
+                                  delay: str = "30 minutes") -> DataFrame:
+    """Streaming dedup with BOUNDED state (Spark 4
+    ``dropDuplicatesWithinWatermark``): duplicate event_ids are only
+    suppressed while they can still arrive (inside the watermark
+    horizon), so the state store evicts old keys instead of growing
+    forever -- the production form of streaming dedup."""
+    return (events.withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["event_id"]))
+
+
+_PEAK_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("peak", T.DoubleType()),
+])
+
+
+def user_value_peaks(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on Spark 4's ``transformWithState``
+    API (arbitrary per-key state with typed state variables): emit a
+    row whenever a user's running max ``value`` increases.
+
+    Demonstrates the modern replacement for applyInPandasWithState --
+    explicit ValueState, incremental emission, update mode.
+
+    GATED STUB in this container: the transformWithState state-server
+    protocol needs ``google.protobuf``, which is not installed here;
+    the processor itself is complete and runs wherever protobuf is
+    available (requires the RocksDB state-store provider).
+    ``stateful_user_totals`` (applyInPandasWithState) is the tested
+    stateful path."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs google.protobuf (absent "
+            "in this container); use stateful_user_totals "
+            "(applyInPandasWithState) instead.") from exc
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class PeakTracker(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._peak = handle.getValueState(
+                "peak", T.StructType([T.StructField("v", T.DoubleType())]))
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = None
+            for pdf in rows:
+                if len(pdf):
+                    m = float(pdf["value"].max())
+                    mx = m if mx is None else max(mx, m)
+            if mx is None:
+                return
+            prev = self._peak.get()[0] if self._peak.exists() else None
+            if prev is None or mx > prev:
+                self._peak.update((mx,))
+                yield pd.DataFrame({"user_id": [key[0]], "peak": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    return (events.groupBy("user_id").transformWithStateInPandas(
+        PeakTracker(), outputStructType=_PEAK_OUT,
+        outputMode="Update", timeMode="None"))

@@ -144,3 +144,63 @@ def test_foreachbatch_incremental_sink(spark, batch_events, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == batch_events.count()
     assert back.select("batch_id").distinct().count() >= 2
+
+
+def test_dropduplicates_within_watermark(spark, batch_events, tmp_path):
+    from graphdb_cia_factbook_spark.streaming import (
+        dedup_events_within_watermark,
+    )
+    src = _split_events_files(tmp_path)
+    import pyspark.sql.functions as F
+    from graphdb_cia_factbook_spark.streaming import _EVENTS_NS_SCHEMA
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+              .option("maxFilesPerTrigger", 2).parquet(src)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    sdf = dedup_events_within_watermark(stream).select("event_id")
+    run_to_memory(sdf, "t_wmdedup", "append")
+    got = spark.table("t_wmdedup")
+    # event_ids are unique in the source => pass-through cardinality
+    assert got.count() == batch_events.count()
+    assert got.distinct().count() == got.count()
+
+
+def test_transform_with_state_peaks(spark, batch_events, tmp_path):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state protocol needs protobuf")
+    from graphdb_cia_factbook_spark.streaming import user_value_peaks
+    src = _split_events_files(tmp_path)
+    import pyspark.sql.functions as F
+    from graphdb_cia_factbook_spark.streaming import _EVENTS_NS_SCHEMA
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    run_to_memory(user_value_peaks(stream), "t_peaks", "update")
+    peaks = spark.table("t_peaks").collect()
+    assert peaks, "no peaks emitted"
+    want = {r.user_id: r.mx for r in
+            batch_events.groupBy("user_id")
+            .agg(F.max("value").alias("mx")).collect()}
+    by_user = {}
+    for r in peaks:
+        by_user.setdefault(r.user_id, []).append(r.peak)
+    for uid, ps in by_user.items():
+        assert max(ps) == want[uid]       # final peak == batch max
+        assert all(p <= want[uid] for p in ps)
+    # every user emits at least its first-seen peak
+    assert set(by_user) == set(want)
+
+
+def test_transform_with_state_is_gated(spark, batch_events):
+    """Without protobuf the operator must fail loudly at build time,
+    not crash a streaming worker at runtime."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        pytest.skip("protobuf present; gate not exercised")
+    except ImportError:
+        pass
+    from graphdb_cia_factbook_spark.streaming import user_value_peaks
+    with pytest.raises(NotImplementedError):
+        user_value_peaks(batch_events)
