@@ -352,3 +352,41 @@ def g_bfs_hops(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return bfs_hops(Graph(g.vertices, top3), ["NATION_0"])
+
+
+@register("sql_top_partner_top10", f"""
+WITH {EDGES_CTE},
+ranked AS (
+  SELECT src AS nation, dst AS top_partner, amount,
+         ROW_NUMBER() OVER (PARTITION BY src
+                            ORDER BY amount DESC, dst) AS rn,
+         CAST(SUM(CAST(amount AS DECIMAL(27,4)))
+              OVER (PARTITION BY src) AS DOUBLE) AS total_exports
+  FROM edges
+)
+SELECT nation, top_partner, amount, total_exports
+FROM ranked WHERE rn = 1
+ORDER BY total_exports DESC, nation
+LIMIT 10
+""")
+def sql_top_partner_top10(spark, sf):
+    """SURVEY §3.3: the ad-hoc SQL surface (the Neo4j-browser Cypher
+    analog).  The graph registers as temp views and the query runs
+    through spark.sql -- SQL text -> Catalyst parse/analyze/optimize
+    -> same physical plan as the DataFrame API."""
+    g = build_trade_graph(spark, sf)
+    g.edges.createOrReplaceTempView("trade_edges")
+    return spark.sql("""
+        WITH ranked AS (
+          SELECT src AS nation, dst AS top_partner, amount,
+                 ROW_NUMBER() OVER (PARTITION BY src
+                                    ORDER BY amount DESC, dst) AS rn,
+                 CAST(SUM(CAST(amount AS DECIMAL(27,4)))
+                      OVER (PARTITION BY src) AS DOUBLE) AS total_exports
+          FROM trade_edges
+        )
+        SELECT nation, top_partner, amount, total_exports
+        FROM ranked WHERE rn = 1
+        ORDER BY total_exports DESC, nation
+        LIMIT 10
+    """)

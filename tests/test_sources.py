@@ -78,3 +78,18 @@ def test_estimate_and_audit(spark):
     audit = plan_audit(q)
     assert audit.pushed_filters and audit.has_broadcast
     assert audit.jvm_only and not audit.has_sort_merge
+
+
+def test_schema_drift_rejected(spark, tmp_path):
+    """read_table must refuse a table whose columns drifted from the
+    declared registry schema (schemas are declared, never inferred)."""
+    bad = spark.createDataFrame([(1, "x")], "r_regionkey int, wrong string")
+    path = str(tmp_path / "drift")
+    bad.write.mode("overwrite").parquet(path)
+    import shutil
+
+    sf_dir = tmp_path / "sfdrift"
+    sf_dir.mkdir()
+    shutil.copytree(path, sf_dir / "region.parquet")
+    with pytest.raises(ValueError, match="schema drift"):
+        read_table(spark, str(sf_dir), "region")
