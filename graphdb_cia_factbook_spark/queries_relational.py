@@ -472,3 +472,43 @@ def set_except_all(spark, sf):
     return (orders.select("o_custkey")
             .exceptAll(orders.where(F.col("o_orderstatus") == "F")
                        .select("o_custkey")))
+
+
+@register("w6_ntile_percent_rank", """
+SELECT s_suppkey, s_nationkey,
+       NTILE(4) OVER w AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+""")
+def w6_ntile_percent_rank(spark, sf):
+    """EXT analytic windows: quartile bucketing + relative standing
+    (ntile / percent_rank / cume_dist) over a total per-group order."""
+    supp = read_table(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return supp.select(
+        "s_suppkey", "s_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+@register("f_levenshtein_names", """
+SELECT a.n_name AS name_a, b.n_name AS name_b,
+       levenshtein(a.n_name, b.n_name) AS edit_dist
+FROM nation a JOIN nation b ON a.n_name < b.n_name
+WHERE levenshtein(a.n_name, b.n_name) <= 3
+""")
+def f_levenshtein_names(spark, sf):
+    """EXT string similarity: edit-distance pairs under a threshold --
+    the fuzzy-matching primitive behind the reference's hand-curated
+    country-name fixes (scrape_cia.py:304-309), automated."""
+    nation = read_table(spark, sf, "nation")
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (a.join(b, F.col("name_a") < F.col("name_b"))
+            .select("name_a", "name_b",
+                    F.levenshtein("name_a", "name_b").alias("edit_dist"))
+            .where(F.col("edit_dist") <= 3))
