@@ -110,6 +110,20 @@ def build_trade_graph(spark: SparkSession, sf_dir: str) -> Graph:
     return Graph(vertices=vertices, edges=edges)
 
 
+
+def _sized_partitions(df: DataFrame, rows_per_partition: int = 100_000) -> DataFrame:
+    """Partition an (already materialized) stationary table in
+    proportion to its size: a 600-edge local graph becomes 1 partition
+    (every superstep stage = 1 task instead of 32 near-empty ones); a
+    1e9-edge graph keeps cluster width.  The count is free -- callers
+    pass a localCheckpoint'd frame."""
+    n = df.count()
+    import os
+    width = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    target = max(1, min(width, n // rows_per_partition + 1))
+    return df.repartition(target).localCheckpoint()
+
+
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                damping: float, max_iter: int, checkpoint_every: int,
                out_name: str) -> DataFrame:
@@ -185,6 +199,7 @@ def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
                    .select("src", "dst",
                            (F.col("w") / F.col("out_w")).alias("share"))
                    .localCheckpoint())  # stationary for all supersteps
+    edges_share = _sized_partitions(edges_share)
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "pagerank")
 
@@ -209,6 +224,7 @@ def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
                            (F.lit(1.0) / (F.col("out_deg") + F.lit(avg_out_deg)))
                            .alias("share"))
                    .localCheckpoint())
+    edges_share = _sized_partitions(edges_share)
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "articlerank")
 

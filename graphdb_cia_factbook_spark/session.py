@@ -67,7 +67,11 @@ def clear_scratch(spark: SparkSession) -> int:
     their own query but are dead weight afterwards.  Leaving them in
     the block manager measurably degrades every LATER job in the
     session (observed 3-5x on the bench); run this between logically
-    independent queries.  Returns the number of RDDs dropped."""
+    independent queries.  Returns the number of RDDs dropped.
+
+    CAUTION: call only when no live DataFrame still reads a
+    localCheckpoint -- checkpointed blocks are non-recomputable, so
+    clearing under a live consumer fails its next action."""
     import gc
 
     jrdds = spark.sparkContext._jsc.getPersistentRDDs()
