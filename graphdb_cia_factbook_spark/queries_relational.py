@@ -512,3 +512,48 @@ def f_levenshtein_names(spark, sf):
             .select("name_a", "name_b",
                     F.levenshtein("name_a", "name_b").alias("edit_dist"))
             .where(F.col("edit_dist") <= 3))
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRI_COLS = {p: "p" + p[0] for p in _PRIORITIES}
+
+
+@register("agg_pivot", """
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p1,
+       COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS p2,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS p3,
+       COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS p4,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS p5
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_pivot(spark, sf):
+    """EXT reshape: pivot (long -> wide).  With the pivot values
+    declared, Catalyst compiles this to ONE pass of conditional
+    aggregates -- no second job to discover distinct keys, the form
+    that scales."""
+    orders = read_table(spark, sf, "orders")
+    out = (orders.groupBy("o_orderstatus")
+           .pivot("o_orderpriority", _PRIORITIES)
+           .count())
+    for p, alias in _PRI_COLS.items():
+        out = out.withColumnRenamed(p, alias)
+    return out.na.fill(0)
+
+
+@register("agg_unpivot", """
+SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+UNION ALL
+SELECT c_custkey, 'nationkey' AS metric,
+       CAST(c_nationkey AS DOUBLE) AS value
+FROM customer
+""")
+def agg_unpivot(spark, sf):
+    """EXT reshape: unpivot/melt (wide -> long) via the native
+    ``unpivot`` operator (a generate, not a shuffle)."""
+    cust = read_table(spark, sf, "customer")
+    return (cust.select("c_custkey", F.col("c_acctbal").alias("acctbal"),
+                        F.col("c_nationkey").cast("double")
+                        .alias("nationkey"))
+            .unpivot("c_custkey", ["acctbal", "nationkey"],
+                     "metric", "value"))
