@@ -557,3 +557,47 @@ def agg_unpivot(spark, sf):
                         .alias("nationkey"))
             .unpivot("c_custkey", ["acctbal", "nationkey"],
                      "metric", "value"))
+
+
+@register("agg_median_quartiles", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.25), 6) AS q1,
+       round(quantile_cont(o_totalprice, 0.50), 6) AS median,
+       round(quantile_cont(o_totalprice, 0.75), 6) AS q3
+FROM orders GROUP BY o_orderstatus
+""")
+def agg_median_quartiles(spark, sf):
+    """EXT exact quantiles: interpolated percentile (both engines use
+    rank = p*(n-1) linear interpolation).  Exact quantiles need a full
+    sort per group -- at 100 TB prefer the approx sketch
+    (agg_approx_sketches); this is the small-group exact form."""
+    orders = read_table(spark, sf, "orders")
+    return (orders.groupBy("o_orderstatus")
+            .agg(F.round(F.percentile("o_totalprice", F.lit(0.25)), 6)
+                 .alias("q1"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.50)), 6)
+                 .alias("median"),
+                 F.round(F.percentile("o_totalprice", F.lit(0.75)), 6)
+                 .alias("q3")))
+
+
+@register("agg_stats_corr", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(stddev_samp(l_discount), 6) AS discount_sd,
+       round(var_samp(l_tax), 6) AS tax_var,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_stats_corr(spark, sf):
+    """EXT statistical aggregates: correlation / stddev / variance via
+    single-pass co-moment merge formulas on both engines (rounded to 6
+    decimals; the merge-order float drift is ~1e-12 relative)."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.stddev_samp("l_discount"), 6)
+                 .alias("discount_sd"),
+                 F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
+                 F.count(F.lit(1)).alias("n")))
