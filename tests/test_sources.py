@@ -93,3 +93,36 @@ def test_schema_drift_rejected(spark, tmp_path):
     shutil.copytree(path, sf_dir / "region.parquet")
     with pytest.raises(ValueError, match="schema drift"):
         read_table(spark, str(sf_dir), "region")
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing parity: two tables bucketed on the join key co-locate
+    matching rows at WRITE time, so the join plan has NO Exchange on
+    either side -- the pre-paid-shuffle strategy for repeated 100-TB
+    fact-fact joins."""
+    import uuid
+
+    from graphdb_cia_factbook_spark.plans import explain_str
+    suffix = uuid.uuid4().hex[:8]
+    orders = read_table(spark, SF, "orders")
+    li = read_table(spark, SF, "lineitem")
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable(f"orders_b_{suffix}"))
+    (li.withColumnRenamed("l_orderkey", "o_orderkey")
+     .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable(f"lineitem_b_{suffix}"))
+
+    ob = spark.table(f"orders_b_{suffix}")
+    lb = spark.table(f"lineitem_b_{suffix}")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = ob.join(lb, "o_orderkey").select(
+            "o_orderkey", "o_totalprice", "l_quantity")
+        plan = explain_str(joined, "simple")
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+        spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
