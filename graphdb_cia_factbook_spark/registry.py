@@ -21,10 +21,39 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _prepare_session(spark: SparkSession) -> None:
+    """Session hygiene applied at every query entry, so correctness
+    AND latency hold under ANY harness session (the driver passes its
+    own vanilla SparkSession, not our tuned builder):
+
+    - drop scratch blocks left by PREVIOUS queries (iterative /
+      multi-consumer operators localCheckpoint; stale blocks degrade
+      later jobs 3-5x).  Safe here: the previous query's result has
+      been consumed by the time the next builder runs, and the current
+      query's checkpoints don't exist yet.
+    - codegen hugeMethodLimit: wide fused stages otherwise generate
+      methods HotSpot never JITs (multi-minute stalls late in a
+      session).
+    """
+    try:
+        from .session import clear_scratch
+        clear_scratch(spark)
+        spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+    except Exception:  # noqa: BLE001 -- hygiene must never fail a query
+        pass
+
+
 def register(name: str, oracle: str | None = None):
-    """Decorator: register a query builder + optional DuckDB oracle."""
+    """Decorator: register a query builder + optional DuckDB oracle.
+    Builders are wrapped with per-entry session hygiene
+    (:func:`_prepare_session`)."""
     def deco(fn):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _prepare_session(spark)
+            return fn(spark, sf_dir)
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
