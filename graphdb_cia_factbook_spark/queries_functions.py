@@ -289,3 +289,57 @@ def j6_canonicalize(spark, sf):
             .select(canonicalize_country(F.col("dirty")).alias("nation_fixed"))
             .groupBy("nation_fixed")
             .agg(F.count(F.lit(1)).alias("n_customers")))
+
+
+@register("f_date_parts", """
+SELECT o_orderkey,
+       date_trunc('month', CAST(o_orderdate AS TIMESTAMP)) AS order_month,
+       CAST(year(o_orderdate) AS INTEGER) AS order_year,
+       CAST(month(o_orderdate) AS INTEGER) AS order_m,
+       CAST(dayofweek(o_orderdate) AS INTEGER) AS order_dow,
+       CAST(quarter(o_orderdate) AS INTEGER) AS order_q
+FROM orders
+""")
+def f_date_parts(spark, sf):
+    """F12/F14 family: date truncation + part extraction (the temporal
+    scalar toolkit behind year-based latest-wins logic,
+    preprocess_upload_neo4j.py:139-140).  DuckDB dayofweek is
+    0=Sunday..6; Spark dayofweek is 1=Sunday..7 -- aligned by -1."""
+    orders = read_table(spark, sf, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_m"),
+        (F.dayofweek("o_orderdate") - 1).alias("order_dow"),
+        F.quarter("o_orderdate").alias("order_q"))
+
+
+@register("w7_first_last_frame", """
+SELECT event_id, user_id,
+       first_value(value) OVER w AS first_in_hour,
+       last_value(value) OVER (PARTITION BY user_id,
+                               time_bucket(INTERVAL 1 HOUR,
+                                           CAST(ts AS TIMESTAMP))
+                               ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_in_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id,
+             time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+             ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def w7_first_last_frame(spark, sf):
+    """EXT window: first/last value over an explicit full-partition
+    frame (per user-hour) -- last_value needs the UNBOUNDED FOLLOWING
+    frame or it degenerates to the current row on both engines."""
+    from pyspark.sql import Window
+    ev = read_table(spark, sf, "events")
+    hour = F.date_trunc("hour", "ts")
+    w = (Window.partitionBy("user_id", hour).orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return ev.select(
+        "event_id", "user_id",
+        F.first("value").over(w).alias("first_in_hour"),
+        F.last("value").over(w).alias("last_in_hour"))
