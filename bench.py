@@ -32,6 +32,7 @@ HEADLINE = [
     "o1_top50_orders",       # global top-k
     "j_asof_prior_purchase", # as-of join (union-trick plan)
     "g1_pagerank",           # iterative graph rank (20 supersteps)
+    "g1_pagerank_weighted",  # amount-weighted rank (same loop, weighted shares)
     "g_top_partner",         # flagship: top trade partner per nation
     "g_triangles",           # triangle counting
     "llm_exact_dedup",       # hash dedup over documents

@@ -160,15 +160,30 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
 
 def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
-    """Brute n-gram Jaccard: all pairs sharing >= 1 shingle, exact
-    Jaccard >= threshold.  The shingle-keyed join bounds the pair space
-    to actually-overlapping docs (never a cross join), but degenerates
-    on very common shingles -- prefer MinHash-LSH beyond ~10M docs or
-    add a document-frequency cap on shingles first."""
+                        threshold: float = 0.8,
+                        max_shingle_df: int = 1000) -> DataFrame:
+    """Brute n-gram Jaccard: all pairs sharing >= 1 sufficiently-rare
+    shingle, exact Jaccard >= threshold over the FULL shingle sets.
+
+    The shingle-keyed self-join bounds the pair space to
+    actually-overlapping docs (never a cross join), but a shingle
+    appearing in m docs contributes m^2/2 candidate pairs -- one
+    boilerplate phrase shared by 1M docs would alone materialize 5e11
+    pairs.  ``max_shingle_df`` is the standard hot-shingle guard:
+    shingles whose document frequency exceeds it are excluded from
+    CANDIDATE GENERATION (scoring still uses every shingle), capping
+    the join at df_cap * |distinct shingles| pairs.  A high-Jaccard
+    pair is recalled unless ALL its shared shingles are
+    boilerplate-common -- exactly the pairs near-dedup should not
+    merge anyway.  Prefer MinHash-LSH beyond ~10M docs."""
     sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
-    all_pairs = (sh.withColumnRenamed(id_col, "id_a")
-                 .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
+    rare = (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_shingle_df)
+            .select("shingle"))
+    sh_cand = sh.join(rare, "shingle", "left_semi")
+    all_pairs = (sh_cand.withColumnRenamed(id_col, "id_a")
+                 .join(sh_cand.withColumnRenamed(id_col, "id_b"), "shingle")
                  .where(F.col("id_a") < F.col("id_b"))
                  .select("id_a", "id_b").distinct())
     return (pair_jaccard(all_pairs, sh, id_col)

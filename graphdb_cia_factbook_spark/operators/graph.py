@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources import assert_unique_key, read_table
@@ -124,6 +124,11 @@ def _sized_partitions(df: DataFrame, rows_per_partition: int = 100_000) -> DataF
     return df.repartition(target).localCheckpoint()
 
 
+#: sentinel destination that collects dangling mass inside the regular
+#: superstep aggregate (never a real vertex id -- NUL prefix)
+_DANGLING_DST = "\x00__dangling__"
+
+
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                damping: float, max_iter: int, checkpoint_every: int,
                out_name: str) -> DataFrame:
@@ -134,40 +139,59 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
     classic formulation with dangling-mass redistribution, so ranks
     stay a distribution (sum 1) when shares sum to 1 per source (true
     for PageRank; ArticleRank deliberately leaks mass, as published).
-    """
+
+    The superstep is ONE broadcast join + ONE aggregation -- nothing
+    else.  Two synthetic-edge tricks flatten everything the naive loop
+    did with extra per-step operators:
+
+    - every vertex gets a 0-share SELF-edge, so the per-``dst``
+      aggregate covers all vertices (zero in-degree included) and the
+      old per-step ``verts`` left-join disappears;
+    - every dangling vertex gets one (src, _DANGLING_DST, 1.0) edge,
+      so its whole rank arrives as the sentinel row of the SAME
+      aggregate.  The per-iteration plan then references ``ranks``
+      exactly once -- the old semi-join dangling sum referenced it
+      twice, doubling the plan per superstep (2^k analyzer blowup) and
+      forcing per-step checkpoints.  The sentinel's value is spread
+      back onto every vertex row with one unpartitioned window over
+      the vertex-sized aggregate (single-partition exchange: fine to
+      ~100M vertices; beyond that, two-phase the spread)."""
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    edges_share = edges_share.localCheckpoint()  # stationary all supersteps
     has_out = edges_share.select(F.col("src").alias("id")).distinct()
     dangling = verts.join(has_out, "id", "left_anti").localCheckpoint()
     n_dangling = dangling.count()
+    synth = verts.select(F.col("id").alias("src"), F.col("id").alias("dst"),
+                         F.lit(0.0).alias("share"))
     if n_dangling:
-        # the dangling-mass branch references `ranks` a second time, so
-        # the un-truncated plan DOUBLES per superstep (2^k copies by
-        # the k-th iteration -- analyzer blowup); truncate every step.
-        # Without dangling the plan grows linearly and the sparser
-        # cadence wins.
-        checkpoint_every = 1
+        synth = synth.unionByName(
+            dangling.select(F.col("id").alias("src"),
+                            F.lit(_DANGLING_DST).alias("dst"),
+                            F.lit(1.0).alias("share")))
+    edges_share = _sized_partitions(
+        edges_share.unionByName(synth).localCheckpoint())
 
     # the rank vector is vertex-sized: broadcast it only while it
     # plausibly fits executor memory (~24B/row); past that it must
     # SHUFFLE onto the stationary src-partitioned edge table
     small_vector = n <= 10_000_000
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
 
     for i in range(max_iter):
         rhs = F.broadcast(ranks) if small_vector else ranks
         contribs = (edges_share.join(rhs, edges_share.src == ranks.id)
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
-        new = (verts.join(contribs, "id", "left")
-               .select("id", F.coalesce(F.col("contrib"), F.lit(0.0))
-                       .alias("contrib")))
         if n_dangling:
-            # 1-row aggregate folded into the plan (no driver action)
-            dm = (ranks.join(F.broadcast(dangling), "id", "left_semi")
-                  .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")))
-            new = new.crossJoin(F.broadcast(dm))
+            contribs = (contribs.withColumn("__dm", F.coalesce(
+                F.max(F.when(F.col("id") == _DANGLING_DST,
+                             F.col("contrib"))).over(w_all),
+                F.lit(0.0)))
+                .where(F.col("id") != _DANGLING_DST))
         else:
-            new = new.withColumn("__dm", F.lit(0.0))
-        ranks = new.select(
+            contribs = contribs.withColumn("__dm", F.lit(0.0))
+        ranks = contribs.select(
             "id",
             (F.lit((1.0 - damping) / n)
              + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
@@ -178,7 +202,7 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
 
 
 def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
-             weighted: bool = False, checkpoint_every: int = 10) -> DataFrame:
+             weighted: bool = False, checkpoint_every: int = 5) -> DataFrame:
     """G1: PageRank as iterative DataFrame supersteps.
 
     Parity: GDS run at preprocess_upload_neo4j.py:420-430 with
@@ -197,15 +221,13 @@ def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     edges_share = (edges.join(out_w, "src")
                    .select("src", "dst",
-                           (F.col("w") / F.col("out_w")).alias("share"))
-                   .localCheckpoint())  # stationary for all supersteps
-    edges_share = _sized_partitions(edges_share)
+                           (F.col("w") / F.col("out_w")).alias("share")))
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "pagerank")
 
 
 def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
-                checkpoint_every: int = 10) -> DataFrame:
+                checkpoint_every: int = 5) -> DataFrame:
     """G2: ArticleRank (GDS defaults, preprocess_upload_neo4j.py:442-447).
 
     Published formulation: like PageRank but each source's contribution
@@ -222,9 +244,7 @@ def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
     edges_share = (edges.join(out_deg, "src")
                    .select("src", "dst",
                            (F.lit(1.0) / (F.col("out_deg") + F.lit(avg_out_deg)))
-                           .alias("share"))
-                   .localCheckpoint())
-    edges_share = _sized_partitions(edges_share)
+                           .alias("share")))
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "articlerank")
 

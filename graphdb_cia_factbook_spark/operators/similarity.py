@@ -151,18 +151,68 @@ def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
 
 
+def _nearest_centroids(df: DataFrame, cents: DataFrame, out_id: str,
+                       n: int, id_col: str, vec_col: str) -> DataFrame:
+    """Top-``n`` centroids per vector by cosine (deterministic
+    centroid_id tiebreak).  cents: (centroid_id, __cent)."""
+    scored = df.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col), F.col(vec_col),
+        F.col("centroid_id"),
+        cosine(F.col(vec_col), F.col("__cent")).alias("__cc"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("__cc"), F.asc("centroid_id"))
+    return (scored.withColumn("__cr", F.row_number().over(w))
+            .where(F.col("__cr") <= n)
+            .select(F.col(id_col).alias(out_id), vec_col, "centroid_id"))
+
+
+def lloyd_refine(corpus: DataFrame, cents: DataFrame, iters: int,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement of a centroid table:
+    assign every corpus vector to its nearest centroid (cosine,
+    centroid_id tiebreak), recompute each centroid as the element-wise
+    mean of its list, repeat.  Empty lists drop their centroid.
+
+    Cross-engine exactness: per-dimension means go through exact
+    decimal sums (order-independent) divided by the list size, so the
+    refined centroids -- and every cosine computed against them -- are
+    bit-identical on any engine (the property the generated DuckDB
+    oracle checks).  Scale shape per iteration: one broadcast
+    nested-loop assignment (corpus streams once) + one shuffle of
+    exploded (centroid, dim, value) rows -- dim * N rows, same order
+    as reading the vectors."""
+    for _ in range(iters):
+        assign = _nearest_centroids(corpus, cents, "__vid", 1,
+                                    id_col, vec_col)
+        dims = assign.select("centroid_id",
+                             F.posexplode(F.col(vec_col))
+                             .alias("pos", "val"))
+        means = (dims.groupBy("centroid_id", "pos")
+                 .agg((F.sum(F.col("val").cast("decimal(27,12)"))
+                       .cast("double") / F.count(F.lit(1))).alias("m")))
+        cents = (means.groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                     lambda s: s["m"]).alias("__cent"))
+                 .localCheckpoint())  # truncate per-iteration lineage
+    return cents
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              n_centroids: int = 16, nprobe: int = 2,
-             id_col: str = "vec_id",
+             lloyd_iters: int = 1, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     partitions the corpus into centroid lists; each query probes only
     its ``nprobe`` nearest lists.
 
     Centroids are SEEDED deterministically (the ``n_centroids``
-    lowest-id vectors) so results are reproducible and
-    oracle-checkable; a production build would k-means-refine them --
-    the list assignment, probe, and scoring plumbing is identical.
+    lowest-id vectors) then k-means-refined with ``lloyd_iters``
+    deterministic Lloyd iterations (:func:`lloyd_refine`) -- results
+    stay reproducible and oracle-checkable while the lists fit the
+    data much better than raw seeds (recall pinned vs brute force in
+    tests/test_llm.py).
 
     Scale shape: assignment is corpus x centroids (tiny broadcast
     side, linear scan); the probe join is an equi-join on centroid_id
@@ -171,22 +221,13 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     cents = (corpus.where(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("centroid_id"),
                      F.col(vec_col).alias("__cent")))
+    cents = lloyd_refine(corpus, cents, lloyd_iters, id_col, vec_col)
 
-    def nearest(df, src_id, out_id, n):
-        scored = df.crossJoin(F.broadcast(cents)).select(
-            F.col(src_id), F.col(vec_col),
-            F.col("centroid_id"),
-            cosine(F.col(vec_col), F.col("__cent")).alias("__cc"))
-        w = Window.partitionBy(src_id).orderBy(
-            F.desc("__cc"), F.asc("centroid_id"))
-        return (scored.withColumn("__cr", F.row_number().over(w))
-                .where(F.col("__cr") <= n)
-                .select(F.col(src_id).alias(out_id), vec_col,
-                        "centroid_id"))
-
-    assign = nearest(corpus, id_col, "neighbor_id", 1) \
+    assign = _nearest_centroids(corpus, cents, "neighbor_id", 1,
+                                id_col, vec_col) \
         .withColumnRenamed(vec_col, "__cv")
-    probe = nearest(queries, id_col, "query_id", nprobe) \
+    probe = _nearest_centroids(queries, cents, "query_id", nprobe,
+                               id_col, vec_col) \
         .withColumnRenamed(vec_col, "__qv")
     scored = (probe.join(assign, "centroid_id")
               .where(F.col("neighbor_id") != F.col("query_id"))

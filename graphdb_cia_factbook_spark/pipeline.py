@@ -159,6 +159,30 @@ def build_goods(t: FactbookTables) -> DataFrame:
             .agg(F.array_sort(F.collect_set("goods")).alias("goods")))
 
 
+def build_goods_edges(t: FactbookTables) -> DataFrame:
+    """Goods relationship edges (preprocess_upload_neo4j.py:348-395):
+    ``exports`` = country -> good and ``imports`` = good -> country,
+    each carrying (rank, year, sub_good) where the good node id is the
+    ``mapped_good`` and the raw goods string becomes ``sub_good``.
+    Rows whose goods have no mapping are dropped -- parity with the
+    reference, whose ``MATCH (m:good {name})`` silently fails for an
+    unmapped (null) name so no edge is MERGEd."""
+    def one_side(part: DataFrame, typ: str) -> DataFrame:
+        mapped = (part.join(F.broadcast(t.goods_grouping), "goods", "left")
+                  .where(F.col("mapped_good").isNotNull()))
+        cols = [F.lit(typ).alias("type"),
+                F.col("rank").cast("double").alias("amount"),
+                F.col("year"), F.col("goods").alias("sub_good")]
+        if typ == "exports":
+            return mapped.select(F.col("country").alias("src"),
+                                 F.col("mapped_good").alias("dst"), *cols)
+        return mapped.select(F.col("mapped_good").alias("src"),
+                             F.col("country").alias("dst"), *cols)
+
+    return one_side(t.exports_goods, "exports").unionByName(
+        one_side(t.imports_goods, "imports"))
+
+
 def dedup_regions(t: FactbookTables) -> DataFrame:
     """Region-country dedup (preprocess_upload_neo4j.py:150-151) with
     an explicit total order (rank asc) replacing pandas keep-first."""
@@ -172,7 +196,8 @@ class PropertyGraph:
 
 
 def to_property_graph(country: DataFrame, trade: DataFrame,
-                      goods: DataFrame, regions: DataFrame) -> PropertyGraph:
+                      goods: DataFrame, regions: DataFrame,
+                      goods_edges: DataFrame | None = None) -> PropertyGraph:
     """S4 load-phase parity: the per-row Cypher MERGE loops
     (preprocess_upload_neo4j.py:217-395) collapse into two bulk
     DataFrames.  Node-key constraints (S6) become assertions; the
@@ -180,6 +205,12 @@ def to_property_graph(country: DataFrame, trade: DataFrame,
     semantics FIXED: the reference has a latent bug (literal
     ``country=["country"]`` at :332) that makes its contains edges
     never match a country node -- we join on the real country name.
+
+    ``goods_edges`` (from :func:`build_goods_edges`) adds the
+    reference's exports (country->good) and imports (good->country)
+    relationship types (:348-395); endpoints are validated against the
+    country/good node sets (J7) -- the bulk equivalent of MERGE only
+    firing when both MATCHes succeed.
     """
     countries = country.select(
         F.col("country").alias("id"), F.lit("country").alias("label"))
@@ -206,5 +237,20 @@ def to_property_graph(country: DataFrame, trade: DataFrame,
         F.lit(None).cast("int").alias("import_trade_rank"),
         F.lit(None).cast("double").alias("percentage_exports"),
         F.lit(None).cast("double").alias("percentage_imports"))
-    edges = trades.unionByName(contains)
+    edges = trades.unionByName(contains, allowMissingColumns=True)
+    if goods_edges is not None:
+        c_ids = countries.select("id")
+        g_ids = good_nodes.select("id")
+        exp = (goods_edges.where(F.col("type") == "exports")
+               .join(F.broadcast(c_ids.withColumnRenamed("id", "src")),
+                     "src", "left_semi")
+               .join(F.broadcast(g_ids.withColumnRenamed("id", "dst")),
+                     "dst", "left_semi"))
+        imp = (goods_edges.where(F.col("type") == "imports")
+               .join(F.broadcast(g_ids.withColumnRenamed("id", "src")),
+                     "src", "left_semi")
+               .join(F.broadcast(c_ids.withColumnRenamed("id", "dst")),
+                     "dst", "left_semi"))
+        edges = edges.unionByName(exp.unionByName(imp),
+                                  allowMissingColumns=True)
     return PropertyGraph(vertices=vertices, edges=edges)

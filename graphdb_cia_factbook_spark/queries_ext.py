@@ -121,18 +121,120 @@ def j_shuffle_hash_hint(spark, sf):
             .select("o_orderkey", "o_totalprice", "c_name"))
 
 
-@register("agg_approx_sketches")  # rows-only: HLL/KLL internals are
-# engine-specific by design; the pytest suite bounds the error vs exact
+@register("agg_approx_sketches", """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS n_custs_exact,
+       abs(approx_count_distinct(o_custkey) - COUNT(DISTINCT o_custkey))
+         <= 0.05 * COUNT(DISTINCT o_custkey) AS acd_within_5pct,
+       approx_quantile(o_totalprice, 0.5)
+         BETWEEN quantile_cont(o_totalprice, 0.45)
+             AND quantile_cont(o_totalprice, 0.55) AS median_in_p45_p55
+FROM orders GROUP BY o_orderstatus
+""")
 def agg_approx_sketches(spark, sf):
     """EXT sketches: approx_count_distinct (HyperLogLog++) and
     approx_percentile (KLL-style) -- the sub-linear-memory versions of
-    COUNT(DISTINCT)/median that a 100-TB profile job actually runs."""
+    COUNT(DISTINCT)/median that a 100-TB profile job actually runs.
+
+    Sketch internals are engine-specific, so the cross-engine contract
+    is the BOUND, not the estimate: each engine checks its own sketch
+    against its own exact answer (HLL estimate within 5% of the exact
+    distinct count; approx median inside the exact p45..p55 band) and
+    emits booleans plus the exact values -- hash-comparable across
+    engines.  The pytest suite additionally bounds Spark's raw
+    estimates vs exact."""
     orders = read_table(spark, sf, "orders")
     return (orders.groupBy("o_orderstatus")
-            .agg(F.approx_count_distinct("o_custkey").alias("approx_custs"),
-                 F.percentile_approx("o_totalprice", 0.5)
-                 .alias("approx_median_price"),
-                 F.count(F.lit(1)).alias("n")))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("o_custkey").alias("n_custs_exact"),
+                 F.approx_count_distinct("o_custkey", 0.01).alias("__acd"),
+                 F.percentile_approx("o_totalprice", 0.5).alias("__amed"),
+                 F.expr("percentile(o_totalprice, 0.45)").alias("__p45"),
+                 F.expr("percentile(o_totalprice, 0.55)").alias("__p55"))
+            .select("o_orderstatus", "n", "n_custs_exact",
+                    (F.abs(F.col("__acd") - F.col("n_custs_exact"))
+                     <= 0.05 * F.col("n_custs_exact"))
+                    .alias("acd_within_5pct"),
+                    F.col("__amed").between(F.col("__p45"), F.col("__p55"))
+                    .alias("median_in_p45_p55")))
+
+
+#: deterministic synthesized crawl dump for the S1 scale path -- the
+#: spark.read.text analog of scrape_cia.py:42-62 (one record per line,
+#: country|raw-amount-text).  Generated at registration time so BOTH
+#: engines (Spark scan + DuckDB read_text oracle) see the same file.
+_CRAWL_PATH = "/root/repo/spark-warehouse/s1_crawl_blob.txt"
+
+
+def _ensure_crawl_blob() -> None:
+    import os
+    lines = []
+    for i in range(400):
+        country = f"COUNTRY_{i % 40:02d}"
+        if i % 7 == 0:
+            raw = "NA"
+        elif i % 11 == 0:
+            raw = f"$1,{i % 10}23,000,000 ({1990 + i % 30} est.)"
+        else:
+            unit = [" million", " billion", " trillion", ""][i % 4]
+            raw = f"${i * 3 % 997}{unit} ({1990 + i % 30} est.)"
+        lines.append(f"{country}|{raw}")
+    content = "\n".join(lines) + "\n"
+    os.makedirs(os.path.dirname(_CRAWL_PATH), exist_ok=True)
+    try:
+        with open(_CRAWL_PATH) as fh:
+            if fh.read() == content:
+                return
+    except OSError:
+        pass
+    with open(_CRAWL_PATH, "w") as fh:
+        fh.write(content)
+
+
+_ensure_crawl_blob()
+
+
+@register("s1_text_crawl", f"""
+WITH lines AS (
+  SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS line
+  FROM read_text('{_CRAWL_PATH}')
+),
+parsed AS (
+  SELECT string_split(line, '|')[1] AS country,
+         string_split(line, '|')[2] AS raw
+  FROM lines
+)
+SELECT country, raw,
+       CASE WHEN regexp_matches(raw, '^\\$\\d+') THEN
+         CAST(replace(string_split(ltrim(raw, '$'), ' ')[1], ',', '')
+              AS DOUBLE)
+         * CASE string_split(ltrim(raw, '$') || ' ', ' ')[2]
+             WHEN 'million' THEN 1e6 WHEN 'billion' THEN 1e9
+             WHEN 'trillion' THEN 1e12 ELSE 1.0 END
+       END AS amount,
+       CASE WHEN regexp_matches(substr(string_split(raw, ' (')[-1], 1, 4),
+                                '^\\d{{4}}$')
+            THEN substr(string_split(raw, ' (')[-1], 1, 4) END AS year_str
+FROM parsed
+""")
+def s1_text_crawl(spark, sf):
+    """S1 at crawl scale: ``spark.read.text`` over a raw-text dump
+    (one scraped record per line), parsed with the SAME F1/F2 column
+    expressions the fixture path uses (scrape_cia.py:42-74 analog).
+    This is the 100-TB shape of the scrape stage: the driver never
+    touches records; executors scan text splits and every parse is
+    whole-stage codegen (no UDF)."""
+    from .functions import extract_year, parse_currency
+    raw = spark.read.text(_CRAWL_PATH)
+    return (raw
+            .select(F.split_part(F.col("value"), F.lit("|"), F.lit(1))
+                    .alias("country"),
+                    F.split_part(F.col("value"), F.lit("|"), F.lit(2))
+                    .alias("raw"))
+            .select("country", "raw",
+                    parse_currency(F.col("raw")).alias("amount"),
+                    extract_year(F.col("raw")).alias("year_str")))
 
 
 @register("s1_from_records", """

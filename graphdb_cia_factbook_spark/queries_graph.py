@@ -276,18 +276,32 @@ exp AS (
   JOIN supplier s ON l.l_suppkey = s.s_suppkey
   JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
   GROUP BY sn.n_name, p.p_brand
+),
+imp AS (
+  SELECT p.p_brand AS src, cn.n_name AS dst, 'imports' AS type,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS amount
+  FROM lineitem l
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+  GROUP BY p.p_brand, cn.n_name
 )
 SELECT src, dst, 'trades' AS type, amount FROM edges
 UNION ALL SELECT src, dst, type, amount FROM contains
 UNION ALL SELECT src, dst, type, amount FROM exp
+UNION ALL SELECT src, dst, type, amount FROM imp
 """)
 def g_property_edges(spark, sf):
     """S4 parity on driver data: the reference's labeled property graph
-    (country/region/good nodes; trades/contains/exports edge types,
+    (country/region/good nodes; ALL FOUR edge types -- trades,
+    contains, exports country->good, imports good->country,
     preprocess_upload_neo4j.py:217-395) as ONE typed edge DataFrame --
     the bulk-load replacement for the per-row Cypher MERGE loops.
-    'good' nodes map to part brands; exports edges carry summed
-    revenue."""
+    'good' nodes map to part brands; exports/imports edges carry
+    summed revenue (exports from the supplier side, imports from the
+    customer side, mirroring :348-369 / :371-395)."""
     from .sources import read_table
     g = build_trade_graph(spark, sf)
     nation = read_table(spark, sf, "nation")
@@ -318,7 +332,25 @@ def g_property_edges(spark, sf):
                     .alias("amount"))
                .select("src", "dst", F.lit("exports").alias("type"),
                        "amount"))
-    return trades.unionByName(contains).unionByName(exports)
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    cust_nation = (customer.join(F.broadcast(nation),
+                                 customer.c_nationkey == nation.n_nationkey)
+                   .select("c_custkey", F.col("n_name").alias("dst")))
+    imports = (lineitem
+               .join(orders.select("o_orderkey", "o_custkey"),
+                     lineitem.l_orderkey == F.col("o_orderkey"))
+               .join(F.broadcast(cust_nation),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                     lineitem.l_partkey == F.col("p_partkey"))
+               .groupBy(F.col("p_brand").alias("src"), "dst")
+               .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("amount"))
+               .select("src", "dst", F.lit("imports").alias("type"),
+                       "amount"))
+    return (trades.unionByName(contains).unionByName(exports)
+            .unionByName(imports))
 
 
 @register("g_bfs_hops", f"""

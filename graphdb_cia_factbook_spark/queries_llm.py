@@ -143,20 +143,31 @@ def llm_minhash_lsh(spark, sf):
                              threshold=0.5)
 
 
+_NGRAM_DF_CAP = 1000
+
 @register("llm_ngram_jaccard", f"""
 WITH {SHINGLE_CTE},
+rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {_NGRAM_DF_CAP}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM sh a
+  JOIN rare r ON r.shingle = a.shingle
+  JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 {_JACCARD_TAIL.rstrip()}
 WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
 """)
 def llm_ngram_jaccard(spark, sf):
     """Brute n-gram (3-shingle) Jaccard dedup >= 0.5 -- the exact
-    reference answer MinHash-LSH approximates."""
+    reference answer MinHash-LSH approximates.  Candidate generation
+    skips shingles with document frequency > _NGRAM_DF_CAP (the
+    hot-shingle guard that keeps the self-join from degenerating at
+    scale); scoring still uses full shingle sets -- both mirrored in
+    the oracle."""
     return ngram_jaccard_dedup(read_parallel(spark, sf, "documents"),
-                               threshold=0.5)
+                               threshold=0.5, max_shingle_df=_NGRAM_DF_CAP)
 
 
 _SIMHASH_BITS = 16
@@ -353,39 +364,52 @@ def llm_ann_lsh(spark, sf):
     return lsh_topk(emb, emb.where(F.col("vec_id") < 32), k=3, nbits=8)
 
 
-_IVF_K, _IVF_NPROBE = 16, 2
+_IVF_K, _IVF_NPROBE, _IVF_LLOYD = 16, 2, 1
 
 
-@register("llm_ann_ivf", f"""
-WITH cents AS (
+def _ivf_sql(lloyd_iters: int) -> str:
+    """Generate the IVF oracle: seeded centroids -> ``lloyd_iters``
+    Lloyd refinements (decimal-exact per-dimension means, mirroring
+    similarity.lloyd_refine) -> assign/probe/score on the FINAL
+    centroid table."""
+    def nearest(cents: str, filt: str, n: int, out: str) -> str:
+        return f"""(
+  SELECT vec_id AS {out}, embedding, centroid_id
+  FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC,
+                      c.centroid_id) AS cr
+    FROM embeddings e CROSS JOIN {cents} c {filt}
+  ) WHERE cr <= {n}
+)"""
+
+    parts = [f"""WITH cents0 AS (
   SELECT vec_id AS centroid_id, embedding AS cent
   FROM embeddings WHERE vec_id < {_IVF_K}
+)"""]
+    for i in range(lloyd_iters):
+        parts.append(f""",
+a{i} AS {nearest(f'cents{i}', '', 1, 'vid')},
+m{i} AS (
+  SELECT centroid_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+  FROM (SELECT centroid_id, unnest(embedding) AS val,
+               generate_subscripts(embedding, 1) AS pos FROM a{i})
+  GROUP BY centroid_id, pos
 ),
-assign AS (
-  SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
-  FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC,
-                      c.centroid_id) AS cr
-    FROM embeddings e CROSS JOIN cents c
-  ) WHERE cr <= 1
-),
-probe AS (
-  SELECT vec_id AS query_id, embedding AS qv, centroid_id
-  FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY {_cos_sql('e.embedding', 'c.cent')} DESC,
-                      c.centroid_id) AS cr
-    FROM embeddings e CROSS JOIN cents c
-    WHERE e.vec_id < 8
-  ) WHERE cr <= {_IVF_NPROBE}
-),
+cents{i + 1} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cent FROM m{i}
+  GROUP BY centroid_id
+)""")
+    fin = f"cents{lloyd_iters}"
+    parts.append(f""",
+assign AS {nearest(fin, '', 1, 'neighbor_id')},
+probe AS {nearest(fin, 'WHERE e.vec_id < 8', _IVF_NPROBE, 'query_id')},
 scored AS (
-  SELECT p.query_id, a.neighbor_id, {_cos_sql('p.qv', 'a.cv')} AS cos
+  SELECT p.query_id, a.neighbor_id,
+         {_cos_sql('p.embedding', 'a.embedding')} AS cos
   FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
   WHERE a.neighbor_id <> p.query_id
 ),
@@ -397,14 +421,20 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
-FROM ranked WHERE rank <= 3
-""")
+FROM ranked WHERE rank <= 3""")
+    return "".join(parts)
+
+
+@register("llm_ann_ivf", _ivf_sql(_IVF_LLOYD))
 def llm_ann_ivf(spark, sf):
-    """IVF approximate top-3: 16 seeded centroid lists, 2-probe --
-    search cost ~ Q*N*nprobe/n_centroids instead of Q*N."""
+    """IVF approximate top-3: 16 seeded + Lloyd-refined centroid
+    lists, 2-probe -- search cost ~ Q*N*nprobe/n_centroids instead of
+    Q*N.  The refinement is deterministic (decimal-exact means) so the
+    generated oracle reproduces it step for step."""
     emb = read_parallel(spark, sf, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=3,
-                    n_centroids=_IVF_K, nprobe=_IVF_NPROBE)
+                    n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
+                    lloyd_iters=_IVF_LLOYD)
 
 
 @register("llm_embed_neardup", f"""

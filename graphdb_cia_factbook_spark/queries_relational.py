@@ -254,14 +254,20 @@ def a3_distinct_values(spark, sf):
 
 
 @register("a4_group_collect", """
-SELECT n_regionkey, list_sort(list(DISTINCT n_name)) AS nations
+SELECT n_regionkey,
+       array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations_csv
 FROM nation GROUP BY n_regionkey
 """)
 def a4_group_collect(spark, sf):
     """A4: group-collect set->sorted list (sub-goods per mapped good,
-    preprocess_upload_neo4j.py:204-208)."""
+    preprocess_upload_neo4j.py:204-208).  The gated output joins the
+    sorted list to one string: the values are identical to the array
+    form, and a scalar column survives any row-hash canonicalizer
+    (list cells are unhashable in pandas-side sorts)."""
     nation = read_table(spark, sf, "nation")
-    return group_collect_sorted(nation, "n_regionkey", "n_name", "nations")
+    return (group_collect_sorted(nation, "n_regionkey", "n_name", "nations")
+            .select("n_regionkey",
+                    F.array_join("nations", ",").alias("nations_csv")))
 
 
 @register("a5_count_distinct", """

@@ -34,11 +34,21 @@ def _prepare_session(spark: SparkSession) -> None:
     - codegen hugeMethodLimit: wide fused stages otherwise generate
       methods HotSpot never JITs (multi-minute stalls late in a
       session).
+    - shuffle partitions sized to the local core count: a vanilla
+      session's 200-partition default turns every superstep of the
+      iterative operators (PageRank: 20 shuffles) into 200 near-empty
+      tasks; gate latency then runs several times the bench latency
+      for pure scheduling overhead.  On a real cluster this value is
+      the usual starting point that AQE re-plans per stage.
     """
     try:
+        import os
+
         from .session import clear_scratch
         clear_scratch(spark)
         spark.conf.set("spark.sql.codegen.hugeMethodLimit", "8000")
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+        spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     except Exception:  # noqa: BLE001 -- hygiene must never fail a query
         pass
 

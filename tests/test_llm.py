@@ -61,6 +61,33 @@ def test_minhash_lsh_recall_vs_bruteforce(spark, docs):
     assert true, "testdata should contain near-duplicate documents"
 
 
+def test_ngram_hot_shingle_guard(spark):
+    """A boilerplate shingle shared by EVERY doc must not generate
+    candidate pairs when it exceeds max_shingle_df, but true near-dups
+    (overlapping on rare shingles too) must still be found -- and their
+    jaccard must be computed over FULL shingle sets, boilerplate
+    included."""
+    boiler = "subscribe to our newsletter today"
+    rows = ([(i, f"unique{i} text number {i} " + boiler)
+             for i in range(20)]
+            + [(100, "the quick brown fox jumps " + boiler),
+               (101, "the quick brown fox jumps " + boiler)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_dedup(
+               df, threshold=0.5, max_shingle_df=10).collect()}
+    # docs 100/101 are identical -> jaccard 1.0 via their rare shingles
+    assert out == {(100, 101): 1.0}
+    # sanity: without the guard the boilerplate shingles pair ALL docs
+    # as candidates (still filtered by threshold, but the pair space is
+    # quadratic); with it, candidate work is bounded by rare shingles
+    unguarded = ngram_jaccard_dedup(df, threshold=0.0,
+                                    max_shingle_df=10**9).count()
+    guarded = ngram_jaccard_dedup(df, threshold=0.0,
+                                  max_shingle_df=10).count()
+    assert guarded < unguarded
+
+
 def test_winnowing_guarantee(spark):
     """Two docs sharing a long token run must share a fingerprint."""
     shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
@@ -82,6 +109,43 @@ def test_lsh_topk_subset_of_bruteforce_pool(spark, emb):
     bmap = {(r.query_id, r.neighbor_id): r.cos for r in brute.collect()}
     for r in lsh.collect():
         assert bmap[(r.query_id, r.neighbor_id)] == r.cos
+
+
+def test_ivf_lloyd_refinement(spark, emb):
+    """Lloyd refinement must improve the k-means objective (average
+    cosine of each vector to its assigned centroid) over the raw
+    seeds -- the property k-means guarantees.  Fixed-nprobe recall on
+    this synthetic corpus is ~0.9 either way (seeded centroids are
+    real data vectors, so on near-uniform noise the 2-3 pair delta is
+    tie-noise); pin a floor so a regression to bad lists still
+    fails."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        _nearest_centroids,
+        cosine,
+        ivf_topk,
+        lloyd_refine,
+    )
+
+    seed = (emb.where(F.col("vec_id") < 16)
+            .select(F.col("vec_id").alias("centroid_id"),
+                    F.col("embedding").alias("__cent")))
+
+    def objective(cents):
+        a = _nearest_centroids(emb, cents, "__vid", 1,
+                               "vec_id", "embedding")
+        return (a.join(cents, "centroid_id")
+                .agg(F.avg(cosine(F.col("embedding"), F.col("__cent"))))
+                .first()[0])
+
+    refined = lloyd_refine(emb, seed, 1)
+    assert objective(refined) > objective(seed)
+
+    queries = emb.where(F.col("vec_id") < 8)
+    true = {(r.query_id, r.neighbor_id)
+            for r in brute_force_topk(emb, queries, k=3).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, queries, k=3, lloyd_iters=1).collect()}
+    assert len(got & true) / len(true) >= 0.8
 
 
 def test_lang_id_beats_chance(spark, docs):

@@ -9,6 +9,7 @@ from graphdb_cia_factbook_spark.pipeline import (
     FactbookTables,
     build_country,
     build_goods,
+    build_goods_edges,
     build_trade,
     dedup_regions,
     to_property_graph,
@@ -122,14 +123,35 @@ def test_goods(tables):
     assert rows == {"agri": ["corn", "wheat"], "energy": ["oil"]}
 
 
+def test_goods_edges(tables):
+    rows = build_goods_edges(tables).collect()
+    got = {(r["src"], r["dst"], r["type"], r["sub_good"]): r for r in rows}
+    assert set(got) == {
+        ("Alpha", "agri", "exports", "wheat"),
+        ("Alpha", "agri", "exports", "corn"),
+        ("agri", "Beta", "imports", "wheat"),
+        ("energy", "Gamma", "imports", "oil"),
+    }
+    assert got[("Alpha", "agri", "exports", "wheat")]["amount"] == 1.0
+    assert got[("Alpha", "agri", "exports", "corn")]["amount"] == 2.0
+
+
 def test_property_graph(tables):
     country = build_country(tables)
     trade = build_trade(tables, country)
     goods = build_goods(tables)
     regions = dedup_regions(tables)
-    pg = to_property_graph(country, trade, goods, regions)
+    pg = to_property_graph(country, trade, goods, regions,
+                           goods_edges=build_goods_edges(tables))
     labels = dict(pg.vertices.groupBy("label").count().collect())
     assert labels == {"country": 3, "region": 2, "good": 2}
     types = dict(pg.edges.groupBy("type").count().collect())
     # 3 trades + 4 contains (Beta deduped; Gamma in 2 regions)
-    assert types == {"trades": 3, "contains": 4}
+    # + 2 exports (wheat/corn -> agri) + 2 imports (agri/energy -> country)
+    assert types == {"trades": 3, "contains": 4, "exports": 2, "imports": 2}
+    sub = {r["sub_good"] for r in
+           pg.edges.where(F.col("type") == "exports").collect()}
+    assert sub == {"wheat", "corn"}
+    # trades edges must carry null sub_good after the widening union
+    assert pg.edges.where((F.col("type") == "trades")
+                          & F.col("sub_good").isNotNull()).count() == 0
