@@ -158,6 +158,48 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("jaccard") >= threshold))
 
 
+def dedup_clusters(df: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup RESOLUTION: verified near-dup pairs -> connected
+    components -> one canonical survivor per cluster.  This is the
+    step that turns pairwise near-dup detection into an actually
+    deduplicated corpus (near-duplicates are transitive in practice:
+    A~B and B~C drifted copies must all collapse to ONE survivor, not
+    two, which naive pairwise removal gets wrong).
+
+    Output one row per input doc: (doc_id, cluster_id, cluster_size,
+    is_canonical) where cluster_id = min doc id in the component and
+    is_canonical marks the survivor -- downstream dedup is
+    ``.where("is_canonical")``.
+
+    Scale shape: the component loop runs on the PAIR graph only
+    (verified near-dups, orders of magnitude smaller than the corpus)
+    and converges in ~chain-length supersteps; docs in no pair never
+    enter the loop and become singletons via one corpus-sized left
+    join.  The cluster_size window shuffles only (id, cluster_id)
+    pairs -- 16 bytes/row at any corpus size."""
+    from .graph import Graph, connected_components
+
+    # the pair pipeline feeds three consumers (component vertices,
+    # component edges, and the loop itself) -- materialize it once
+    pairs = _hold(pairs.select("id_a", "id_b"))
+    pair_docs = (pairs.select(F.col("id_a").alias("id"))
+                 .union(pairs.select(F.col("id_b").alias("id")))
+                 .distinct())
+    edges = pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+    comp = connected_components(Graph(pair_docs, edges))
+    labeled = (df.select(id_col)
+               .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+               .select(id_col, F.coalesce("component", F.col(id_col))
+                       .alias("cluster_id")))
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        id_col, "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"))
+
+
 def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.8,

@@ -356,3 +356,80 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
     return (graph.vertices.select("id")
             .join(visited, "id", "left")
             .select("id", "dist"))
+
+
+def sssp(graph: Graph, sources: list, weight_col: str = "cost",
+         max_iter: int = 30) -> DataFrame:
+    """Weighted single-source shortest path (Bellman-Ford supersteps):
+    dist(v) starts at 0 for sources / NULL (infinity) elsewhere; each
+    superstep relaxes every edge, dist(v) = min(dist(v),
+    min over in-edges (dist(u) + w)).  Fixpoint-terminated (converges
+    within |V|-1 relaxation rounds on any non-negative-weight graph).
+
+    Integer weights keep the min exact and engine-portable (float path
+    sums are also deterministic -- each path's sum accumulates in path
+    order on both engines -- but integers remove rounding questions
+    entirely).  Scale shape per superstep: one edge-sized equi-join
+    against the settled-dist table + one vertex-keyed min-aggregate --
+    the same two-shuffle pattern as the rank loop; the iteration count
+    is bounded by the weighted diameter, not |V| (fixpoint exit)."""
+    edges = (graph.edges.select("src", "dst",
+                                F.col(weight_col).cast("long").alias("w"))
+             .localCheckpoint())
+    dist = (graph.vertices.select(
+        "id", F.when(F.col("id").isin(sources), F.lit(0).cast("long"))
+        .alias("dist"))
+        .localCheckpoint())
+
+    for _ in range(max_iter):
+        relax = (edges.join(dist.select(F.col("id").alias("src"),
+                                        F.col("dist").alias("du")), "src")
+                 .where(F.col("du").isNotNull())
+                 .groupBy(F.col("dst").alias("id"))
+                 .agg(F.min(F.col("du") + F.col("w")).alias("cand")))
+        new = (dist.join(relax, "id", "left")
+               .select("id", F.least(F.coalesce("dist", F.col("cand")),
+                                     F.coalesce("cand", F.col("dist")))
+                       .alias("dist"))
+               .localCheckpoint())
+        changed = (new.alias("n").join(dist.alias("o"), "id")
+                   .where(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
+                   .count())
+        dist = new
+        if changed == 0:
+            break
+    return dist
+
+
+def label_propagation(graph: Graph, max_iter: int = 4) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation: every
+    vertex starts in its own community (label = id); each superstep it
+    adopts the most frequent label among its undirected neighbors,
+    ties broken by smallest label; vertices with no neighbors keep
+    their label.
+
+    A FIXED iteration count (not fixpoint) is deliberate: synchronous
+    LPA can oscillate on bipartite structures, and a fixed small k is
+    the standard deterministic variant -- it also makes the computation
+    exactly reproducible as generated oracle SQL (one CTE stage per
+    superstep).  Scale shape per superstep: one edge-sized join + one
+    (vertex x distinct-neighbor-label)-sized count + one vertex-keyed
+    window -- all equi-partitioned on vertex id."""
+    ue = undirected_edges(graph.edges)
+    both = (ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+            .localCheckpoint())
+    labels = graph.vertices.select("id", F.col("id").alias("label"))
+
+    w = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(max_iter):
+        counts = (both.join(labels, both.a == labels.id)
+                  .groupBy(F.col("b").alias("id"), "label")
+                  .agg(F.count(F.lit(1)).alias("n")))
+        best = (counts.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1)
+                .select("id", F.col("label").alias("new_label")))
+        labels = (labels.join(best, "id", "left")
+                  .select("id", F.coalesce("new_label", "label")
+                          .alias("label"))
+                  .localCheckpoint())
+    return labels.select("id", F.col("label").alias("community"))

@@ -151,6 +151,33 @@ def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
 
 
+def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 label_col: str = "label") -> DataFrame:
+    """k-NN classification: majority label vote over the exact cosine
+    top-k neighbors (self excluded).  Deterministic end to end: the
+    top-k tie-breaks on neighbor id, the vote tie-breaks on (votes
+    desc, label asc).
+
+    Output: (query_id, predicted_label, votes).  Scale shape: the
+    neighbor search is :func:`brute_force_topk` (broadcast queries,
+    corpus streams once); the vote is a Q*k-row aggregate -- swap in
+    :func:`lsh_topk`/:func:`ivf_topk` for the neighbor stage when Q is
+    large, the vote logic is unchanged."""
+    topk = brute_force_topk(corpus, queries, k=k,
+                            id_col=id_col, vec_col=vec_col)
+    votes = (topk.join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                                     F.col(label_col)), "neighbor_id")
+             .groupBy("query_id", label_col)
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("votes"),
+                                               F.asc(label_col))
+    return (votes.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("query_id",
+                    F.col(label_col).alias("predicted_label"), "votes"))
+
+
 def _nearest_centroids(df: DataFrame, cents: DataFrame, out_id: str,
                        n: int, id_col: str, vec_col: str) -> DataFrame:
     """Top-``n`` centroids per vector by cosine (deterministic

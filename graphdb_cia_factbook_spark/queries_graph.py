@@ -386,6 +386,103 @@ def g_bfs_hops(spark, sf):
     return bfs_hops(Graph(g.vertices, top3), ["NATION_0"])
 
 
+#: top-3-partner sparsification with the edge's partner rank kept as an
+#: integer COST (1 = strongest link) -- shared by the SSSP/LPA oracles
+_TOP3_COST_CTE = """
+top3 AS (
+  SELECT src, dst, rn AS cost FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+)"""
+
+
+def _top3_cost(spark, sf):
+    """Spark twin of _TOP3_COST_CTE."""
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("cost", F.row_number().over(w))
+            .where(F.col("cost") <= 3).select("src", "dst", "cost"))
+    return g, top3
+
+
+@register("g_sssp_weighted", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_COST_CTE.lstrip()},
+reach(id, dist) AS (
+  SELECT id, CAST(0 AS BIGINT) FROM verts WHERE id = 'NATION_0'
+  UNION
+  SELECT e.dst, r.dist + e.cost
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 100
+)
+SELECT v.id, MIN(r.dist) AS dist
+FROM verts v LEFT JOIN reach r ON v.id = r.id
+GROUP BY v.id
+""")
+def g_sssp_weighted(spark, sf):
+    """EXT graph algorithm: weighted single-source shortest path from
+    NATION_0 over the top-3-partner digraph, edge cost = the partner
+    rank (1 = strongest link), i.e. the cheapest chain of strong trade
+    relationships.  Bellman-Ford supersteps; oracle = bounded
+    recursive-CTE path closure + MIN per vertex (exact because costs
+    are integers and the closure cap exceeds any shortest distance)."""
+    from .operators.graph import Graph, sssp
+    g, top3 = _top3_cost(spark, sf)
+    return sssp(Graph(g.vertices, top3), ["NATION_0"], weight_col="cost")
+
+
+_LPA_ITERS = 4
+
+
+def _lpa_sql(iters: int) -> str:
+    """Generate the synchronous-LPA oracle: one (count -> argmax ->
+    relabel) CTE stage per superstep, mirroring
+    operators.graph.label_propagation exactly."""
+    parts = [f"WITH {EDGES_CTE.lstrip()},", f"{_TOP3_COST_CTE.lstrip()},",
+             """
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+bi AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+l0 AS (SELECT id, id AS label FROM verts)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS (
+  SELECT e.b AS id, l.label, COUNT(*) AS n
+  FROM bi e JOIN l{k - 1} l ON e.a = l.id GROUP BY 1, 2
+),
+b{k} AS (
+  SELECT id, label FROM (
+    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id
+                                         ORDER BY n DESC, label) AS rn
+    FROM c{k}
+  ) WHERE rn = 1
+),
+l{k} AS MATERIALIZED (
+  SELECT p.id, COALESCE(b.label, p.label) AS label
+  FROM l{k - 1} p LEFT JOIN b{k} b ON p.id = b.id
+)""")
+    parts.append(f"\nSELECT id, label AS community FROM l{iters}")
+    return "".join(parts)
+
+
+@register("g_label_propagation", _lpa_sql(_LPA_ITERS))
+def g_label_propagation(spark, sf):
+    """EXT graph algorithm: community detection by synchronous label
+    propagation ({_LPA_ITERS} supersteps, most-frequent-neighbor-label
+    with smallest-label tie-break) on the undirected top-3-partner
+    graph.  Fixed iteration count keeps sync LPA deterministic and
+    lets the oracle replay it stage for stage."""
+    from .operators.graph import Graph, label_propagation
+    g, top3 = _top3_cost(spark, sf)
+    return label_propagation(Graph(g.vertices, top3.select("src", "dst")),
+                             max_iter=_LPA_ITERS)
+
+
 @register("sql_top_partner_top10", f"""
 WITH {EDGES_CTE},
 ranked AS (

@@ -86,6 +86,26 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 """
 
 
+#: same sizes/inter computation as _JACCARD_TAIL but fully CTE-shaped
+#: (ending in a ``jac`` CTE) so downstream SQL can keep composing --
+#: used by the cluster-resolution oracle
+_JACCARD_CTES = """
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT i.id_a, i.id_b,
+         i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.id_a
+  JOIN sizes sb ON sb.doc_id = i.id_b
+)"""
+
+
 def _dot_sql(a: str, b: str) -> str:
     """Sequential-fold dot product -- bit-equal to similarity.dot."""
     return (f"list_reduce(list_transform(range(1, len({a}) + 1), "
@@ -141,6 +161,51 @@ def llm_minhash_lsh(spark, sf):
     return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
                              num_hashes=_NUM_HASHES, bands=_BANDS,
                              threshold=0.5)
+
+
+@register("llm_dedup_clusters", f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+              AND a.doc_id < b.doc_id
+),
+{_JACCARD_CTES.lstrip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       doc_id = cluster_id AS is_canonical
+FROM alldocs
+""")
+def llm_dedup_clusters(spark, sf):
+    """End-to-end fuzzy dedup over the corpus: MinHash-LSH verified
+    pairs -> connected components -> one canonical survivor per
+    near-dup cluster (the resolution step a training-data pipeline
+    runs after pairwise detection; transitive drifted copies A~B~C
+    collapse to one survivor).  Oracle: the same LSH pair SQL plus a
+    recursive-CTE transitive closure."""
+    docs = read_parallel(spark, sf, "documents")
+    pairs = minhash_lsh_dedup(docs, num_hashes=_NUM_HASHES, bands=_BANDS,
+                              threshold=0.5)
+    from .operators.dedup import dedup_clusters
+    return dedup_clusters(docs, pairs)
 
 
 _NGRAM_DF_CAP = 1000
@@ -335,6 +400,44 @@ def llm_ann_brute(spark, sf):
     (broadcast nested-loop + two-phase top-k)."""
     emb = read_parallel(spark, sf, "embeddings")
     return brute_force_topk(emb, emb.where(F.col("vec_id") < 8), k=5)
+
+
+@register("llm_knn_classify", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 32),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+),
+votes AS (
+  SELECT r.query_id, e.label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= 5
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS predicted_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes
+)
+SELECT query_id, predicted_label, votes FROM best WHERE vr = 1
+""")
+def llm_knn_classify(spark, sf):
+    """k-NN label prediction: majority vote over the exact cosine
+    top-5 neighbors for 32 query vectors (the embeddings table carries
+    a ground-truth ``label``).  Deterministic tie-breaks: neighbor id
+    in the top-k, (votes desc, label asc) in the vote."""
+    from .operators.similarity import knn_classify
+    emb = read_parallel(spark, sf, "embeddings")
+    return knn_classify(emb, emb.where(F.col("vec_id") < 32), k=5)
 
 
 @register("llm_ann_lsh", f"""

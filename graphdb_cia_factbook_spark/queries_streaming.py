@@ -97,3 +97,25 @@ def st_dedup(spark, sf):
     """Streaming dedup by event key (state-store keyed dropDuplicates
     on a stream; distinct projection in batch)."""
     return dedup_events(read_table(spark, sf, "events"))
+
+
+@register("st_stream_join", """
+WITH l AS (
+  SELECT user_id, event_id AS left_id, CAST(ts AS TIMESTAMP) AS left_ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, event_id AS right_id, CAST(ts AS TIMESTAMP) AS right_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.left_id, l.left_ts, r.right_id, r.right_ts
+FROM l JOIN r ON l.user_id = r.user_id
+  AND l.left_ts >= r.right_ts - INTERVAL 30 MINUTE
+  AND l.left_ts < r.right_ts
+""")
+def st_stream_join(spark, sf):
+    """Stream-stream interval join: purchases attributed to same-user
+    clicks in the preceding 30 minutes (Spark's canonical
+    watermark-evicted stream-stream join, run in its batch form)."""
+    from .streaming import interval_join
+    return interval_join(read_table(spark, sf, "events"))

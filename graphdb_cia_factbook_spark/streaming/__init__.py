@@ -102,6 +102,41 @@ def session_agg(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
                     "n_events", "total_value"))
 
 
+def interval_join(events: DataFrame, left_type: str = "click",
+                  right_type: str = "purchase",
+                  within: str = "30 minutes",
+                  watermark: str | None = None) -> DataFrame:
+    """Stream-stream interval join (the ad-attribution shape): each
+    ``right_type`` event matches every ``left_type`` event of the SAME
+    user whose timestamp lies in [right.ts - within, right.ts).
+
+    On a stream this is Spark's canonical stream-stream join: the
+    time-bound condition plus a watermark on BOTH sides (pass
+    ``watermark``) is what lets the state store evict buffered rows
+    once they can no longer match -- without the bound, both sides
+    buffer forever.  In batch the same plan is a plain range-condition
+    join.  Scale shape: equi-key on user_id carries the shuffle; the
+    range predicate is evaluated within the matched key group."""
+    lhs = events.where(F.col("event_type") == left_type)
+    rhs = events.where(F.col("event_type") == right_type)
+    if watermark is not None:
+        lhs = lhs.withWatermark("ts", watermark)
+        rhs = rhs.withWatermark("ts", watermark)
+    lhs = lhs.select(F.col("user_id"),
+                     F.col("event_id").alias("left_id"),
+                     F.col("ts").alias("left_ts"))
+    rhs = rhs.select(F.col("user_id").alias("__ru"),
+                     F.col("event_id").alias("right_id"),
+                     F.col("ts").alias("right_ts"))
+    cond = ((lhs.user_id == rhs.__ru)
+            & (F.col("left_ts") >= F.col("right_ts")
+               - F.expr(f"INTERVAL {within}"))
+            & (F.col("left_ts") < F.col("right_ts")))
+    return (lhs.join(rhs, cond)
+            .select("user_id", "left_id", "left_ts",
+                    "right_id", "right_ts"))
+
+
 def dedup_events(events: DataFrame) -> DataFrame:
     """Streaming dedup on the event key.  On a stream this keys the
     state store by event_id (bound it with a watermark /

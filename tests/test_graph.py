@@ -142,3 +142,32 @@ def test_bfs_hops_chain_and_unreachable(spark):
     und = {r.id: r.dist
            for r in bfs_hops(Graph(v, e), ["A"], directed=False).collect()}
     assert und == {"A": 0, "B": 1, "C": 2, "D": None, "E": 1}
+
+
+def test_sssp_weighted_relaxation(spark):
+    from graphdb_cia_factbook_spark.operators.graph import sssp
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    # direct A->C costs 10; the A->B->C detour costs 3 and must win
+    e = spark.createDataFrame(
+        [("A", "C", 10), ("A", "B", 1), ("B", "C", 2), ("C", "D", 1)],
+        "src string, dst string, cost int")
+    got = {r.id: r.dist for r in sssp(Graph(v, e), ["A"]).collect()}
+    assert got == {"A": 0, "B": 1, "C": 3, "D": 4, "E": None}
+
+
+def test_label_propagation_two_cliques(spark):
+    from graphdb_cia_factbook_spark.operators.graph import label_propagation
+    v = spark.createDataFrame([(x,) for x in "ABCXYZ"], "id string")
+    # two triangles joined by one weak bridge C-X: labels must converge
+    # to one community per triangle (min label of each), not merge
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"),
+         ("X", "Y"), ("Y", "Z"), ("Z", "X"), ("C", "X")],
+        "src string, dst string")
+    got = {r.id: r.community
+           for r in label_propagation(Graph(v, e), max_iter=4).collect()}
+    assert got["A"] == got["B"] == got["C"] == "A"
+    # the second triangle converges to ONE community of its own ("C":
+    # C's label hops the bridge in step 1 while X's own label leaves)
+    assert got["X"] == got["Y"] == got["Z"]
+    assert got["X"] != got["A"]

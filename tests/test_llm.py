@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from graphdb_cia_factbook_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_dedup,
     ngram_jaccard_dedup,
@@ -86,6 +87,37 @@ def test_ngram_hot_shingle_guard(spark):
     guarded = ngram_jaccard_dedup(df, threshold=0.0,
                                   max_shingle_df=10).count()
     assert guarded < unguarded
+
+
+def test_dedup_clusters_transitive(spark):
+    """A~B and B~C (no direct A~C pair) must collapse into ONE
+    cluster with a single canonical survivor; untouched docs stay
+    singletons marked canonical."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r.doc_id: r for r in dedup_clusters(docs, pairs).collect()}
+    assert {i: r.cluster_id for i, r in rows.items()} == {
+        0: 0, 1: 1, 2: 2, 3: 1, 4: 4, 5: 1}
+    assert [i for i, r in sorted(rows.items()) if r.is_canonical] == \
+        [0, 1, 2, 4]
+    assert rows[5].cluster_size == 3 and rows[0].cluster_size == 1
+
+
+def test_knn_classify_majority(spark):
+    """Queries embedded inside a label cluster must take that label;
+    the vote tie-break is deterministic (votes desc, label asc)."""
+    from graphdb_cia_factbook_spark.operators.similarity import knn_classify
+
+    rows = ([(i, [1.0, 0.0, float(i) / 100], 7) for i in range(4)]
+            + [(i, [0.0, 1.0, float(i) / 100], 9) for i in range(4, 8)]
+            + [(100, [1.0, 0.05, 0.0], 7), (101, [0.05, 1.0, 0.0], 9)])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: r.predicted_label
+           for r in knn_classify(emb, emb.where(F.col("vec_id") >= 100),
+                                 k=3).collect()}
+    assert out == {100: 7, 101: 9}
 
 
 def test_winnowing_guarantee(spark):

@@ -57,6 +57,18 @@ def test_stream_dedup_append(spark, batch_events):
     assert got == want and len(got) > 0
 
 
+def test_stream_stream_interval_join(spark, batch_events):
+    """Stream-stream interval join (watermarks on both sides, append
+    mode) must equal the batch range join row-for-row."""
+    from graphdb_cia_factbook_spark.streaming import interval_join
+    sdf = interval_join(stream_events(spark, SF), watermark="1 hour")
+    run_to_memory(sdf, "t_sjoin", "append")
+    cols = ["user_id", "left_id", "left_ts", "right_id", "right_ts"]
+    got = rows(spark.table("t_sjoin"), cols)
+    want = rows(interval_join(batch_events), cols)
+    assert got == want and len(got) > 0
+
+
 def test_stateful_user_totals(spark, batch_events):
     sdf = stateful_user_totals(stream_events(spark, SF))
     run_to_memory(sdf, "t_state", "update")
