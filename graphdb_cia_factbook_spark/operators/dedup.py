@@ -230,3 +230,34 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                  .select("id_a", "id_b").distinct())
     return (pair_jaccard(all_pairs, sh, id_col)
             .where(F.col("jaccard") >= threshold))
+
+
+def decontaminate(train: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k_shingle: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share
+    any word ``k_shingle``-gram with a held-out evaluation set (the
+    n-gram-overlap test every serious pretraining pipeline runs before
+    training, so eval answers don't leak into the corpus).
+
+    Output one row per train doc: (id, n_shared_shingles,
+    contaminated) -- filter ``~contaminated`` downstream.
+
+    Scale shape: the benchmark side collapses to its DISTINCT shingle
+    set (eval suites are tiny relative to the corpus, typically
+    broadcast-sized); the train side streams through one semi-join
+    keyed on shingle + one doc-keyed count.  The corpus is never
+    self-joined and never shuffled whole -- only (doc, shingle) rows
+    that actually hit the benchmark set move."""
+    bench_sh = (shingle_sets(benchmark, id_col, text_col, k_shingle)
+                .select("shingle").distinct())
+    train_sh = shingle_sets(train, id_col, text_col, k_shingle)
+    hits = (train_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared_shingles")))
+    return (train.select(id_col)
+            .join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_shared_shingles", F.lit(0))
+                    .alias("n_shared_shingles"))
+            .withColumn("contaminated", F.col("n_shared_shingles") > 0))

@@ -433,3 +433,65 @@ def label_propagation(graph: Graph, max_iter: int = 4) -> DataFrame:
                           .alias("label"))
                   .localCheckpoint())
     return labels.select("id", F.col("label").alias("community"))
+
+
+def hits(graph: Graph, max_iter: int = 10,
+         checkpoint_every: int = 5) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg): the natural companion to
+    the reference's PageRank/ArticleRank GDS calls
+    (/root/reference/preprocess_upload_neo4j.py:420-447) for a DIRECTED
+    trade graph -- a good authority is imported-from by good hubs, a
+    good hub imports from good authorities.
+
+    Power iteration, L1-normalized ONCE at the end: per-step
+    normalization only rescales (the direction is what converges), so
+    deferring it halves the superstep work and drops the per-step
+    global-total exchange entirely.  Unnormalized scores grow like
+    (largest singular value)^(2*iters) <= max_degree^(2*iters) per
+    coordinate -- far inside double range for any real iteration count
+    (10 iters on a degree-1e6 graph is 1e120 of 1e308).  Every vertex
+    gets a 0-weight self-edge so both per-side aggregates cover
+    zero-degree vertices without a per-step vertex join -- lineage
+    stays linear, checkpoint cadence stays sparse.  Per half-step: one
+    broadcast join + one aggregate.  The final normalization is two
+    windows over vertex-sized tables.
+    """
+    verts = graph.vertices.select("id").localCheckpoint()
+    n = verts.count()
+    edges = _sized_partitions(
+        graph.edges.select("src", "dst", F.lit(1.0).alias("w"))
+        .unionByName(verts.select(F.col("id").alias("src"),
+                                  F.col("id").alias("dst"),
+                                  F.lit(0.0).alias("w")))
+        .localCheckpoint())
+    small_vector = n <= 10_000_000
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+
+    hub = verts.select("id", F.lit(1.0 / n).alias("hub"))
+    auth = None
+    for i in range(max_iter):
+        cadence = (i + 1) % checkpoint_every == 0
+        h_rhs = F.broadcast(hub) if small_vector else hub
+        auth = (edges.join(h_rhs, edges.src == hub.id)
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum(F.col("hub") * F.col("w")).alias("auth")))
+        if cadence:
+            # checkpoint auth FIRST so the hub half-step (and its own
+            # checkpoint) builds on the materialized auth instead of
+            # recomputing the whole chain a second time
+            auth = auth.localCheckpoint()
+        a_rhs = F.broadcast(auth) if small_vector else auth
+        hub = (edges.join(a_rhs, edges.dst == auth.id)
+               .groupBy(F.col("src").alias("id"))
+               .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")))
+        if cadence:
+            hub = hub.localCheckpoint()
+
+    def _l1(df: DataFrame, col: str) -> DataFrame:
+        total = F.sum(col).over(w_all)
+        return df.select("id", F.when(total > 0, F.col(col) / total)
+                         .otherwise(F.lit(1.0 / n)).alias(col))
+
+    return _l1(hub, "hub").join(_l1(auth, "auth"), "id") \
+        .select("id", "hub", "auth")

@@ -1,0 +1,98 @@
+"""Deterministic sampling and training-example construction for
+large-scale data pipelines (BASELINE.json north_star extensions).
+
+Sampling at 100 TB must be (a) reproducible across reruns and engine
+versions and (b) embarrassingly parallel -- so every decision here is
+a pure function of the row key via md5 (identical hex on every
+engine), never an RNG.  ``rand()``-based sampling cannot be replayed,
+audited, or oracle-checked; keyed hash sampling can.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: width of the hash prefix used as the sampling coin: 8 hex digits
+#: = 32 uniform bits, plenty of resolution for any realistic fraction.
+_HEX_DIGITS = 8
+
+
+def fraction_to_hex_threshold(fraction: float) -> str:
+    """Map a sampling fraction to the lexicographic hex threshold:
+    a row survives iff the first 8 hex chars of its key hash compare
+    strictly below this string.  md5 hex is lowercase on both Spark
+    and DuckDB and lexicographic order on fixed-width lowercase hex
+    equals numeric order, so the comparison is engine-portable without
+    any hex->int conversion.  fraction >= 1 maps to 'g' (above every
+    hex char), fraction <= 0 to '0' * 8 (below every hash)."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return "0" * _HEX_DIGITS
+    return format(int(fraction * 16 ** _HEX_DIGITS), f"0{_HEX_DIGITS}x")
+
+
+def sample_hash_coin(key_col, salt: str = ""):
+    """The sampling coin: first 8 hex chars of md5(salt || key)."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), key_col.cast("string"))),
+        1, _HEX_DIGITS)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float], key_col: str,
+                      default_fraction: float = 0.0,
+                      salt: str = "") -> DataFrame:
+    """Deterministic stratified (per-domain) sampling: each stratum
+    keeps its own fraction of rows, decided per row by the keyed hash
+    coin.  The canonical domain-mixing step of a training-data
+    pipeline: down-weight over-represented sources by giving them
+    smaller fractions.
+
+    Scale shape: zero shuffles -- the threshold lookup is a literal
+    CASE chain (strata maps are small by definition: domains, not
+    rows) and the filter runs inside the scan's codegen stage, so
+    sampling 100 TB costs one pass and prunes at the source."""
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        th = F.lit(fraction_to_hex_threshold(frac))
+        cond = F.col(strata_col) == stratum
+        expr = F.when(cond, th) if expr is None else expr.when(cond, th)
+    thresh = expr.otherwise(
+        F.lit(fraction_to_hex_threshold(default_fraction)))
+    return df.where(sample_hash_coin(F.col(key_col), salt) < thresh)
+
+
+def pack_sequences(df: DataFrame, budget: int, n_shards: int = 8,
+                   id_col: str = "doc_id",
+                   count_col: str = "n_tokens") -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end to end in
+    a deterministic order and cut the token stream into fixed
+    ``budget``-token training sequences (the standard LM pretraining
+    example construction -- documents may straddle a cut).
+
+    Emits one row per document: which shard-local sequence its first
+    token lands in (``seq_first``), where (``start_offset``), and the
+    last sequence it touches (``seq_last``).  All integer arithmetic
+    over a prefix sum -- exact on every engine.
+
+    Scale shape: a single global ordering would serialize the prefix
+    sum through one partition, so the stream is split into
+    ``n_shards`` independent shards by key modulo (shard count sized
+    to the cluster, each shard packs its own sequences).  Per shard
+    the cumulative sum is one window over rows already co-partitioned
+    by the shard key -- the plan at 100 TB is one hash shuffle + one
+    sorted window, no driver participation."""
+    shard = F.pmod(F.col(id_col), F.lit(n_shards))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = F.sum(count_col).over(w)
+    start = (cum - F.col(count_col)).cast("long")
+    end = (cum - 1).cast("long")
+    return (df.withColumn("shard", shard.cast("int"))
+            .select(id_col, "shard", F.col(count_col).alias("n_tokens"),
+                    F.floor(start / budget).cast("long").alias("seq_first"),
+                    F.floor(end / budget).cast("long").alias("seq_last"),
+                    F.pmod(start, F.lit(budget)).cast("long")
+                    .alias("start_offset")))

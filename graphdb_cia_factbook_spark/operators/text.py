@@ -75,6 +75,50 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         score.alias("quality_score"))
 
 
+def repetition_metrics(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: documents dominated by a few
+    repeated tokens or phrases are low-quality training data even when
+    their surface statistics (length, alpha ratio) look fine.
+
+    Per document: ``distinct_token_ratio`` (type/token ratio),
+    ``top_token_fraction`` (share of the most frequent token) and
+    ``top_bigram_fraction`` (share of the most frequent word bigram
+    among all bigrams).  All integer counts divided as doubles --
+    bit-identical across engines.
+
+    Scale shape: two explodes (tokens, bigrams), each followed by a
+    (doc, gram)-keyed count and a doc-keyed max/sum -- token-sized
+    shuffles with map-side partial aggregation, never doc x doc."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("g"))
+    tok_stats = (tok.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+                 .groupBy(id_col)
+                 .agg(F.sum("c").alias("n_tok"),
+                      F.count(F.lit(1)).alias("n_distinct"),
+                      F.max("c").alias("top_tok")))
+    big = df.select(F.col(id_col),
+                    F.explode(shingles(F.col(text_col), 2)).alias("g"))
+    big_stats = (big.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+                 .groupBy(id_col)
+                 .agg(F.sum("c").alias("n_big"), F.max("c").alias("top_big")))
+    return (df.select(id_col)
+            .join(tok_stats, id_col, "left")
+            .join(big_stats, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_tok", F.lit(0)).alias("n_tokens"),
+                F.when(F.col("n_tok") > 0,
+                       F.col("n_distinct").cast("double") / F.col("n_tok"))
+                .otherwise(F.lit(0.0)).alias("distinct_token_ratio"),
+                F.when(F.col("n_tok") > 0,
+                       F.col("top_tok").cast("double") / F.col("n_tok"))
+                .otherwise(F.lit(0.0)).alias("top_token_fraction"),
+                F.when(F.col("n_big") > 0,
+                       F.col("top_big").cast("double") / F.col("n_big"))
+                .otherwise(F.lit(0.0)).alias("top_bigram_fraction")))
+
+
 def lang_id(col: Column) -> Column:
     """Heuristic language ID: stopword-hit counts per language,
     argmax with a fixed tiebreak order (en > de > es > fr), 'und' when

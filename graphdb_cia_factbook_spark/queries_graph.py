@@ -196,6 +196,55 @@ def g2_articlerank(spark, sf):
                     F.round("articlerank", 8).alias("articlerank")))
 
 
+_HITS_ITERS = 10
+
+
+def _hits_sql(iters: int) -> str:
+    """Generate the HITS power iteration as chained CTEs: one
+    (auth, hub) pair of half-steps per iteration, mirroring
+    operators.graph.hits exactly (0-weight self-edges for zero-degree
+    coverage, single L1 normalization at the END, 1/N fallback on a
+    zero total)."""
+    n = "(SELECT CAST(COUNT(*) AS DOUBLE) FROM verts)"
+    parts = [f"WITH {EDGES_CTE},", """
+he AS MATERIALIZED (
+  SELECT src, dst, 1.0 AS w FROM edges
+  UNION ALL SELECT id AS src, id AS dst, 0.0 AS w FROM verts
+),""", f"h0 AS (SELECT id, 1.0 / {n} AS hub FROM verts)"]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+a{k} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.hub * e.w) AS auth
+  FROM he e JOIN h{k - 1} h ON e.src = h.id GROUP BY 1
+),
+h{k} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.auth * e.w) AS hub
+  FROM he e JOIN a{k} a ON e.dst = a.id GROUP BY 1
+)""")
+    norm = ("CASE WHEN SUM({c}) OVER () > 0 "
+            "THEN {c} / SUM({c}) OVER () ELSE 1.0 / {n} END")
+    parts.append(f""",
+hn AS (SELECT id, {norm.format(c='hub', n=n)} AS hub FROM h{iters}),
+an AS (SELECT id, {norm.format(c='auth', n=n)} AS auth FROM a{iters})
+SELECT h.id, ROUND(h.hub, 8) AS hub, ROUND(a.auth, 8) AS auth
+FROM hn h JOIN an a ON h.id = a.id""")
+    return "".join(parts)
+
+
+@register("g_hits", _hits_sql(_HITS_ITERS))
+def g_hits(spark, sf):
+    """EXT graph algorithm: HITS hubs & authorities over the directed
+    trade graph (who aggregates trade from strong sources vs who is a
+    strong source), 10 L1-normalized power iterations -- the companion
+    centrality to the reference's PageRank/ArticleRank family.  Oracle
+    = generated per-half-step CTE chain."""
+    from .operators.graph import hits
+    g = build_trade_graph(spark, sf)
+    return (hits(g, max_iter=_HITS_ITERS)
+            .select("id", F.round("hub", 8).alias("hub"),
+                    F.round("auth", 8).alias("auth")))
+
+
 @register("g_triangles", f"""
 WITH {EDGES_CTE},
 ue AS (

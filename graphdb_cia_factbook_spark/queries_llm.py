@@ -373,6 +373,150 @@ def llm_token_stats(spark, sf):
                        .alias("n_distinct_tokens"))
 
 
+@register("llm_repetition", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+tok_c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS g FROM tk) GROUP BY 1, 2
+),
+tok_s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok,
+         COUNT(*) AS n_distinct, MAX(c) AS top_tok
+  FROM tok_c GROUP BY 1
+),
+big_c AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' ')))
+                 AS g
+        FROM tk) GROUP BY 1, 2
+),
+big_s AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_big, MAX(c) AS top_big
+  FROM big_c GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(t.n_tok, 0) AS n_tokens,
+       CASE WHEN t.n_tok > 0
+            THEN CAST(t.n_distinct AS DOUBLE) / t.n_tok ELSE 0.0
+       END AS distinct_token_ratio,
+       CASE WHEN t.n_tok > 0
+            THEN CAST(t.top_tok AS DOUBLE) / t.n_tok ELSE 0.0
+       END AS top_token_fraction,
+       CASE WHEN b.n_big > 0
+            THEN CAST(b.top_big AS DOUBLE) / b.n_big ELSE 0.0
+       END AS top_bigram_fraction
+FROM documents d
+LEFT JOIN tok_s t ON t.doc_id = d.doc_id
+LEFT JOIN big_s b ON b.doc_id = d.doc_id
+""")
+def llm_repetition(spark, sf):
+    """Gopher-style repetition quality signals: type/token ratio plus
+    the share of the most frequent token and word bigram -- the
+    filters that catch template/boilerplate documents whose
+    surface stats look healthy.  Integer-count ratios divided as
+    doubles, exact on both engines."""
+    from .operators.text import repetition_metrics
+    return repetition_metrics(read_parallel(spark, sf, "documents"))
+
+
+#: per-source sampling fractions for the domain-mixing demo: four
+#: tiers, halving at each tier boundary.  The SAME dict generates the
+#: Spark CASE chain and the oracle SQL below.
+_MIX_FRACTIONS = {f"src{i}": [1.0, 0.5, 0.25, 0.125][i // 5]
+                  for i in range(20)}
+_MIX_SALT = "mix1"
+
+
+def _mix_case_sql() -> str:
+    from .operators.sampling import fraction_to_hex_threshold
+    whens = "\n    ".join(
+        f"WHEN '{s}' THEN '{fraction_to_hex_threshold(f)}'"
+        for s, f in sorted(_MIX_FRACTIONS.items()))
+    return f"CASE source\n    {whens}\n    ELSE '00000000' END"
+
+
+@register("llm_stratified_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE substr(md5('{_MIX_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < {_mix_case_sql()}
+""")
+def llm_stratified_sample(spark, sf):
+    """Deterministic stratified sampling / domain mixing: each source
+    keeps its tier's fraction of documents, decided per row by a keyed
+    md5 coin (reproducible across reruns and engines -- never rand()).
+    Zero shuffles: the filter is a literal CASE chain inside the scan
+    stage."""
+    from .operators.sampling import stratified_sample
+    docs = read_parallel(spark, sf, "documents")
+    return (stratified_sample(docs, "source", _MIX_FRACTIONS,
+                              key_col="doc_id", salt=_MIX_SALT)
+            .select("doc_id", "source"))
+
+
+_PACK_BUDGET, _PACK_SHARDS = 64, 8
+
+
+@register("llm_pack_sequences", f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
+       (cum - n_tokens) // {_PACK_BUDGET} AS seq_first,
+       (cum - 1) // {_PACK_BUDGET} AS seq_last,
+       (cum - n_tokens) % {_PACK_BUDGET} AS start_offset
+FROM c
+""")
+def llm_pack_sequences(spark, sf):
+    """Training-example construction: concat-and-chunk sequence
+    packing of the token stream into fixed {budget}-token sequences,
+    sharded so the prefix sum never serializes through one partition.
+    Pure integer window arithmetic -- exact on both engines."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import token_count
+    docs = (read_parallel(spark, sf, "documents")
+            .select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens")))
+    return pack_sequences(docs, budget=_PACK_BUDGET,
+                          n_shards=_PACK_SHARDS)
+
+
+@register("llm_decontaminate", f"""
+WITH {SHINGLE_CTE},
+bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT s.doc_id, count(*) AS n_shared_shingles
+  FROM sh s JOIN bench b ON s.shingle = b.shingle
+  WHERE s.doc_id % 50 != 0 GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles,
+       COALESCE(h.n_shared_shingles, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % 50 != 0
+""")
+def llm_decontaminate(spark, sf):
+    """Benchmark decontamination: flag train docs sharing any word
+    3-gram with a held-out benchmark slice (every 50th doc).  The
+    benchmark collapses to a broadcast-sized distinct shingle set; the
+    corpus streams through one semi-join -- never self-joined."""
+    from .operators.dedup import decontaminate
+    docs = read_parallel(spark, sf, "documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(train, bench)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

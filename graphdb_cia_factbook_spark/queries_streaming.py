@@ -119,3 +119,28 @@ def st_stream_join(spark, sf):
     watermark-evicted stream-stream join, run in its batch form)."""
     from .streaming import interval_join
     return interval_join(read_table(spark, sf, "events"))
+
+
+@register("st_concurrency", """
+WITH b AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t, 1 AS delta FROM events
+  UNION ALL
+  SELECT user_id, CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS t,
+         -1 AS delta
+  FROM events
+),
+r AS (
+  SELECT user_id,
+         SUM(delta) OVER (PARTITION BY user_id ORDER BY t, delta
+                          ROWS UNBOUNDED PRECEDING) AS open
+  FROM b
+)
+SELECT user_id, CAST(MAX(open) AS BIGINT) AS peak_concurrency
+FROM r GROUP BY user_id
+""")
+def st_concurrency(spark, sf):
+    """Interval-overlap analytics: peak number of concurrently-open
+    5-minute sessions per user, by sweep-line (+1/-1 boundaries +
+    running sum) -- never the O(n^2) interval self-join."""
+    from .streaming import concurrency_peaks
+    return concurrency_peaks(read_table(spark, sf, "events"))

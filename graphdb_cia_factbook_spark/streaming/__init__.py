@@ -27,7 +27,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -258,3 +258,34 @@ def user_value_peaks(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id").transformWithStateInPandas(
         PeakTracker(), outputStructType=_PEAK_OUT,
         outputMode="Update", timeMode="None"))
+
+
+def concurrency_peaks(events: DataFrame,
+                      duration: str = "5 minutes") -> DataFrame:
+    """Peak session concurrency per user by SWEEP-LINE: each event
+    opens a session [ts, ts + duration); emit a +1 boundary at the
+    open and a -1 at the close, order boundaries by (time, delta) --
+    so closes precede opens at the same instant, making intervals
+    half-open -- and take the running sum's max.
+
+    The per-user max is order-invariant under tie permutations (within
+    a +1 run the max is after all of them; within a -1 run it is
+    before all of them), so the result is deterministic and
+    oracle-checkable even though tied boundaries interleave
+    arbitrarily.  This is the batch twin of a stateful
+    max-open-sessions stream operator; at scale it is one explode
+    (2 rows/event) + one user-partitioned sorted window + one
+    user-keyed max -- no self-join over the interval table, which is
+    the naive O(n^2) formulation."""
+    starts = events.select("user_id", F.col("ts").alias("t"),
+                           F.lit(1).alias("delta"))
+    ends = events.select(
+        "user_id",
+        (F.col("ts") + F.expr(f"INTERVAL {duration}")).alias("t"),
+        F.lit(-1).alias("delta"))
+    w = (Window.partitionBy("user_id").orderBy("t", "delta")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (starts.unionByName(ends)
+            .withColumn("open", F.sum("delta").over(w))
+            .groupBy("user_id")
+            .agg(F.max("open").alias("peak_concurrency")))

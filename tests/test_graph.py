@@ -171,3 +171,19 @@ def test_label_propagation_two_cliques(spark):
     # C's label hops the bridge in step 1 while X's own label leaves)
     assert got["X"] == got["Y"] == got["Z"]
     assert got["X"] != got["A"]
+
+
+def test_hits_star_graph(spark):
+    """On a star pointing at one center, the center is the sole
+    authority and all leaves are equal hubs."""
+    from graphdb_cia_factbook_spark.operators.graph import Graph, hits
+    verts = spark.createDataFrame(
+        [(v,) for v in ["c", "l1", "l2", "l3"]], ["id"])
+    edges = spark.createDataFrame(
+        [(l, "c") for l in ["l1", "l2", "l3"]], ["src", "dst"])
+    rows = {r.id: r for r in hits(Graph(verts, edges), max_iter=5).collect()}
+    assert rows["c"].auth == pytest.approx(1.0)
+    for l in ["l1", "l2", "l3"]:
+        assert rows[l].hub == pytest.approx(1 / 3)
+        assert rows[l].auth == pytest.approx(0.0)
+    assert rows["c"].hub == pytest.approx(0.0)

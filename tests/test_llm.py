@@ -210,3 +210,74 @@ def test_resize_is_gated_stub(spark, docs):
         pass
     with pytest.raises(NotImplementedError):
         resize_images(media, 32, 32)
+
+
+def test_repetition_flags_repeated_doc(spark):
+    from graphdb_cia_factbook_spark.operators.text import repetition_metrics
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "one two three four five six")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert rows[1].top_token_fraction == 1.0
+    assert rows[1].top_bigram_fraction == 1.0
+    assert rows[1].distinct_token_ratio == pytest.approx(1 / 6)
+    assert rows[2].top_token_fraction == pytest.approx(1 / 6)
+    assert rows[2].distinct_token_ratio == 1.0
+
+
+def test_stratified_sample_deterministic_and_proportional(spark, docs):
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        stratified_sample,
+    )
+    fracs = {f"src{i}": (1.0 if i < 10 else 0.0) for i in range(20)}
+    out = stratified_sample(docs, "source", fracs, key_col="doc_id")
+    # fraction 1.0 keeps everything, 0.0 drops everything
+    kept = {r.source for r in out.select("source").distinct().collect()}
+    assert kept == {f"src{i}" for i in range(10)}
+    n1 = out.count()
+    assert n1 == docs.where(
+        F.col("source").isin(list(kept))).count()
+    # rerun is identical (keyed hash, no RNG)
+    assert stratified_sample(docs, "source", fracs,
+                             key_col="doc_id").count() == n1
+    # half-fraction keeps roughly half per stratum
+    half = stratified_sample(docs, "source", {"src0": 0.5},
+                             key_col="doc_id")
+    n_half, n_src0 = half.count(), docs.where("source = 'src0'").count()
+    assert 0.2 * n_src0 <= n_half <= 0.8 * n_src0
+
+
+def test_pack_sequences_invariants(spark):
+    from graphdb_cia_factbook_spark.operators.sampling import pack_sequences
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 23) for i in range(40)],
+        ["doc_id", "n_tokens"])
+    out = pack_sequences(df, budget=32, n_shards=4).collect()
+    assert len(out) == 40
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        assert r.shard == r.doc_id % 4
+        assert 0 <= r.start_offset < 32
+        assert r.seq_last >= r.seq_first
+        # token stream is contiguous within a shard: this doc starts
+        # exactly where the previous doc ended
+        prev_end = by_shard.get(r.shard, 0)
+        assert r.seq_first * 32 + r.start_offset == prev_end
+        by_shard[r.shard] = prev_end + r.n_tokens
+
+
+def test_decontaminate_flags_overlap_only(spark):
+    from graphdb_cia_factbook_spark.operators.dedup import decontaminate
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two")],
+        ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(1, "clean document with no overlap here at all"),
+         (2, "i know the secret eval answer is forty two ha"),
+         (3, "another fully clean training document text")],
+        ["doc_id", "text"])
+    rows = {r.doc_id: r for r in decontaminate(train, bench).collect()}
+    assert rows[2].contaminated and rows[2].n_shared_shingles >= 5
+    assert not rows[1].contaminated and rows[1].n_shared_shingles == 0
+    assert not rows[3].contaminated

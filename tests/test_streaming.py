@@ -216,3 +216,20 @@ def test_transform_with_state_is_gated(spark, batch_events):
     from graphdb_cia_factbook_spark.streaming import user_value_peaks
     with pytest.raises(NotImplementedError):
         user_value_peaks(batch_events)
+
+
+def test_concurrency_peaks_sweep_line(spark):
+    import datetime as dt
+    from graphdb_cia_factbook_spark.streaming import concurrency_peaks
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    mk = lambda uid, mins: (uid, t0 + dt.timedelta(minutes=mins))
+    # user 1: three sessions overlapping at minute 4 (0,2,4); the one
+    # at minute 10 is disjoint.  user 2: back-to-back sessions exactly
+    # 5 minutes apart never overlap (half-open intervals).
+    df = spark.createDataFrame(
+        [mk(1, 0), mk(1, 2), mk(1, 4), mk(1, 10), mk(2, 0), mk(2, 5)],
+        ["user_id", "ts"])
+    rows = {r.user_id: r.peak_concurrency
+            for r in concurrency_peaks(df, "5 minutes").collect()}
+    assert rows[1] == 3
+    assert rows[2] == 1
