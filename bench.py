@@ -25,6 +25,8 @@ from graphdb_cia_factbook_spark.session import clear_scratch, get_spark
 #: dedup/rank/top-k/graph) + the north-star LLM ops + streaming twins.
 HEADLINE = [
     "q1_pricing_summary",    # wide agg (TPC-H Q1 shape)
+    "q3_shipping_priority",  # fact-fact join + agg + global top-k (Q3 shape)
+    "q5_local_supplier_volume",  # 6-table join with co-nation condition (Q5)
     "j2_chained_dims",       # chained broadcast dim joins
     "j4_derived_share",      # self-aggregate join + derive
     "a1_latest_per_key",     # the reference's argmax-dedup workhorse

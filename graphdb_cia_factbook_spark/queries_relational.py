@@ -313,6 +313,104 @@ def q1_pricing_summary(spark, sf):
                  F.count(F.lit(1)).alias("count_order")))
 
 
+@register("q3_shipping_priority", """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(27,4))) AS DOUBLE) AS revenue,
+       o.o_orderdate, o.o_orderpriority
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark, sf):
+    """TPC-H Q3 shape: segment-filtered customer keys reduce orders,
+    orders reduce lineitem, decimal-exact revenue agg, global top-10
+    via TakeOrderedAndProject (no full sort at any scale).  Filters
+    sit on the scan side of every join so pushdown prunes before the
+    shuffle; join strategies are left to AQE because customer and
+    orders both scale with the data."""
+    cust = read_table(spark, sf, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    orders = (read_table(spark, sf, "orders")
+              .where(F.col("o_orderdate")
+                     < F.lit("1998-03-15").cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (read_table(spark, sf, "lineitem")
+          .where(F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority")
+            .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10))
+
+
+@register("q5_local_supplier_volume", """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+""")
+def q5_local_supplier_volume(spark, sf):
+    """TPC-H Q5 shape: local-supplier volume -- the customer and the
+    supplier must share a nation inside one region.  Only the
+    fixed-size nation/region dims get a broadcast HINT; customer and
+    supplier scale with the data, so their join strategy is left to
+    AQE (broadcast at small SF, shuffle when they outgrow the
+    threshold).  The s_nationkey = c_nationkey equi-condition rides
+    the supplier join, not a post-filter, so rows drop before the
+    aggregate."""
+    li = read_table(spark, sf, "lineitem") \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    orders = (read_table(spark, sf, "orders")
+              .where((F.col("o_orderdate")
+                      >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate")
+                        < F.lit("1997-01-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = read_table(spark, sf, "customer") \
+        .select("c_custkey", "c_nationkey")
+    supp = read_table(spark, sf, "supplier") \
+        .select("s_suppkey", "s_nationkey")
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region") \
+        .where(F.col("r_name") == "ASIA")
+    local_nations = (nation.join(F.broadcast(region),
+                                 nation.n_regionkey == region.r_regionkey)
+                     .select("n_nationkey", "n_name"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp,
+                  (li.l_suppkey == supp.s_suppkey)
+                  & (supp.s_nationkey == cust.c_nationkey))
+            .join(F.broadcast(local_nations),
+                  supp.s_nationkey == local_nations.n_nationkey)
+            .groupBy("n_name")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
 @register("agg_cube", """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty,
