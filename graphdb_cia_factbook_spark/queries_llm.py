@@ -722,6 +722,51 @@ def mm_decode(spark, sf):
     return decode_media(media)
 
 
+@register("mm_png_meta", """
+WITH px AS (
+  SELECT doc_id,
+         unhex('89504E470D0A1A0A' || '0000000D' || '49484452'
+               || printf('%08x', doc_id % 640 + 1)
+               || printf('%08x', doc_id % 480 + 1)
+               || '08' || CASE doc_id % 3 WHEN 0 THEN '02'
+                                         WHEN 1 THEN '06'
+                                         ELSE '00' END) AS content
+  FROM documents
+),
+hx AS (SELECT doc_id, hex(content) AS h FROM px)
+SELECT doc_id AS media_id,
+       substr(h, 1, 16) = '89504E470D0A1A0A' AS is_png,
+       ('0x' || substr(h, 33, 8))::BIGINT AS width,
+       ('0x' || substr(h, 41, 8))::BIGINT AS height,
+       CAST(('0x' || substr(h, 49, 2))::BIGINT AS INTEGER) AS bit_depth,
+       CAST(('0x' || substr(h, 51, 2))::BIGINT AS INTEGER) AS color_type,
+       CAST(CASE ('0x' || substr(h, 51, 2))::BIGINT
+            WHEN 0 THEN 1 WHEN 3 THEN 1 WHEN 2 THEN 3
+            WHEN 4 THEN 2 WHEN 6 THEN 4 END AS INTEGER) AS channels
+FROM hx
+""")
+def mm_png_meta(spark, sf):
+    """REAL multimodal metadata decode with zero codecs: build a valid
+    PNG signature + IHDR header per doc (deterministic synthetic
+    payload), then parse width/height/bit-depth/color-type back out of
+    the BINARY column with pure Catalyst hex/substring/conv
+    expressions -- no UDF, no Arrow hop; whole-stage codegen end to
+    end.  The header-only decode is how a 100-TB pipeline indexes
+    media dimensions without full decodes."""
+    from .operators.multimodal import png_metadata
+    docs = read_parallel(spark, sf, "documents")
+    payload = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.format_string("%08x", F.col("doc_id") % 640 + 1),
+        F.format_string("%08x", F.col("doc_id") % 480 + 1),
+        F.lit("08"),
+        F.when(F.col("doc_id") % 3 == 0, "02")
+        .when(F.col("doc_id") % 3 == 1, "06").otherwise("00")))
+    media = media_table(docs.select("doc_id", payload.alias("p")),
+                        "doc_id", "p")
+    return png_metadata(media)
+
+
 @register("mm_frame_sample", """
 WITH m AS (
   SELECT doc_id AS media_id, md5(text) AS base,

@@ -281,3 +281,22 @@ def test_decontaminate_flags_overlap_only(spark):
     assert rows[2].contaminated and rows[2].n_shared_shingles >= 5
     assert not rows[1].contaminated and rows[1].n_shared_shingles == 0
     assert not rows[3].contaminated
+
+
+def test_png_metadata_parses_real_header_and_rejects_garbage(spark):
+    import struct
+    from graphdb_cia_factbook_spark.operators.multimodal import (
+        media_table,
+        png_metadata,
+    )
+    real = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", 800, 600) + bytes([8, 6]))
+    rows = {r.media_id: r for r in png_metadata(media_table(
+        spark.createDataFrame([(1, real), (2, b"not a png at all!!")],
+                              ["media_id", "content"]),
+        "media_id", "content")).collect()}
+    ok = rows[1]
+    assert ok.is_png and (ok.width, ok.height) == (800, 600)
+    assert ok.bit_depth == 8 and ok.color_type == 6 and ok.channels == 4
+    bad = rows[2]
+    assert not bad.is_png and bad.width is None and bad.channels is None

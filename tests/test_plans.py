@@ -95,3 +95,27 @@ def test_approx_sketches_bounded_error(spark):
         F.approx_count_distinct("o_custkey").alias("approx"),
         F.countDistinct("o_custkey").alias("exact")).first())
     assert abs(row.approx - row.exact) <= 0.05 * row.exact
+
+
+def test_q3_topk_and_pushdown(spark, queries):
+    plan = plan_of(queries["q3_shipping_priority"](spark, SF))
+    assert "TakeOrderedAndProject" in plan      # top-10, no global sort
+    assert "PushedFilters: [" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q5_no_cartesian_and_pruned_scans(spark, queries):
+    plan = plan_of(queries["q5_local_supplier_volume"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # lineitem scan must not read unused wide columns
+    rs = [ln for ln in plan.splitlines()
+          if "ReadSchema" in ln and "l_orderkey" in ln][0]
+    assert "l_comment" not in rs and "l_returnflag" not in rs
+
+
+def test_png_meta_stays_jvm_side(spark, queries):
+    """The PNG header decode is pure Catalyst: no Arrow hop, no Python
+    -- unlike the codec-bound decode_media path, binary metadata
+    extraction never leaves the JVM."""
+    plan = plan_of(queries["mm_png_meta"](spark, SF), "simple")
+    assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
