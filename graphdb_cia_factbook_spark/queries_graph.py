@@ -519,6 +519,50 @@ l{k} AS MATERIALIZED (
     return "".join(parts)
 
 
+_KCORE_K, _KCORE_ROUNDS = 4, 25
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Generate the k-core peel as fixed CTE rounds: degree filter +
+    edge restriction per round.  Peeling is idempotent once converged,
+    so running |V| rounds in SQL exactly matches the Spark operator's
+    fixpoint exit no matter which round it converged on."""
+    parts = [f"WITH {EDGES_CTE.lstrip()},", f"{_TOP3_COST_CTE.lstrip()},",
+             """
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+e0 AS MATERIALIZED (SELECT a, b FROM ue
+                    UNION ALL SELECT b AS a, a AS b FROM ue)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+k{r} AS MATERIALIZED (
+  SELECT a AS id FROM e{r - 1} GROUP BY a HAVING COUNT(*) >= {k}
+),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{r - 1} e
+  JOIN k{r} x ON e.a = x.id JOIN k{r} y ON e.b = y.id
+)""")
+    parts.append(f"""
+SELECT v.id, s.id IS NOT NULL AS in_kcore
+FROM verts v
+LEFT JOIN (SELECT DISTINCT a AS id FROM e{rounds}) s ON v.id = s.id""")
+    return "".join(parts)
+
+
+@register("g_kcore", _kcore_sql(_KCORE_K, _KCORE_ROUNDS))
+def g_kcore(spark, sf):
+    """EXT graph algorithm: k-core membership (k=4) of the undirected
+    top-3-partner graph by iterative peeling -- the dense trading-bloc
+    backbone.  Spark side exits at the fixpoint; the oracle peels a
+    fixed |V| rounds, identical because converged peels are
+    idempotent."""
+    from .operators.graph import Graph, k_core
+    g, top3 = _top3_cost(spark, sf)
+    return k_core(Graph(g.vertices, top3), k=_KCORE_K)
+
+
 @register("g_label_propagation", _lpa_sql(_LPA_ITERS))
 def g_label_propagation(spark, sf):
     """EXT graph algorithm: community detection by synchronous label

@@ -187,3 +187,25 @@ def test_hits_star_graph(spark):
         assert rows[l].hub == pytest.approx(1 / 3)
         assert rows[l].auth == pytest.approx(0.0)
     assert rows["c"].hub == pytest.approx(0.0)
+
+
+def test_kcore_peels_cascade(spark):
+    """Square a-b-c-d-a plus a tail e-a: the 2-core keeps exactly the
+    square (e peels first; the cascade must not drag a below the bar
+    since a retains degree 2), and a path graph's 2-core is empty
+    (peeling cascades end to end)."""
+    from graphdb_cia_factbook_spark.operators.graph import Graph, k_core
+    verts = spark.createDataFrame(
+        [(v,) for v in "abcde"], ["id"])
+    square_tail = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("e", "a")],
+        ["src", "dst"])
+    rows = {r.id: r.in_kcore
+            for r in k_core(Graph(verts, square_tail), k=2).collect()}
+    assert rows == {"a": True, "b": True, "c": True, "d": True, "e": False}
+
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")], ["src", "dst"])
+    rows = {r.id: r.in_kcore
+            for r in k_core(Graph(verts, path), k=2).collect()}
+    assert not any(rows.values())
