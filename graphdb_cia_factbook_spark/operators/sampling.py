@@ -96,3 +96,21 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 8,
                     F.floor(end / budget).cast("long").alias("seq_last"),
                     F.pmod(start, F.lit(budget)).cast("long")
                     .alias("start_offset")))
+
+
+def fixed_size_sample(df: DataFrame, strata_col: str, k: int,
+                      key_col: str, salt: str = "") -> DataFrame:
+    """Deterministic FIXED-SIZE sample: exactly ``min(k, |stratum|)``
+    rows per stratum -- the rows with the k smallest hash coins.
+    Fractional sampling can't hit an exact budget ("give me 10k docs
+    per domain"); ordering by the keyed coin is a deterministic
+    reservoir equivalent, stable under reruns and engine moves.
+
+    Scale shape: one window (rank by coin within stratum) over rows
+    already partitioned by the stratum key -- a single hash shuffle;
+    no global sort, no driver-side reservoir."""
+    coin = sample_hash_coin(F.col(key_col), salt)
+    w = Window.partitionBy(strata_col).orderBy(coin, key_col)
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn"))

@@ -458,6 +458,29 @@ def llm_stratified_sample(spark, sf):
 _PACK_BUDGET, _PACK_SHARDS = 64, 8
 
 
+@register("llm_fixed_sample", """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('cap1' || CAST(doc_id AS VARCHAR)), 1, 8),
+                    doc_id) AS rn
+  FROM documents
+) WHERE rn <= 10
+""")
+def llm_fixed_sample(spark, sf):
+    """Deterministic fixed-size sampling: exactly 10 docs per source,
+    the ones with the smallest keyed md5 coins -- the exact-budget
+    companion to fractional stratified sampling ("10k docs per
+    domain"), a single stratum-keyed window, no driver-side
+    reservoir."""
+    from .operators.sampling import fixed_size_sample
+    docs = read_parallel(spark, sf, "documents")
+    return (fixed_size_sample(docs, "source", 10, key_col="doc_id",
+                              salt="cap1")
+            .select("doc_id", "source"))
+
+
 @register("llm_pack_sequences", f"""
 WITH t AS (
   SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,

@@ -144,3 +144,30 @@ def st_concurrency(spark, sf):
     running sum) -- never the O(n^2) interval self-join."""
     from .streaming import concurrency_peaks
     return concurrency_peaks(read_table(spark, sf, "events"))
+
+
+@register("st_sessionize", """
+WITH b AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR date_diff('second',
+                             LAG(CAST(ts AS TIMESTAMP)) OVER w,
+                             CAST(ts AS TIMESTAMP)) > 1800
+              THEN 1 ELSE 0 END AS newb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP),
+               event_id)
+)
+SELECT event_id, user_id, ts,
+       CAST(SUM(newb) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS session_seq
+FROM b
+""")
+def st_sessionize(spark, sf):
+    """Gap-based sessionization: explicit (user, session_seq) ids on
+    every event via lag-boundary + running sum in one window stage --
+    the joinable-key complement to session windows."""
+    from .streaming import sessionize
+    return sessionize(read_table(spark, sf, "events"))

@@ -289,3 +289,29 @@ def concurrency_peaks(events: DataFrame,
             .withColumn("open", F.sum("delta").over(w))
             .groupBy("user_id")
             .agg(F.max("open").alias("peak_concurrency")))
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Assign explicit SESSION IDS by inactivity gap: a new session
+    starts at a user's first event or whenever the gap since their
+    previous event exceeds ``gap_seconds``.  Complements
+    :func:`session_agg` (which aggregates per session window but never
+    exposes an id you can join on): downstream feature pipelines need
+    the (user_id, session_seq) key on every event row.
+
+    Classic two-window formulation: lag to detect boundaries, running
+    sum of boundary flags to number sessions -- both windows share the
+    same (user_id / ts) partitioning and sort, so Catalyst runs them
+    in ONE window stage over one shuffle.  Second-granularity integer
+    epoch arithmetic keeps the boundary test engine-exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts").cast("long")).over(w)
+    boundary = (prev.isNull()
+                | (F.col("ts").cast("long") - prev > gap_seconds))
+    return (events.select("event_id", "user_id", "ts",
+                          boundary.cast("int").alias("__new"))
+            .withColumn("session_seq",
+                        F.sum("__new").over(
+                            w.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)))
+            .drop("__new"))

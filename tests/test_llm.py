@@ -300,3 +300,22 @@ def test_png_metadata_parses_real_header_and_rejects_garbage(spark):
     assert ok.bit_depth == 8 and ok.color_type == 6 and ok.channels == 4
     bad = rows[2]
     assert not bad.is_png and bad.width is None and bad.channels is None
+
+
+def test_fixed_size_sample_exact_budget(spark, docs):
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        fixed_size_sample,
+    )
+    out = fixed_size_sample(docs, "source", 3, key_col="doc_id")
+    per = {r.source: r.n for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    for src, n in per.items():
+        assert n == min(3, avail[src])
+    # deterministic: identical resample
+    a = sorted(r.doc_id for r in out.select("doc_id").collect())
+    b = sorted(r.doc_id for r in fixed_size_sample(
+        docs, "source", 3, key_col="doc_id").select("doc_id").collect())
+    assert a == b

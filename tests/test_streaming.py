@@ -233,3 +233,20 @@ def test_concurrency_peaks_sweep_line(spark):
             for r in concurrency_peaks(df, "5 minutes").collect()}
     assert rows[1] == 3
     assert rows[2] == 1
+
+
+def test_sessionize_gap_boundaries(spark):
+    import datetime as dt
+    from graphdb_cia_factbook_spark.streaming import sessionize
+    t0 = dt.datetime(2026, 1, 1, 9, 0, 0)
+    mk = lambda eid, uid, mins: (eid, uid, t0 + dt.timedelta(minutes=mins))
+    df = spark.createDataFrame(
+        [mk(1, 7, 0), mk(2, 7, 10), mk(3, 7, 50), mk(4, 7, 55),
+         mk(5, 8, 0)],
+        ["event_id", "user_id", "ts"])
+    rows = {r.event_id: r.session_seq
+            for r in sessionize(df, gap_seconds=1800).collect()}
+    # 40-min gap between events 2 and 3 opens session 2 for user 7
+    assert rows[1] == 1 and rows[2] == 1
+    assert rows[3] == 2 and rows[4] == 2
+    assert rows[5] == 1
