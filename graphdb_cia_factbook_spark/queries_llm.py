@@ -291,6 +291,31 @@ def llm_winnow_fingerprint(spark, sf):
 # text analysis
 # ---------------------------------------------------------------------------
 
+_QUALITY_M_CTE = """
+t AS (
+  SELECT doc_id, text, {toks} AS toks,
+         CAST(length(text) AS DOUBLE) AS n_char
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok, n_char,
+         (n_char - CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                        AS DOUBLE)) AS n_alpha,
+         CAST(len(list_filter(toks, x -> x IN ({stop}))) AS DOUBLE)
+           AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         least(n_tok / 100, 1.0) * 0.3
+           + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+           AS quality_score
+  FROM m
+)"""
+
+
 _STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
 
@@ -342,6 +367,34 @@ _LANG_SCORES = ", ".join(
     "len(list_filter(toks, x -> x IN ({}))) AS s_{}".format(
         ", ".join(f"'{w}'" for w in words), lang)
     for lang, words in LANG_STOPWORDS.items())
+
+
+@register("llm_quality_filter", """
+WITH __QM__,
+r AS (
+  SELECT q.doc_id, d.source, q.quality_score,
+         PERCENT_RANK() OVER (PARTITION BY d.source
+                              ORDER BY q.quality_score, q.doc_id) AS pct
+  FROM q JOIN documents d ON d.doc_id = q.doc_id
+)
+SELECT doc_id, source, quality_score, pct
+FROM r WHERE pct >= 0.5
+""".replace("__QM__", _QUALITY_M_CTE.format(toks=TOKS, stop=_STOP_EN)))
+def llm_quality_filter(spark, sf):
+    """Percentile quality filtering: keep each source's best-scoring
+    half by PERCENT_RANK within the source -- the relative-threshold
+    filter pipelines use when absolute score cutoffs would gut some
+    domains and keep all of others.  Composes quality_metrics with one
+    stratum-keyed window; the score is bit-identical across engines
+    (proved by llm_quality's hash match) so the rank order is too."""
+    docs = read_parallel(spark, sf, "documents")
+    q = quality_metrics(docs).select("doc_id", "quality_score")
+    joined = q.join(docs.select("doc_id", "source"), "doc_id")
+    w = (Window.partitionBy("source")
+         .orderBy("quality_score", "doc_id"))
+    return (joined.withColumn("pct", F.percent_rank().over(w))
+            .where(F.col("pct") >= 0.5)
+            .select("doc_id", "source", "quality_score", "pct"))
 
 
 @register("llm_langid", f"""
