@@ -131,7 +131,7 @@ _DANGLING_DST = "\x00__dangling__"
 
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                damping: float, max_iter: int, checkpoint_every: int,
-               out_name: str) -> DataFrame:
+               out_name: str, teleport: DataFrame | None = None) -> DataFrame:
     """Shared power-iteration driver.  ``edges_share`` must carry
     (src, dst, share) where ``share`` is the per-edge contribution
     fraction of the source's rank.  Ranks start uniform 1/N; each step
@@ -155,8 +155,19 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
       forcing per-step checkpoints.  The sentinel's value is spread
       back onto every vertex row with one unpartitioned window over
       the vertex-sized aggregate (single-partition exchange: fine to
-      ~100M vertices; beyond that, two-phase the spread)."""
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+      ~100M vertices; beyond that, two-phase the spread).
+
+    ``teleport`` generalizes to PERSONALIZED ranks: a stationary
+    (id, tele) distribution replacing the uniform 1/N restart -- both
+    the (1-d) restart mass and the dangling mass land on ``tele``
+    instead of everywhere.  It joins the vertex-sized aggregate once
+    per superstep as a stationary broadcast; the single-``ranks``-
+    reference invariant that keeps the plan linear is untouched."""
+    if teleport is not None:
+        teleport = teleport.select("id", "tele").localCheckpoint()
+        ranks = teleport.select("id", F.col("tele").alias("rank"))
+    else:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     edges_share = edges_share.localCheckpoint()  # stationary all supersteps
     has_out = edges_share.select(F.col("src").alias("id")).distinct()
     dangling = verts.join(has_out, "id", "left_anti").localCheckpoint()
@@ -191,11 +202,20 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                 .where(F.col("id") != _DANGLING_DST))
         else:
             contribs = contribs.withColumn("__dm", F.lit(0.0))
-        ranks = contribs.select(
-            "id",
-            (F.lit((1.0 - damping) / n)
-             + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
-            .alias("rank"))
+        if teleport is not None:
+            ranks = (contribs.join(F.broadcast(teleport), "id")
+                     .select("id",
+                             (F.lit(1.0 - damping) * F.col("tele")
+                              + F.lit(damping)
+                              * (F.col("contrib")
+                                 + F.col("__dm") * F.col("tele")))
+                             .alias("rank")))
+        else:
+            ranks = contribs.select(
+                "id",
+                (F.lit((1.0 - damping) / n)
+                 + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
+                .alias("rank"))
         if (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks.withColumnRenamed("rank", out_name)
@@ -224,6 +244,37 @@ def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
                            (F.col("w") / F.col("out_w")).alias("share")))
     return _rank_loop(verts, edges_share, n, damping, max_iter,
                       checkpoint_every, "pagerank")
+
+
+def personalized_pagerank(graph: Graph, sources: list,
+                          damping: float = 0.85, max_iter: int = 20,
+                          weighted: bool = False,
+                          checkpoint_every: int = 5) -> DataFrame:
+    """Personalized PageRank: random walks restart at the SOURCE SET
+    (uniformly over it) instead of everywhere -- rank becomes
+    "importance as seen from these nodes", the standard
+    similar-node / recommendation primitive.  Dangling mass also
+    returns to the sources, keeping the scores a distribution.
+
+    Same superstep plan as :func:`pagerank`; the teleport vector is a
+    stationary vertex-sized broadcast joined into the per-step
+    aggregate."""
+    verts = graph.vertices.select("id").localCheckpoint()
+    n = verts.count()
+    tele = verts.select(
+        "id", F.when(F.col("id").isin(sources),
+                     F.lit(1.0 / len(sources)))
+        .otherwise(F.lit(0.0)).alias("tele"))
+
+    weight = (F.col("amount") if weighted and "amount" in graph.edges.columns
+              else F.lit(1.0))
+    edges = graph.edges.select("src", "dst", weight.cast("double").alias("w"))
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    edges_share = (edges.join(out_w, "src")
+                   .select("src", "dst",
+                           (F.col("w") / F.col("out_w")).alias("share")))
+    return _rank_loop(verts, edges_share, n, damping, max_iter,
+                      checkpoint_every, "ppr", teleport=tele)
 
 
 def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,

@@ -245,6 +245,56 @@ def g_hits(spark, sf):
                     F.round("auth", 8).alias("auth")))
 
 
+_PPR_SOURCES = ["NATION_0", "NATION_1"]
+
+
+def _ppr_sql(sources: list, damping: float = 0.85, iters: int = 20) -> str:
+    """Personalized power iteration: identical chain to
+    _power_iteration_sql but the restart and dangling mass land on the
+    teleport distribution over ``sources`` instead of 1/N."""
+    src_list = ", ".join(f"'{x}'" for x in sources)
+    dangling = ("(SELECT COALESCE(SUM(r.rank), 0) FROM {prev} r WHERE r.id "
+                "NOT IN (SELECT src FROM edges))")
+    parts = [f"WITH {EDGES_CTE},", UNWEIGHTED_SHARES + ",", f"""
+tele AS MATERIALIZED (
+  SELECT id, CASE WHEN id IN ({src_list})
+                  THEN 1.0 / {len(sources)} ELSE 0.0 END AS tele
+  FROM verts
+),
+r0 AS (SELECT id, tele AS rank FROM tele)"""]
+    for k in range(1, iters + 1):
+        prev = f"r{k - 1}"
+        parts.append(f""",
+r{k} AS MATERIALIZED (
+  SELECT t.id,
+         (1 - {damping}) * t.tele
+         + {damping} * (COALESCE(c.contrib, 0)
+                        + {dangling.format(prev=prev)} * t.tele) AS rank
+  FROM tele t
+  LEFT JOIN (SELECT s.dst AS id, SUM(r.rank * s.share) AS contrib
+             FROM shares s JOIN {prev} r ON s.src = r.id
+             GROUP BY s.dst) c ON t.id = c.id
+)""")
+    parts.append(f"\nSELECT id AS nation, ROUND(rank, 8) AS ppr "
+                 f"FROM r{iters}")
+    return "".join(parts)
+
+
+@register("g_ppr", _ppr_sql(_PPR_SOURCES))
+def g_ppr(spark, sf):
+    """EXT graph algorithm: PERSONALIZED PageRank seeded at NATION_0/
+    NATION_1 -- importance as seen from those nations (the similar-
+    node/recommendation primitive).  Restart AND dangling mass land on
+    the seed set; same superstep plan as g1_pagerank with a stationary
+    teleport broadcast."""
+    from .operators.graph import personalized_pagerank
+    g = build_trade_graph(spark, sf)
+    return (personalized_pagerank(g, _PPR_SOURCES, damping=0.85,
+                                  max_iter=20)
+            .select(F.col("id").alias("nation"),
+                    F.round("ppr", 8).alias("ppr")))
+
+
 @register("g_triangles", f"""
 WITH {EDGES_CTE},
 ue AS (

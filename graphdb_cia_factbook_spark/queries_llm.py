@@ -660,6 +660,32 @@ def llm_knn_classify(spark, sf):
     return knn_classify(emb, emb.where(F.col("vec_id") < 32), k=5)
 
 
+@register("llm_class_centroids", """
+WITH e AS (
+  SELECT label, unnest(list_transform(range(1, len(embedding) + 1),
+                       i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)}))
+           AS u
+  FROM embeddings
+)
+SELECT label, CAST(u.pos AS INT) AS pos, ROUND(AVG(u.v), 6) AS centroid
+FROM e GROUP BY 1, 2
+""")
+def llm_class_centroids(spark, sf):
+    """Per-label class prototypes: element-wise mean embedding per
+    label, emitted as (label, pos, centroid) rows -- the nearest-
+    centroid classifier / cluster-summary primitive.  One posexplode +
+    one (label x dim)-keyed aggregate with map-side partial averages;
+    embeddings never gather on one node.  Cross-engine float drift in
+    the mean is bounded by round(6) (same policy as the cosine
+    scores)."""
+    emb = read_parallel(spark, sf, "embeddings")
+    return (emb.select("label", F.posexplode("embedding")
+                       .alias("pos0", "v"))
+            .groupBy("label", (F.col("pos0") + 1).cast("int").alias("pos"))
+            .agg(F.round(F.avg(F.col("v").cast("double")), 6)
+                 .alias("centroid")))
+
+
 @register("llm_ann_lsh", f"""
 WITH e AS (SELECT vec_id, embedding,
                   {_bucket_sql('embedding', 8)} AS bucket

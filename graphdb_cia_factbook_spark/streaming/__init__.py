@@ -315,3 +315,26 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                             w.rowsBetween(Window.unboundedPreceding,
                                           Window.currentRow)))
             .drop("__new"))
+
+
+def foreach_batch_parquet_sink(sdf: DataFrame, path: str,
+                               checkpoint: str):
+    """Exactly-once-per-batch parquet sink via ``foreachBatch`` +
+    IDEMPOTENT writes: each micro-batch lands in its own
+    ``__batch_id=N`` partition with dynamic partition overwrite, so a
+    replayed batch (restart after a crash between write and commit)
+    overwrites its own partition instead of duplicating rows.  This +
+    the checkpoint's batch tracking is Spark's standard end-to-end
+    exactly-once recipe for non-transactional stores.
+
+    Returns the started query (availableNow trigger); callers
+    ``awaitTermination()``."""
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        (df.withColumn("__batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("__batch_id").parquet(path))
+
+    return (sdf.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True).start())

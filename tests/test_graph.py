@@ -209,3 +209,20 @@ def test_kcore_peels_cascade(spark):
     rows = {r.id: r.in_kcore
             for r in k_core(Graph(verts, path), k=2).collect()}
     assert not any(rows.values())
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    """Seeded at 'a' on a -> b -> c (+ dangling c): every restart and
+    all dangling mass return to 'a', so rank decays geometrically down
+    the chain and any vertex unreachable from the seed scores 0."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph,
+        personalized_pagerank,
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcx"], ["id"])
+    edges = spark.createDataFrame([("a", "b"), ("b", "c")], ["src", "dst"])
+    rows = {r.id: r.ppr for r in personalized_pagerank(
+        Graph(verts, edges), ["a"], max_iter=30).collect()}
+    assert rows["a"] > rows["b"] > rows["c"] > 0
+    assert rows["x"] == 0.0
+    assert abs(sum(rows.values()) - 1.0) < 1e-9

@@ -250,3 +250,38 @@ def test_sessionize_gap_boundaries(spark):
     assert rows[1] == 1 and rows[2] == 1
     assert rows[3] == 2 and rows[4] == 2
     assert rows[5] == 1
+
+
+def test_foreach_batch_sink_idempotent(spark, batch_events, tmp_path):
+    """Multi-batch foreachBatch parquet sink: all input rows land
+    exactly once, and replaying a batch (the crash-recovery case)
+    leaves the row count unchanged because the batch overwrites its
+    own partition."""
+    import pyspark.sql.functions as F
+    from graphdb_cia_factbook_spark.streaming import (
+        _EVENTS_NS_SCHEMA,
+        foreach_batch_parquet_sink,
+    )
+    src = _split_events_files(tmp_path)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    q = foreach_batch_parquet_sink(
+        stream.select("event_id", "ts", "user_id"), out, ckpt)
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    n_in = batch_events.count()
+    assert back.count() == n_in
+    assert back.select("event_id").distinct().count() == n_in
+    n_batches = back.select("__batch_id").distinct().count()
+    assert n_batches >= 2            # maxFilesPerTrigger=1 split it
+
+    # simulate a replay of batch 0: rewrite the same partition
+    replay = back.where("__batch_id = 0").drop("__batch_id")
+    (replay.withColumn("__batch_id", F.lit(0))
+     .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+     .partitionBy("__batch_id").parquet(out))
+    assert spark.read.parquet(out).count() == n_in
