@@ -261,3 +261,50 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
                     F.coalesce("n_shared_shingles", F.lit(0))
                     .alias("n_shared_shingles"))
             .withColumn("contaminated", F.col("n_shared_shingles") > 0))
+
+
+def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", nbits: int = 16,
+                          bands: int = 4,
+                          max_hamming: int = 2) -> DataFrame:
+    """SimHash near-dup PAIRS: the banding trick applied to SimHash
+    signatures.  Split each ``nbits``-bit signature into ``bands``
+    chunks; any pair differing in <= max_hamming bits must agree on at
+    least one whole chunk (pigeonhole: bands > max_hamming), so an
+    equi-join per chunk finds every such pair without an all-pairs
+    comparison; exact Hamming distance then verifies candidates.
+
+    Complements MinHash-LSH: SimHash responds to token-frequency
+    drift, MinHash to set overlap.  Scale shape: signatures are
+    doc-count-sized; the bucket join is equi-keyed on (band, chunk);
+    verification touches candidates only."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    from .text import simhash_bits
+    width = nbits // bands
+    sig = _hold(simhash_bits(df, id_col, text_col, nbits))
+    chunks = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.substring("simhash", b * width + 1, width)
+                     .alias("chunk"))
+            for b in range(bands)])).alias("bc"))
+    cand = (chunks.select(F.col(id_col).alias("id_a"),
+                          F.col("bc.band"), F.col("bc.chunk"))
+            .join(chunks.select(F.col(id_col).alias("id_b"),
+                                F.col("bc.band"), F.col("bc.chunk")),
+                  ["band", "chunk"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    sa = sig.select(F.col(id_col).alias("id_a"),
+                    F.col("simhash").alias("__sa"))
+    sb = sig.select(F.col(id_col).alias("id_b"),
+                    F.col("simhash").alias("__sb"))
+    hamming = sum(
+        (F.when(F.substring("__sa", i, 1) != F.substring("__sb", i, 1), 1)
+         .otherwise(0) for i in range(1, nbits + 1)),
+        F.lit(0))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("hamming", hamming.cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

@@ -589,3 +589,27 @@ def k_core(graph: Graph, k: int, max_iter: int = 50) -> DataFrame:
             .join(survivors.withColumn("in_kcore", F.lit(True)), "id", "left")
             .select("id", F.coalesce("in_kcore", F.lit(False))
                     .alias("in_kcore")))
+
+
+def clustering_coefficient(graph: Graph) -> DataFrame:
+    """Local clustering coefficient: the fraction of a vertex's
+    neighbor pairs that are themselves connected --
+    ``triangles(v) / C(deg(v), 2)``, 0 when deg < 2.  The standard
+    "how clique-like is this node's neighborhood" measure; on a trade
+    graph it separates hub-and-spoke nations from bloc members.
+
+    Pure composition of :func:`triangle_count` and the undirected
+    degree -- integer/integer division, engine-exact."""
+    tri = triangle_count(graph)
+    ue = undirected_edges(graph.edges)
+    deg = (ue.select(F.col("a").alias("id"))
+           .union(ue.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("deg")))
+    pairs = (F.col("deg") * (F.col("deg") - 1) / 2)
+    return (tri.join(deg, "id", "left")
+            .select("id",
+                    F.coalesce("deg", F.lit(0)).alias("degree"),
+                    "n_triangles",
+                    F.when(F.coalesce("deg", F.lit(0)) >= 2,
+                           F.col("n_triangles") / pairs)
+                    .otherwise(F.lit(0.0)).alias("clustering_coeff")))

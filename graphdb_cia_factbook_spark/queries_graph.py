@@ -325,6 +325,49 @@ def g_triangles(spark, sf):
     return triangle_count(build_trade_graph(spark, sf))
 
 
+@register("g_clustering_coeff", f"""
+WITH {EDGES_CTE},
+ue AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1
+  JOIN ue e2 ON e1.b = e2.a
+  JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pv AS (
+  SELECT id, COUNT(*) AS n_triangles
+  FROM (SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY id
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg
+  FROM (SELECT a AS id FROM ue UNION ALL SELECT b FROM ue)
+  GROUP BY id
+)
+SELECT v.id,
+       COALESCE(d.deg, 0) AS degree,
+       COALESCE(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN COALESCE(d.deg, 0) >= 2
+            THEN COALESCE(p.n_triangles, 0)
+                 / (d.deg * (d.deg - 1) / 2.0)
+            ELSE 0.0 END AS clustering_coeff
+FROM verts v
+LEFT JOIN pv p ON v.id = p.id
+LEFT JOIN deg d ON v.id = d.id
+""")
+def g_clustering_coeff(spark, sf):
+    """EXT graph metric: local clustering coefficient (triangles over
+    neighbor pairs) -- hub-and-spoke vs trading-bloc structure per
+    nation.  Integer/integer division, engine-exact."""
+    from .operators.graph import clustering_coefficient
+    return clustering_coefficient(build_trade_graph(spark, sf))
+
+
 @register("g_connected_components", f"""
 WITH RECURSIVE {EDGES_CTE.lstrip()},
 top2 AS (

@@ -257,6 +257,62 @@ def llm_simhash(spark, sf):
                         "doc_id", "text", _SIMHASH_BITS)
 
 
+_SH_ND_BITS, _SIMHASH_BANDS, _SIMHASH_MAXHAM = 32, 4, 2
+_SIMHASH_BAND_W = _SH_ND_BITS // _SIMHASH_BANDS
+
+_SH_ND_SUMS = ", ".join(
+    f"SUM(CASE WHEN substr(hx, {p + 1}, 1) IN "
+    "('8', '9', 'a', 'b', 'c', 'd', 'e', 'f') "
+    f"THEN 1 ELSE -1 END) AS b{p}" for p in range(_SH_ND_BITS))
+_SH_ND_CHARS = " || ".join(
+    f"(CASE WHEN b{p} > 0 THEN '1' ELSE '0' END)"
+    for p in range(_SH_ND_BITS))
+
+_SIMHASH_BAND_SELECTS = "\n  UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, "
+    f"substr(simhash, {b * _SIMHASH_BAND_W + 1}, {_SIMHASH_BAND_W}) "
+    f"AS chunk FROM sig"
+    for b in range(_SIMHASH_BANDS))
+
+_HAMMING_SQL = ("CAST(list_sum(list_transform(range(1, "
+                f"{_SH_ND_BITS + 1}), i -> CASE WHEN "
+                "substr(sa.simhash, i, 1) != substr(sb.simhash, i, 1) "
+                "THEN 1 ELSE 0 END)) AS BIGINT)")
+
+
+@register("llm_simhash_neardup", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+hx AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+sums AS (SELECT doc_id, {_SH_ND_SUMS} FROM hx GROUP BY doc_id),
+sig AS (SELECT doc_id, {_SH_ND_CHARS} AS simhash FROM sums),
+chunks AS (
+  {_SIMHASH_BAND_SELECTS}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+                             AND a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b, {_HAMMING_SQL} AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.id_a
+JOIN sig sb ON sb.doc_id = c.id_b
+WHERE {_HAMMING_SQL} <= {_SIMHASH_MAXHAM}
+""")
+def llm_simhash_neardup(spark, sf):
+    """SimHash near-dup pairs by the banding trick: 32-bit signatures
+    split into 4 eight-bit chunks; <= 2 differing bits forces
+    agreement on a whole chunk (pigeonhole), so chunk equi-joins find
+    every such pair with no all-pairs scan; exact Hamming verifies.
+    32 bits (not the 16 of the signature demo) keeps chunk buckets
+    selective -- 256 values per band -- so the candidate join stays
+    sub-quadratic on a low-entropy corpus."""
+    from .operators.dedup import simhash_neardup_pairs
+    return simhash_neardup_pairs(
+        read_parallel(spark, sf, "documents"), nbits=_SH_ND_BITS,
+        bands=_SIMHASH_BANDS, max_hamming=_SIMHASH_MAXHAM)
+
+
 _WINNOW_W = 4
 
 

@@ -226,3 +226,22 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     assert rows["a"] > rows["b"] > rows["c"] > 0
     assert rows["x"] == 0.0
     assert abs(sum(rows.values()) - 1.0) < 1e-9
+
+
+def test_clustering_coefficient_triangle_plus_pendant(spark):
+    """Triangle a-b-c with pendant d on a: b,c have coeff 1 (their
+    single neighbor pair is closed), a has 1/3 (one closed pair of
+    three), d has 0 (degree 1)."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph,
+        clustering_coefficient,
+    )
+    verts = spark.createDataFrame([(v,) for v in "abcd"], ["id"])
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], ["src", "dst"])
+    rows = {r.id: r for r in
+            clustering_coefficient(Graph(verts, edges)).collect()}
+    assert rows["b"].clustering_coeff == pytest.approx(1.0)
+    assert rows["c"].clustering_coeff == pytest.approx(1.0)
+    assert rows["a"].clustering_coeff == pytest.approx(1 / 3)
+    assert rows["d"].clustering_coeff == 0.0 and rows["d"].degree == 1

@@ -319,3 +319,20 @@ def test_fixed_size_sample_exact_budget(spark, docs):
     b = sorted(r.doc_id for r in fixed_size_sample(
         docs, "source", 3, key_col="doc_id").select("doc_id").collect())
     assert a == b
+
+
+def test_simhash_neardup_finds_drifted_copy_only(spark):
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 3
+    drifted = base.replace("lazy", "sleepy", 1)
+    other = ("completely different content about database engines "
+             "and vectorized execution pipelines with columnar io") * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, drifted), (3, other)], ["doc_id", "text"])
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_neardup_pairs(df, nbits=32).collect()}
+    assert (1, 2) in pairs           # drifted copy caught
+    assert (1, 3) not in pairs and (2, 3) not in pairs
