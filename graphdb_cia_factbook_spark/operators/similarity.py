@@ -263,3 +263,43 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return (topk_per_query(scored, k)
             .select("query_id", "neighbor_id", "rank",
                     F.round("cos", 6).alias("cos")))
+
+
+def _flip_bit(sig, i: int, nbits: int):
+    """Signature with bit ``i`` (1-based) flipped -- pure string exprs."""
+    flipped = F.when(F.substring(sig, i, 1) == "1", F.lit("0")) \
+        .otherwise(F.lit("1"))
+    return F.concat(F.substring(sig, 1, i - 1), flipped,
+                    F.substring(sig, i + 1, nbits - i))
+
+
+def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                        nbits: int = 8, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe sign-LSH top-k: each query probes its own bucket
+    PLUS every bucket at Hamming distance 1 (one flipped sign bit) --
+    the standard recall fix for sign-LSH, whose misses are mostly
+    vectors that landed one marginal hyperplane away.  Costs nbits+1
+    bucket lookups per query instead of more hash tables (memory-free
+    recall, the trade a 100-TB index wants).
+
+    A corpus vector has exactly one bucket and probe buckets are
+    distinct, so the probe join can't duplicate a (query, neighbor)
+    pair.  Plan: explode queries x (nbits+1) probes -> equi-join on
+    bucket -> exact cosine -> top-k window; never a cross join."""
+    sig = sign_signature(F.col(vec_col), nbits)
+    probes = F.array(sig, *[_flip_bit(sig, i, nbits)
+                            for i in range(1, nbits + 1)])
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"),
+                        F.explode(probes).alias("bucket")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"),
+                      sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    scored = (c.join(q, "bucket")
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", "bucket",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "neighbor_id", "bucket", "rank",
+                    F.round("cos", 6).alias("cos")))

@@ -830,6 +830,42 @@ FROM ranked WHERE rank <= 3""")
     return "".join(parts)
 
 
+@register("llm_ann_lsh_multiprobe", f"""
+WITH e AS (SELECT vec_id, embedding,
+                  {_bucket_sql('embedding', 8)} AS bucket
+           FROM embeddings),
+qp AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         unnest([bucket, substr(bucket, 1, 0) || (CASE WHEN substr(bucket, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 2, 7), substr(bucket, 1, 1) || (CASE WHEN substr(bucket, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 3, 6), substr(bucket, 1, 2) || (CASE WHEN substr(bucket, 3, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 4, 5), substr(bucket, 1, 3) || (CASE WHEN substr(bucket, 4, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 5, 4), substr(bucket, 1, 4) || (CASE WHEN substr(bucket, 5, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 6, 3), substr(bucket, 1, 5) || (CASE WHEN substr(bucket, 6, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 7, 2), substr(bucket, 1, 6) || (CASE WHEN substr(bucket, 7, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 8, 1), substr(bucket, 1, 7) || (CASE WHEN substr(bucket, 8, 1) = '1' THEN '0' ELSE '1' END) || substr(bucket, 9, 0)]) AS bucket
+  FROM e WHERE vec_id < 32
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM e c JOIN qp q ON c.bucket = q.bucket
+                    AND c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, bucket,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank,
+         cos
+  FROM scored
+)
+SELECT query_id, neighbor_id, bucket, rank, round(cos, 6) AS cos
+FROM ranked WHERE rank <= 3
+""")
+def llm_ann_lsh_multiprobe(spark, sf):
+    """Multi-probe sign-LSH top-3: each query also probes the 8
+    Hamming-distance-1 buckets (one flipped hyperplane), recovering
+    the near-misses plain LSH drops without any extra hash tables --
+    memory-free recall, the 100-TB index trade."""
+    from .operators.similarity import lsh_topk_multiprobe
+    emb = read_parallel(spark, sf, "embeddings")
+    return lsh_topk_multiprobe(emb, emb.where(F.col("vec_id") < 32),
+                               k=3, nbits=8)
+
+
 @register("llm_ann_ivf", _ivf_sql(_IVF_LLOYD))
 def llm_ann_ivf(spark, sf):
     """IVF approximate top-3: 16 seeded + Lloyd-refined centroid

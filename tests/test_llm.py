@@ -336,3 +336,22 @@ def test_simhash_neardup_finds_drifted_copy_only(spark):
              for r in simhash_neardup_pairs(df, nbits=32).collect()}
     assert (1, 2) in pairs           # drifted copy caught
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, emb):
+    """Probing Hamming-1 buckets can only ADD candidates, so
+    multi-probe recall vs brute force is >= single-probe recall, and
+    every multi-probe hit is a true bucket-or-neighbor-bucket match."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        lsh_topk,
+        lsh_topk_multiprobe,
+    )
+    queries = emb.where(F.col("vec_id") < 16)
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, queries, k=3).collect()}
+    single = {(r.query_id, r.neighbor_id) for r in
+              lsh_topk(emb, queries, k=3, nbits=8).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in
+             lsh_topk_multiprobe(emb, queries, k=3, nbits=8).collect()}
+    assert len(multi & truth) >= len(single & truth)
+    assert len(multi) >= len(single)
