@@ -303,3 +303,60 @@ def lsh_topk_multiprobe(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return (topk_per_query(scored, k)
             .select("query_id", "neighbor_id", "bucket", "rank",
                     F.round("cos", 6).alias("cos")))
+
+
+def quantize_embeddings(emb: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = max|v| / 127,
+    q[i] = round(v[i] / scale) in [-127, 127].  A 100-TB ANN index
+    holds 4x more vectors per executor-GB quantized, and the scoring
+    hot loop becomes INTEGER multiply-adds; the approximate dot is
+    scale_a * scale_b * sum(qa[i] * qb[i]) -- one float multiply after
+    an exact integer fold, which also makes it bit-portable across
+    engines (no float-accumulation drift at all).
+
+    Pure higher-order functions (transform / array_max / aggregate);
+    zero-vectors quantize to all-zero with scale 0."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) \
+        .cast("double") / 127.0
+    q = F.when(scale > 0,
+               F.transform(v, lambda x: F.round(x.cast("double") / scale)
+                           .cast("int"))) \
+        .otherwise(F.transform(v, lambda x: F.lit(0)))
+    return emb.select(F.col(id_col), q.alias("q"),
+                      scale.alias("scale"))
+
+
+def int8_dot(qa, qb, sa, sb):
+    """Approximate dot on quantized vectors: exact integer fold, one
+    float multiply at the end."""
+    prods = F.zip_with(qa, qb, lambda a, b: (a * b).cast("long"))
+    isum = F.aggregate(prods, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return sa * sb * isum.cast("double")
+
+
+def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 3,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors: the quantized
+    index streams once against broadcast quantized queries, scored by
+    integer dot products.  Recall loss vs full precision is the
+    quantization error (bounded by scale/2 per coordinate)."""
+    qc = quantize_embeddings(emb, id_col, vec_col)
+    qq = quantize_embeddings(queries, id_col, vec_col)
+    c = qc.select(F.col(id_col).alias("neighbor_id"),
+                  F.col("q").alias("__qc"), F.col("scale").alias("__sc"))
+    q = qq.select(F.col(id_col).alias("query_id"),
+                  F.col("q").alias("__qq"), F.col("scale").alias("__sq"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      F.round(int8_dot(F.col("__qq"), F.col("__qc"),
+                                       F.col("__sq"), F.col("__sc")), 6)
+                      .alias("qdot")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "qdot"))

@@ -878,6 +878,54 @@ def llm_ann_ivf(spark, sf):
                     lloyd_iters=_IVF_LLOYD)
 
 
+_QZ_CTE = """
+qz AS (
+  SELECT vec_id,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / 127.0 AS scale,
+         CASE WHEN CAST(list_max(list_transform(embedding, x -> abs(x)))
+                        AS DOUBLE) / 127.0 > 0
+              THEN list_transform(embedding,
+                     x -> CAST(round(CAST(x AS DOUBLE)
+                               / (CAST(list_max(list_transform(embedding,
+                                      y -> abs(y))) AS DOUBLE) / 127.0))
+                          AS INT))
+              ELSE list_transform(embedding, x -> 0) END AS q
+  FROM embeddings
+)"""
+
+_INT8_DOT = ("(c.scale * q.scale) * CAST(list_sum(list_transform("
+             "range(1, len(q.q) + 1), "
+             "i -> CAST(q.q[i] AS BIGINT) * c.q[i])) AS DOUBLE)")
+
+
+@register("llm_ann_quantized", """
+WITH {{_QZ_CTE.lstrip()}},
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({{_INT8_DOT}}, 6) AS qdot
+  FROM qz c, qz q
+  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, rank, qdot FROM (
+  SELECT query_id, neighbor_id, qdot,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY qdot DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 3
+""".replace("{{_QZ_CTE.lstrip()}}", _QZ_CTE.lstrip())
+   .replace("{{_INT8_DOT}}", _INT8_DOT))
+def llm_ann_quantized(spark, sf):
+    """ANN over int8-QUANTIZED embeddings: per-vector symmetric scale,
+    integer multiply-add scoring (4x index memory reduction, the
+    quantization every large ANN deployment runs).  The integer fold
+    is order-independent, so the score is bit-portable with no float-
+    accumulation caveats at all."""
+    from .operators.similarity import quantized_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    return quantized_topk(emb, emb.where(F.col("vec_id") < 16), k=3)
+
+
 @register("llm_embed_neardup", f"""
 WITH e AS (SELECT vec_id, embedding,
                   {_bucket_sql('embedding', 4)} AS bucket

