@@ -308,3 +308,37 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
             .withColumn("hamming", hamming.cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+def winnow_containment(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k_shingle: int = 3,
+                       window: int = 4,
+                       min_containment: float = 0.5) -> DataFrame:
+    """CONTAINMENT detection via winnowing fingerprints: for ordered
+    pairs (a, b), ``containment = |fp(a) ∩ fp(b)| / |fp(a)|`` -- near
+    1.0 when document a's content appears inside b even if b is much
+    larger, which symmetric Jaccard misses entirely (a 100-line quote
+    inside a 10k-line doc has tiny Jaccard but containment ~1).  The
+    quote/excerpt/wrapper detector of a training-data pipeline.
+
+    Scale shape: identical to the other fingerprint joins -- pairs
+    arise only from SHARED fingerprints (equi-join on fp), sizes are
+    doc-keyed aggregates, nothing quadratic materializes.  Winnowing's
+    guarantee (one shared fingerprint per shared window+k-1 token run)
+    bounds what containment can miss."""
+    from .text import winnow_fingerprints
+    fp = _hold(winnow_fingerprints(df, id_col, text_col,
+                                   k=k_shingle, window=window))
+    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    shared = (fp.select(F.col(id_col).alias("id_a"), "fp")
+              .join(fp.select(F.col(id_col).alias("id_b"), "fp"), "fp")
+              .where(F.col("id_a") != F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    return (shared
+            .join(sizes.withColumnRenamed(id_col, "id_a")
+                  .withColumnRenamed("n_fp", "n_fp_a"), "id_a")
+            .select("id_a", "id_b", "n_shared",
+                    (F.col("n_shared") / F.col("n_fp_a").cast("double"))
+                    .alias("containment"))
+            .where(F.col("containment") >= min_containment))

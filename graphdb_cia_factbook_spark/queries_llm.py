@@ -343,6 +343,46 @@ def llm_winnow_fingerprint(spark, sf):
                                window=_WINNOW_W)
 
 
+@register("llm_winnow_containment", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+shp AS (
+  SELECT doc_id,
+         unnest({SHINGLE_LIST}) AS shingle,
+         generate_subscripts({SHINGLE_LIST}, 1) AS pos
+  FROM tk
+),
+h AS (SELECT doc_id, pos, md5(shingle) AS hx FROM shp),
+wmin AS (
+  SELECT doc_id, pos,
+         min(hx) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW
+                       AND {_WINNOW_W - 1} FOLLOWING) AS sel,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM h
+),
+fp AS (SELECT DISTINCT doc_id, sel AS fp
+       FROM wmin WHERE pos <= n - {_WINNOW_W} + 1),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       s.n_shared / CAST(z.n_fp AS DOUBLE) AS containment
+FROM shared s JOIN sizes z ON z.doc_id = s.id_a
+WHERE s.n_shared / CAST(z.n_fp AS DOUBLE) >= 0.5
+""")
+def llm_winnow_containment(spark, sf):
+    """Asymmetric containment via winnowing fingerprints: flags doc a
+    whose fingerprint set mostly appears inside doc b (quote/excerpt/
+    wrapper detection) -- the case symmetric Jaccard dedup cannot see.
+    Pairs arise only from shared fingerprints; nothing quadratic."""
+    from .operators.dedup import winnow_containment
+    return winnow_containment(read_parallel(spark, sf, "documents"),
+                              window=_WINNOW_W)
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------

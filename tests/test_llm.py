@@ -372,3 +372,21 @@ def test_quantized_topk_tracks_full_precision(spark, emb):
              quantized_topk(emb, queries, k=3).collect()}
     recall = len(quant & truth) / len(truth)
     assert recall >= 0.7, f"int8 recall collapsed: {recall}"
+
+
+def test_winnow_containment_is_asymmetric(spark):
+    """A short doc quoted inside a long doc: containment(short in
+    long) ~ 1 even though Jaccard is tiny; the reverse direction is
+    small.  The case symmetric dedup cannot see."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        winnow_containment,
+    )
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"word{i} filler{i} text{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        ["doc_id", "text"])
+    rows = {(r.id_a, r.id_b): r.containment
+            for r in winnow_containment(df, min_containment=0.0).collect()}
+    assert rows[(1, 2)] >= 0.9            # quote fully contained
+    assert rows[(2, 1)] <= 0.3            # wrapper is not contained
