@@ -265,8 +265,8 @@ def decontaminate(train: DataFrame, benchmark: DataFrame,
 
 def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", nbits: int = 16,
-                          bands: int = 4,
-                          max_hamming: int = 2) -> DataFrame:
+                          bands: int = 4, max_hamming: int = 2,
+                          max_chunk_df: int = 1000) -> DataFrame:
     """SimHash near-dup PAIRS: the banding trick applied to SimHash
     signatures.  Split each ``nbits``-bit signature into ``bands``
     chunks; any pair differing in <= max_hamming bits must agree on at
@@ -274,11 +274,26 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
     equi-join per chunk finds every such pair without an all-pairs
     comparison; exact Hamming distance then verifies candidates.
 
+    ``max_chunk_df`` is the hot-chunk guard (same pattern as
+    ``ngram_jaccard_dedup.max_shingle_df``): a (band, chunk) bucket
+    holding m docs contributes m^2/2 candidates, so on a low-entropy
+    corpus (one boilerplate template = one dominant chunk value) the
+    bucket join degenerates quadratic.  Buckets with document
+    frequency above the cap are excluded from CANDIDATE GENERATION
+    only -- Hamming verification still reads full signatures.  A
+    <=max_hamming pair is missed only if EVERY chunk it agrees on is
+    boilerplate-hot; those docs are near-dups of half the corpus and
+    surface through the surviving buckets of their other band.
+
     Complements MinHash-LSH: SimHash responds to token-frequency
     drift, MinHash to set overlap.  Scale shape: signatures are
-    doc-count-sized; the bucket join is equi-keyed on (band, chunk);
-    verification touches candidates only."""
+    doc-count-sized; the bucket join is equi-keyed on (band, chunk)
+    and bounded by max_chunk_df^2 per bucket; verification touches
+    candidates only."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    assert nbits % bands == 0 and nbits >= bands, \
+        "banding needs nbits divisible by bands (width >= 1); a ragged " \
+        "split silently drops trailing bits from candidate generation"
     from .text import simhash_bits
     width = nbits // bands
     sig = _hold(simhash_bits(df, id_col, text_col, nbits))
@@ -288,11 +303,16 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
             F.struct(F.lit(b).alias("band"),
                      F.substring("simhash", b * width + 1, width)
                      .alias("chunk"))
-            for b in range(bands)])).alias("bc"))
-    cand = (chunks.select(F.col(id_col).alias("id_a"),
-                          F.col("bc.band"), F.col("bc.chunk"))
-            .join(chunks.select(F.col(id_col).alias("id_b"),
-                                F.col("bc.band"), F.col("bc.chunk")),
+            for b in range(bands)])).alias("bc")) \
+        .select(F.col(id_col), F.col("bc.band").alias("band"),
+                F.col("bc.chunk").alias("chunk"))
+    rare = (chunks.groupBy("band", "chunk")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_chunk_df)
+            .select("band", "chunk"))
+    chunks = chunks.join(rare, ["band", "chunk"], "left_semi")
+    cand = (chunks.withColumnRenamed(id_col, "id_a")
+            .join(chunks.withColumnRenamed(id_col, "id_b"),
                   ["band", "chunk"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
@@ -312,8 +332,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def winnow_containment(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k_shingle: int = 3,
-                       window: int = 4,
-                       min_containment: float = 0.5) -> DataFrame:
+                       window: int = 4, min_containment: float = 0.5,
+                       max_fp_df: int = 1000) -> DataFrame:
     """CONTAINMENT detection via winnowing fingerprints: for ordered
     pairs (a, b), ``containment = |fp(a) ∩ fp(b)| / |fp(a)|`` -- near
     1.0 when document a's content appears inside b even if b is much
@@ -321,18 +341,44 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     inside a 10k-line doc has tiny Jaccard but containment ~1).  The
     quote/excerpt/wrapper detector of a training-data pipeline.
 
-    Scale shape: identical to the other fingerprint joins -- pairs
-    arise only from SHARED fingerprints (equi-join on fp), sizes are
-    doc-keyed aggregates, nothing quadratic materializes.  Winnowing's
-    guarantee (one shared fingerprint per shared window+k-1 token run)
-    bounds what containment can miss."""
+    ``max_fp_df`` is the hot-fingerprint guard (same pattern as
+    ``ngram_jaccard_dedup.max_shingle_df``): one boilerplate
+    fingerprint shared by m docs contributes m^2 ordered candidates,
+    so fingerprints with document frequency above the cap are excluded
+    from CANDIDATE GENERATION.  Scoring is then EXACT over the full
+    fingerprint sets of the candidate pairs (the self-join is pruned
+    to candidate docs first, so hot fps re-enter only within that
+    bounded doc set) -- the containment value is unaffected by the
+    cap, only recall of pairs whose EVERY shared fp is
+    boilerplate-common is.
+
+    Scale shape: candidate pairs arise only from shared rare
+    fingerprints (equi-join on fp, bounded by max_fp_df^2 per fp);
+    sizes are doc-keyed aggregates; nothing quadratic materializes.
+    Winnowing's guarantee (one shared fingerprint per shared
+    window+k-1 token run) bounds what containment can miss."""
     from .text import winnow_fingerprints
     fp = _hold(winnow_fingerprints(df, id_col, text_col,
                                    k=k_shingle, window=window))
     sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    shared = (fp.select(F.col(id_col).alias("id_a"), "fp")
-              .join(fp.select(F.col(id_col).alias("id_b"), "fp"), "fp")
+    rare = (fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= max_fp_df)
+            .select("fp"))
+    fp_cand = fp.join(rare, "fp", "left_semi")
+    cand = _hold(fp_cand.select(F.col(id_col).alias("id_a"), "fp")
+                 .join(fp_cand.select(F.col(id_col).alias("id_b"), "fp"),
+                       "fp")
+                 .where(F.col("id_a") != F.col("id_b"))
+                 .select("id_a", "id_b").distinct())
+    cand_docs = (cand.select(F.col("id_a").alias(id_col))
+                 .union(cand.select(F.col("id_b").alias(id_col)))
+                 .distinct())
+    fp_sc = fp.join(F.broadcast(cand_docs), id_col, "left_semi")
+    shared = (fp_sc.select(F.col(id_col).alias("id_a"), "fp")
+              .join(fp_sc.select(F.col(id_col).alias("id_b"), "fp"), "fp")
               .where(F.col("id_a") != F.col("id_b"))
+              .join(cand, ["id_a", "id_b"], "left_semi")
               .groupBy("id_a", "id_b")
               .agg(F.count(F.lit(1)).alias("n_shared")))
     return (shared

@@ -153,9 +153,16 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
       exactly once -- the old semi-join dangling sum referenced it
       twice, doubling the plan per superstep (2^k analyzer blowup) and
       forcing per-step checkpoints.  The sentinel's value is spread
-      back onto every vertex row with one unpartitioned window over
-      the vertex-sized aggregate (single-partition exchange: fine to
-      ~100M vertices; beyond that, two-phase the spread).
+      back as a 1-ROW BROADCAST: the superstep aggregate is
+      materialized (localCheckpoint -- the Pregel-style per-superstep
+      materialization, so reading it twice is two scans of cached
+      partitions, not a plan doubling), the sentinel row collapses to
+      a scalar via a global aggregate over an already-1-row filter,
+      and a broadcast cross-join pins it onto every vertex row.  No
+      stage ever funnels the vertex-sized aggregate through one
+      partition, so there is no vertex-count ceiling (the old design
+      spread the sentinel with a global window = single-partition
+      exchange, capped ~100M vertices).
 
     ``teleport`` generalizes to PERSONALIZED ranks: a stationary
     (id, tele) distribution replacing the uniform 1/N restart -- both
@@ -186,8 +193,6 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
     # plausibly fits executor memory (~24B/row); past that it must
     # SHUFFLE onto the stationary src-partitioned edge table
     small_vector = n <= 10_000_000
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
 
     for i in range(max_iter):
         rhs = F.broadcast(ranks) if small_vector else ranks
@@ -195,11 +200,17 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                     .groupBy(F.col("dst").alias("id"))
                     .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib")))
         if n_dangling:
-            contribs = (contribs.withColumn("__dm", F.coalesce(
-                F.max(F.when(F.col("id") == _DANGLING_DST,
-                             F.col("contrib"))).over(w_all),
-                F.lit(0.0)))
-                .where(F.col("id") != _DANGLING_DST))
+            # materialize the superstep aggregate once; its two
+            # consumers (the scalar and the vertex rows) then read
+            # cached partitions -- lineage stays linear with no
+            # per-step plan doubling, and nothing below funnels
+            # through a single partition
+            contribs = contribs.localCheckpoint()
+            dm = (contribs.where(F.col("id") == _DANGLING_DST)
+                  .agg(F.coalesce(F.max("contrib"), F.lit(0.0))
+                       .alias("__dm")))
+            contribs = (contribs.where(F.col("id") != _DANGLING_DST)
+                        .crossJoin(F.broadcast(dm)))
         else:
             contribs = contribs.withColumn("__dm", F.lit(0.0))
         if teleport is not None:
@@ -216,7 +227,9 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                 (F.lit((1.0 - damping) / n)
                  + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
                 .alias("rank"))
-        if (i + 1) % checkpoint_every == 0:
+        # the dangling path already materializes once per superstep;
+        # the periodic checkpoint only serves the no-dangling path
+        if not n_dangling and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks.withColumnRenamed("rank", out_name)
 

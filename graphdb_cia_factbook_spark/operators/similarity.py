@@ -153,19 +153,22 @@ def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
 
 def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 label_col: str = "label") -> DataFrame:
-    """k-NN classification: majority label vote over the exact cosine
-    top-k neighbors (self excluded).  Deterministic end to end: the
-    top-k tie-breaks on neighbor id, the vote tie-breaks on (votes
-    desc, label asc).
+                 label_col: str = "label",
+                 topk_fn=None) -> DataFrame:
+    """k-NN classification: majority label vote over the cosine top-k
+    neighbors (self excluded).  Deterministic end to end: the top-k
+    tie-breaks on neighbor id, the vote tie-breaks on (votes desc,
+    label asc).
 
-    Output: (query_id, predicted_label, votes).  Scale shape: the
-    neighbor search is :func:`brute_force_topk` (broadcast queries,
-    corpus streams once); the vote is a Q*k-row aggregate -- swap in
-    :func:`lsh_topk`/:func:`ivf_topk` for the neighbor stage when Q is
-    large, the vote logic is unchanged."""
-    topk = brute_force_topk(corpus, queries, k=k,
-                            id_col=id_col, vec_col=vec_col)
+    Output: (query_id, predicted_label, votes).  The neighbor stage is
+    PLUGGABLE: ``topk_fn(corpus, queries, k, id_col, vec_col)`` must
+    return (query_id, neighbor_id, rank, ...) -- default
+    :func:`brute_force_topk` (broadcast queries, corpus streams once;
+    exact, the small-Q plan); pass :func:`ivf_topk` /
+    :func:`lsh_topk_multiprobe` when Q is large so the search cost is
+    sublinear in N.  The vote is a Q*k-row aggregate either way."""
+    topk_fn = topk_fn or brute_force_topk
+    topk = topk_fn(corpus, queries, k=k, id_col=id_col, vec_col=vec_col)
     votes = (topk.join(corpus.select(F.col(id_col).alias("neighbor_id"),
                                      F.col(label_col)), "neighbor_id")
              .groupBy("query_id", label_col)
@@ -341,8 +344,10 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 3,
                    vec_col: str = "embedding") -> DataFrame:
     """Brute-force top-k over int8-quantized vectors: the quantized
     index streams once against broadcast quantized queries, scored by
-    integer dot products.  Recall loss vs full precision is the
-    quantization error (bounded by scale/2 per coordinate)."""
+    integer dot products, then map-side-pruned via
+    :func:`topk_per_query` (the shuffle carries Q * partitions * k
+    rows, never the Q * N scored set).  Recall loss vs full precision
+    is the quantization error (bounded by scale/2 per coordinate)."""
     qc = quantize_embeddings(emb, id_col, vec_col)
     qq = quantize_embeddings(queries, id_col, vec_col)
     c = qc.select(F.col(id_col).alias("neighbor_id"),
@@ -355,8 +360,6 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 3,
                       F.round(int8_dot(F.col("__qq"), F.col("__qc"),
                                        F.col("__sq"), F.col("__sc")), 6)
                       .alias("qdot")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"),
-                                               F.asc("neighbor_id"))
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
+    return (topk_per_query(scored, k,
+                           order=[F.desc("qdot"), F.asc("neighbor_id")])
             .select("query_id", "neighbor_id", "rank", "qdot"))

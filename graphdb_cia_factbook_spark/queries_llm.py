@@ -258,6 +258,7 @@ def llm_simhash(spark, sf):
 
 
 _SH_ND_BITS, _SIMHASH_BANDS, _SIMHASH_MAXHAM = 32, 4, 2
+_SIMHASH_MAX_DF = 1000  # hot-chunk candidate cap (dedup.py pattern)
 _SIMHASH_BAND_W = _SH_ND_BITS // _SIMHASH_BANDS
 
 _SH_ND_SUMS = ", ".join(
@@ -288,10 +289,18 @@ sig AS (SELECT doc_id, {_SH_ND_CHARS} AS simhash FROM sums),
 chunks AS (
   {_SIMHASH_BAND_SELECTS}
 ),
+rarec AS (
+  SELECT band, chunk FROM chunks
+  GROUP BY band, chunk HAVING count(*) <= {_SIMHASH_MAX_DF}
+),
+chc AS (
+  SELECT c.doc_id, c.band, c.chunk
+  FROM chunks c JOIN rarec r ON c.band = r.band AND c.chunk = r.chunk
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
-                             AND a.doc_id < b.doc_id
+  FROM chc a JOIN chc b ON a.band = b.band AND a.chunk = b.chunk
+                       AND a.doc_id < b.doc_id
 )
 SELECT c.id_a, c.id_b, {_HAMMING_SQL} AS hamming
 FROM cand c
@@ -305,15 +314,17 @@ def llm_simhash_neardup(spark, sf):
     agreement on a whole chunk (pigeonhole), so chunk equi-joins find
     every such pair with no all-pairs scan; exact Hamming verifies.
     32 bits (not the 16 of the signature demo) keeps chunk buckets
-    selective -- 256 values per band -- so the candidate join stays
-    sub-quadratic on a low-entropy corpus."""
+    selective -- 256 values per band -- and the hot-chunk DF cap
+    bounds the candidate join even on a boilerplate corpus."""
     from .operators.dedup import simhash_neardup_pairs
     return simhash_neardup_pairs(
         read_parallel(spark, sf, "documents"), nbits=_SH_ND_BITS,
-        bands=_SIMHASH_BANDS, max_hamming=_SIMHASH_MAXHAM)
+        bands=_SIMHASH_BANDS, max_hamming=_SIMHASH_MAXHAM,
+        max_chunk_df=_SIMHASH_MAX_DF)
 
 
 _WINNOW_W = 4
+_WINNOW_MAX_DF = 1000  # hot-fingerprint candidate cap (dedup.py pattern)
 
 
 @register("llm_winnow_fingerprint", f"""
@@ -363,9 +374,17 @@ wmin AS (
 fp AS (SELECT DISTINCT doc_id, sel AS fp
        FROM wmin WHERE pos <= n - {_WINNOW_W} + 1),
 sizes AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+rare AS (SELECT fp FROM fp GROUP BY fp
+         HAVING count(*) <= {_WINNOW_MAX_DF}),
+fpc AS (SELECT f.doc_id, f.fp FROM fp f JOIN rare r ON f.fp = r.fp),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fpc a JOIN fpc b ON a.fp = b.fp AND a.doc_id != b.doc_id
+),
 shared AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
   FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id != b.doc_id
+  JOIN cand c ON c.id_a = a.doc_id AND c.id_b = b.doc_id
   GROUP BY 1, 2
 )
 SELECT s.id_a, s.id_b, s.n_shared,
@@ -377,10 +396,11 @@ def llm_winnow_containment(spark, sf):
     """Asymmetric containment via winnowing fingerprints: flags doc a
     whose fingerprint set mostly appears inside doc b (quote/excerpt/
     wrapper detection) -- the case symmetric Jaccard dedup cannot see.
-    Pairs arise only from shared fingerprints; nothing quadratic."""
+    Candidate pairs arise only from shared RARE fingerprints (hot-fp
+    DF cap); the containment score itself is exact over full sets."""
     from .operators.dedup import winnow_containment
     return winnow_containment(read_parallel(spark, sf, "documents"),
-                              window=_WINNOW_W)
+                              window=_WINNOW_W, max_fp_df=_WINNOW_MAX_DF)
 
 
 # ---------------------------------------------------------------------------
@@ -812,11 +832,14 @@ def llm_ann_lsh(spark, sf):
 _IVF_K, _IVF_NPROBE, _IVF_LLOYD = 16, 2, 1
 
 
-def _ivf_sql(lloyd_iters: int) -> str:
+def _ivf_sql(lloyd_iters: int, q_max: int = 8, k: int = 3,
+             vote: bool = False) -> str:
     """Generate the IVF oracle: seeded centroids -> ``lloyd_iters``
     Lloyd refinements (decimal-exact per-dimension means, mirroring
     similarity.lloyd_refine) -> assign/probe/score on the FINAL
-    centroid table."""
+    centroid table.  ``vote=True`` appends the k-NN majority-vote tail
+    (same CTE shape as the llm_knn_classify oracle) instead of the
+    raw top-k projection."""
     def nearest(cents: str, filt: str, n: int, out: str) -> str:
         return f"""(
   SELECT vec_id AS {out}, embedding, centroid_id
@@ -851,7 +874,7 @@ cents{i + 1} AS (
     fin = f"cents{lloyd_iters}"
     parts.append(f""",
 assign AS {nearest(fin, '', 1, 'neighbor_id')},
-probe AS {nearest(fin, 'WHERE e.vec_id < 8', _IVF_NPROBE, 'query_id')},
+probe AS {nearest(fin, f'WHERE e.vec_id < {q_max}', _IVF_NPROBE, 'query_id')},
 scored AS (
   SELECT p.query_id, a.neighbor_id,
          {_cos_sql('p.embedding', 'a.embedding')} AS cos
@@ -864,9 +887,26 @@ ranked AS (
                             ORDER BY cos DESC, neighbor_id) AS rank,
          cos
   FROM scored
+)""")
+    if vote:
+        parts.append(f""",
+votes AS (
+  SELECT r.query_id, e.label, count(*) AS votes
+  FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+  WHERE r.rank <= {k}
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT query_id, label AS predicted_label, votes,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY votes DESC, label) AS vr
+  FROM votes
 )
+SELECT query_id, predicted_label, votes FROM best WHERE vr = 1""")
+    else:
+        parts.append(f"""
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos
-FROM ranked WHERE rank <= 3""")
+FROM ranked WHERE rank <= {k}""")
     return "".join(parts)
 
 
@@ -916,6 +956,24 @@ def llm_ann_ivf(spark, sf):
     return ivf_topk(emb, emb.where(F.col("vec_id") < 8), k=3,
                     n_centroids=_IVF_K, nprobe=_IVF_NPROBE,
                     lloyd_iters=_IVF_LLOYD)
+
+
+@register("llm_knn_ivf", _ivf_sql(_IVF_LLOYD, q_max=32, k=5, vote=True))
+def llm_knn_ivf(spark, sf):
+    """k-NN classification over the IVF index: the neighbor stage is
+    :func:`ivf_topk` (sublinear, the large-Q plan) plugged into the
+    same majority-vote tail as ``llm_knn_classify`` -- demonstrates
+    the pluggable-neighbor-stage contract of ``knn_classify``."""
+    from .operators.similarity import knn_classify
+    emb = read_parallel(spark, sf, "embeddings")
+
+    def ivf_stage(corpus, queries, k, id_col, vec_col):
+        return ivf_topk(corpus, queries, k=k, n_centroids=_IVF_K,
+                        nprobe=_IVF_NPROBE, lloyd_iters=_IVF_LLOYD,
+                        id_col=id_col, vec_col=vec_col)
+
+    return knn_classify(emb, emb.where(F.col("vec_id") < 32), k=5,
+                        topk_fn=ivf_stage)
 
 
 _QZ_CTE = """

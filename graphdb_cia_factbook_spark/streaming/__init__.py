@@ -303,11 +303,17 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     sum of boundary flags to number sessions -- both windows share the
     same (user_id / ts) partitioning and sort, so Catalyst runs them
     in ONE window stage over one shuffle.  Second-granularity integer
-    epoch arithmetic keeps the boundary test engine-exact."""
+    epoch arithmetic keeps the boundary test engine-exact.
+
+    ``ts`` casts through TIMESTAMP before the epoch cast: parquet
+    delivers TIMESTAMP_NTZ (Spark 4 infers NTZ by default) which has
+    no direct BIGINT cast, and the session tz is pinned UTC so the
+    NTZ->LTZ hop is exact (mirrors the oracle's CAST(ts AS
+    TIMESTAMP))."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag(F.col("ts").cast("long")).over(w)
-    boundary = (prev.isNull()
-                | (F.col("ts").cast("long") - prev > gap_seconds))
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    prev = F.lag(epoch).over(w)
+    boundary = prev.isNull() | (epoch - prev > gap_seconds)
     return (events.select("event_id", "user_id", "ts",
                           boundary.cast("int").alias("__new"))
             .withColumn("session_seq",

@@ -390,3 +390,70 @@ def test_winnow_containment_is_asymmetric(spark):
             for r in winnow_containment(df, min_containment=0.0).collect()}
     assert rows[(1, 2)] >= 0.9            # quote fully contained
     assert rows[(2, 1)] <= 0.3            # wrapper is not contained
+
+
+def test_winnow_hot_fp_guard(spark):
+    """A boilerplate run shared by EVERY doc must not pair the whole
+    corpus once its fingerprints exceed max_fp_df; true containment
+    (through rare fingerprints) must survive, and its score must still
+    be computed over FULL fingerprint sets."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        winnow_containment,
+    )
+    boiler = "all rights reserved contact us terms of service apply here"
+    quote = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    filler = " ".join(f"word{i} filler{i} text{i}" for i in range(40))
+    rows = ([(i, f"unique{i} page number {i} content {i} " + boiler)
+             for i in range(20)]
+            + [(100, quote + " " + boiler),
+               (101, filler + " " + quote + " " + boiler + " " + filler)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b): r.containment
+              for r in winnow_containment(
+                  df, min_containment=0.0, max_fp_df=10).collect()}
+    # the quote still surfaces through its rare fingerprints, scored
+    # over FULL sets (boilerplate fps included in n_shared / n_fp)
+    uncapped = {(r.id_a, r.id_b): r.containment
+                for r in winnow_containment(
+                    df, min_containment=0.0, max_fp_df=10**9).collect()}
+    assert (100, 101) in capped
+    assert capped[(100, 101)] == uncapped[(100, 101)]
+    # boilerplate-only overlaps are dropped from the candidate space
+    assert len(capped) < len(uncapped)
+
+
+def test_simhash_hot_chunk_guard(spark):
+    """Near-identical template docs all agree on every chunk; with a
+    DF cap below the template count their quadratic pair space is
+    suppressed, while a rare drifted-copy pair is still found."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+    template = ("lorem ipsum dolor sit amet consectetur adipiscing "
+                "elit sed do eiusmod tempor incididunt ut labore") * 3
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight") * 3
+    rows = ([(i, template) for i in range(30)]
+            + [(100, base), (101, base.replace("lazy", "sleepy", 1))])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b)
+              for r in simhash_neardup_pairs(
+                  df, nbits=32, max_chunk_df=10).collect()}
+    assert (100, 101) in capped          # rare near-dup survives
+    assert not any(a < 30 and b < 30 for a, b in capped)  # hot suppressed
+    uncapped = simhash_neardup_pairs(df, nbits=32,
+                                     max_chunk_df=10**9).count()
+    assert uncapped >= 30 * 29 // 2      # the quadratic space it avoids
+
+
+def test_simhash_ragged_banding_rejected(spark):
+    """nbits not divisible by bands would silently drop trailing bits
+    from candidate generation -- must be rejected."""
+    import pytest
+
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        simhash_neardup_pairs,
+    )
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(AssertionError):
+        simhash_neardup_pairs(df, nbits=30, bands=4)
