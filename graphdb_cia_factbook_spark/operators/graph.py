@@ -271,9 +271,20 @@ def personalized_pagerank(graph: Graph, sources: list,
 
     Same superstep plan as :func:`pagerank`; the teleport vector is a
     stationary vertex-sized broadcast joined into the per-step
-    aggregate."""
+    aggregate.
+
+    Every source must exist in ``graph.vertices``: an absent seed
+    would silently drop 1/len(sources) of the teleport (and dangling)
+    mass, so scores would stop summing to 1 with no error -- rejected
+    up front with one small count."""
+    assert len(set(sources)) == len(sources), "duplicate ppr sources"
     verts = graph.vertices.select("id").localCheckpoint()
     n = verts.count()
+    n_found = verts.where(F.col("id").isin(sources)).count()
+    missing = len(sources) - n_found
+    assert missing == 0, (
+        f"personalized_pagerank: {missing} of {len(sources)} sources "
+        "absent from graph.vertices; their teleport mass would vanish")
     tele = verts.select(
         "id", F.when(F.col("id").isin(sources),
                      F.lit(1.0 / len(sources)))
@@ -433,18 +444,31 @@ def sssp(graph: Graph, sources: list, weight_col: str = "cost",
     Integer weights keep the min exact and engine-portable (float path
     sums are also deterministic -- each path's sum accumulates in path
     order on both engines -- but integers remove rounding questions
-    entirely).  Scale shape per superstep: one edge-sized equi-join
-    against the settled-dist table + one vertex-keyed min-aggregate --
-    the same two-shuffle pattern as the rank loop; the iteration count
-    is bounded by the weighted diameter, not |V| (fixpoint exit)."""
+    entirely); fractional weights are REJECTED (the long cast would
+    silently truncate them) -- scale a float cost column to integer
+    units upstream.  If the loop exits on ``max_iter`` without
+    reaching the fixpoint a ``RuntimeWarning`` is emitted: distances
+    are then upper bounds, not shortest paths.  Scale shape per
+    superstep: one edge-sized equi-join against the settled-dist
+    table + one vertex-keyed min-aggregate -- the same two-shuffle
+    pattern as the rank loop; the iteration count is bounded by the
+    weighted diameter, not |V| (fixpoint exit)."""
     edges = (graph.edges.select("src", "dst",
+                                F.col(weight_col).cast("double").alias("wd"),
                                 F.col(weight_col).cast("long").alias("w"))
              .localCheckpoint())
+    n_frac = edges.where(
+        ~F.col("wd").eqNullSafe(F.col("w").cast("double"))).count()
+    assert n_frac == 0, (
+        f"sssp: {n_frac} edges have non-integer '{weight_col}' values; "
+        "the long cast would truncate them -- rescale to integer units")
+    edges = edges.drop("wd")
     dist = (graph.vertices.select(
         "id", F.when(F.col("id").isin(sources), F.lit(0).cast("long"))
         .alias("dist"))
         .localCheckpoint())
 
+    changed = -1
     for _ in range(max_iter):
         relax = (edges.join(dist.select(F.col("id").alias("src"),
                                         F.col("dist").alias("du")), "src")
@@ -462,6 +486,13 @@ def sssp(graph: Graph, sources: list, weight_col: str = "cost",
         dist = new
         if changed == 0:
             break
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"sssp: exited after max_iter={max_iter} supersteps without "
+            "reaching the fixpoint; distances are upper bounds (the "
+            "weighted diameter exceeds max_iter)", RuntimeWarning,
+            stacklevel=2)
     return dist
 
 

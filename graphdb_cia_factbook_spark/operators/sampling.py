@@ -98,6 +98,47 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 8,
                     .alias("start_offset")))
 
 
+#: power-of-two token-length bucket edges for batch construction;
+#: documents above the last edge share the overflow bucket.
+LENGTH_BUCKET_EDGES = [16, 32, 64, 128, 256, 512, 1024]
+
+
+def length_bucket_batches(df: DataFrame, batch_size: int,
+                          id_col: str = "doc_id",
+                          count_col: str = "n_tokens",
+                          salt: str = "") -> DataFrame:
+    """Length-bucketed batch construction: group documents into
+    power-of-two token-length buckets, then number deterministic
+    ``batch_size``-document batches within each bucket (order = keyed
+    hash coin, so batches are reproducible and unbiased by input
+    order).  Padding waste in a batch is bounded by the bucket width
+    -- the standard throughput trick for packing variable-length
+    sequences into fixed tensors.
+
+    Output: (id, n_tokens, bucket, batch_id, pos_in_batch).  The
+    bucket is an integer CASE chain (no float log2 -- engine-exact);
+    batch numbering is pure integer arithmetic over a row_number.
+
+    Scale shape: one hash shuffle on the bucket key + one sorted
+    window per bucket; the coin order means no global sort and no
+    skew beyond the bucket histogram itself."""
+    n = F.col(count_col)
+    bucket = None
+    for edge in LENGTH_BUCKET_EDGES:
+        cond = n <= edge
+        bucket = (F.when(cond, edge) if bucket is None
+                  else bucket.when(cond, edge))
+    bucket = bucket.otherwise(2 * LENGTH_BUCKET_EDGES[-1]).cast("int")
+    coin = sample_hash_coin(F.col(id_col), salt)
+    w = Window.partitionBy("bucket").orderBy(coin, id_col)
+    rn = F.row_number().over(w) - 1
+    return (df.withColumn("bucket", bucket)
+            .select(id_col, F.col(count_col).alias("n_tokens"), "bucket",
+                    F.floor(rn / batch_size).cast("long").alias("batch_id"),
+                    F.pmod(rn, F.lit(batch_size)).cast("long")
+                    .alias("pos_in_batch")))
+
+
 def fixed_size_sample(df: DataFrame, strata_col: str, k: int,
                       key_col: str, salt: str = "") -> DataFrame:
     """Deterministic FIXED-SIZE sample: exactly ``min(k, |stratum|)``

@@ -176,6 +176,111 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
             .distinct())
 
 
+#: PII patterns chosen from the regex subset BOTH Java (Spark) and
+#: RE2 (DuckDB) support identically: no lookaround, no backrefs.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}",
+    "ipv4": r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+}
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """PII redaction: replace emails / phone numbers / IPv4 addresses
+    with ``<PII:kind>`` placeholders and count what was removed -- the
+    standard scrub pass a pretraining corpus runs before anything else.
+
+    Output: (id, clean_text, n_emails, n_phones, n_ipv4, n_pii).
+    Order matters: emails first (an email contains dots that the ipv4
+    pattern must never see), then phones, then IPs -- counts are
+    computed on the SAME intermediate the next replacement reads, so
+    no span is double-counted.
+
+    Pure ``regexp_replace`` / ``regexp_count`` codegen -- no UDF; the
+    patterns stay inside the Java-regex/RE2 common subset so the
+    DuckDB oracle is character-identical.  Scale shape: embarrassingly
+    parallel map, zero shuffle."""
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_PATTERNS["email"]))
+    t1 = F.regexp_replace(t0, PII_PATTERNS["email"], "<PII:email>")
+    n_phones = F.regexp_count(t1, F.lit(PII_PATTERNS["phone"]))
+    t2 = F.regexp_replace(t1, PII_PATTERNS["phone"], "<PII:phone>")
+    n_ipv4 = F.regexp_count(t2, F.lit(PII_PATTERNS["ipv4"]))
+    t3 = F.regexp_replace(t2, PII_PATTERNS["ipv4"], "<PII:ipv4>")
+    return df.select(
+        F.col(id_col), t3.alias("clean_text"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        n_ipv4.cast("long").alias("n_ipv4"),
+        (n_emails + n_phones + n_ipv4).cast("long").alias("n_pii"))
+
+
+def chunk_with_overlap(df: DataFrame, chunk_size: int = 64,
+                       stride: int = 48, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Sliding-window document chunking: split each document's token
+    stream into ``chunk_size``-token pieces starting every ``stride``
+    tokens (overlap = chunk_size - stride) -- the RAG / long-context
+    training-example splitter.  Every token belongs to at least one
+    chunk; consecutive chunks share the overlap so no boundary context
+    is lost.
+
+    Output: (id, chunk_idx, chunk_start, n_chunk_tokens, chunk_text).
+    The last chunk may be short; a final stride landing exactly at the
+    end emits nothing (its tokens are already fully covered).
+
+    Plan: one ``posexplode`` of the integer start sequence + one
+    ``slice``/``array_join`` -- all inside codegen, shuffle-free; the
+    fan-out is rows * ceil(n/stride), the same data volume any
+    chunker must emit."""
+    assert 0 < stride <= chunk_size, "stride must be in (0, chunk_size]"
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(n - 1, F.lit(0)),
+        F.lit(stride))
+    return (df.select(F.col(id_col), t.alias("__toks"),
+                      F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+            .select(
+                id_col, "chunk_idx", "chunk_start",
+                F.size(F.slice(F.col("__toks"),
+                               F.col("chunk_start") + 1, chunk_size))
+                .alias("n_chunk_tokens"),
+                F.array_join(F.slice(F.col("__toks"),
+                                     F.col("chunk_start") + 1, chunk_size),
+                             " ").alias("chunk_text")))
+
+
+def token_rarity(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Corpus-frequency rarity scoring: how common are a document's
+    tokens across the WHOLE corpus?  The integer-exact stand-in for a
+    unigram-LM perplexity filter (low mean frequency = surprising =
+    either valuable rare content or garbage; both ends get reviewed).
+
+    Per document: ``n_tokens``, ``mean_token_freq`` (average over
+    token POSITIONS of that token's corpus occurrence count),
+    ``min_token_freq`` (the rarest token's count).  All sums are
+    integer (order-independent, engine-exact); the single final
+    division is one double op -- bit-identical everywhere.
+
+    Scale shape: one explode + a token-keyed count (the corpus
+    vocabulary, map-side combined) broadcast-or-shuffle joined back to
+    the token stream + a doc-keyed sum.  Token-sized shuffles only,
+    never doc x doc."""
+    tok = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    return (tok.join(vocab, "tok")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum("freq").cast("double")
+                  / F.count(F.lit(1))).alias("mean_token_freq"),
+                 F.min("freq").alias("min_token_freq")))
+
+
 def simhash_bits(df: DataFrame, id_col: str, text_col: str,
                  nbits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens (with multiplicity).

@@ -6,6 +6,8 @@ difference between a join that finishes and one that doesn't.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from .operators.relational import (
@@ -162,9 +164,15 @@ def agg_approx_sketches(spark, sf):
 
 #: deterministic synthesized crawl dump for the S1 scale path -- the
 #: spark.read.text analog of scrape_cia.py:42-62 (one record per line,
-#: country|raw-amount-text).  Generated at registration time so BOTH
-#: engines (Spark scan + DuckDB read_text oracle) see the same file.
-_CRAWL_PATH = "/root/repo/spark-warehouse/s1_crawl_blob.txt"
+#: country|raw-amount-text).  The path is derived from this file's
+#: location (repo root / spark-warehouse), never hardcoded to a
+#: checkout directory, and the blob is written LAZILY on the query's
+#: first run (registration has no filesystem side effect).  The
+#: Spark builder always runs before the oracle in the gate, so the
+#: file exists by the time DuckDB's read_text needs it.
+_CRAWL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "s1_crawl_blob.txt")
 
 
 def _ensure_crawl_blob() -> None:
@@ -190,9 +198,6 @@ def _ensure_crawl_blob() -> None:
         pass
     with open(_CRAWL_PATH, "w") as fh:
         fh.write(content)
-
-
-_ensure_crawl_blob()
 
 
 @register("s1_text_crawl", f"""
@@ -226,6 +231,7 @@ def s1_text_crawl(spark, sf):
     touches records; executors scan text splits and every parse is
     whole-stage codegen (no UDF)."""
     from .functions import extract_year, parse_currency
+    _ensure_crawl_blob()
     raw = spark.read.text(_CRAWL_PATH)
     return (raw
             .select(F.split_part(F.col("value"), F.lit("|"), F.lit(1))

@@ -569,10 +569,19 @@ def g_sssp_weighted(spark, sf):
     NATION_0 over the top-3-partner digraph, edge cost = the partner
     rank (1 = strongest link), i.e. the cheapest chain of strong trade
     relationships.  Bellman-Ford supersteps; oracle = bounded
-    recursive-CTE path closure + MIN per vertex (exact because costs
-    are integers and the closure cap exceeds any shortest distance)."""
+    recursive-CTE path closure + MIN per vertex.  The closure cap
+    (dist < 100) is exact only while every shortest distance stays
+    under it; since costs are <= 3 (top-3 rank) any shortest path is
+    bounded by 3*(|V|-1), which the builder asserts against the
+    actual vertex count so a larger graph cannot silently truncate
+    the oracle's closure."""
     from .operators.graph import Graph, sssp
     g, top3 = _top3_cost(spark, sf)
+    n_verts = g.vertices.count()
+    assert 3 * (n_verts - 1) < 100, (
+        f"g_sssp_weighted oracle caps the path closure at dist < 100 "
+        f"but 3*(|V|-1) = {3 * (n_verts - 1)} can exceed it; raise the "
+        "cap in the oracle SQL")
     return sssp(Graph(g.vertices, top3), ["NATION_0"], weight_col="cost")
 
 
@@ -649,10 +658,18 @@ def g_kcore(spark, sf):
     """EXT graph algorithm: k-core membership (k=4) of the undirected
     top-3-partner graph by iterative peeling -- the dense trading-bloc
     backbone.  Spark side exits at the fixpoint; the oracle peels a
-    fixed |V| rounds, identical because converged peels are
-    idempotent."""
+    fixed number of rounds, identical because converged peels are
+    idempotent -- VALID ONLY while rounds >= |V| (peeling removes at
+    least one vertex per non-converged round), which the builder
+    asserts against the actual vertex count so a data change cannot
+    silently under-peel the oracle."""
     from .operators.graph import Graph, k_core
     g, top3 = _top3_cost(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts <= _KCORE_ROUNDS, (
+        f"g_kcore oracle peels {_KCORE_ROUNDS} rounds but the graph has "
+        f"{n_verts} vertices; raise _KCORE_ROUNDS to >= |V| or the "
+        "oracle may stop before the peel converges")
     return k_core(Graph(g.vertices, top3), k=_KCORE_K)
 
 

@@ -1195,3 +1195,180 @@ def llm_tfidf(spark, sf):
             .where(F.col("rn") <= _TFIDF_TOPK)
             .select("doc_id", "term", F.round("tfidf", 6).alias("tfidf"),
                     F.col("rn").alias("term_rank")))
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: scrub / chunk / rarity / batching.  These register
+# AFTER the registry's gate-priority block, so they queue for official
+# CORRECTNESS rows in the next round's reorder.
+# ---------------------------------------------------------------------------
+
+from .operators.text import PII_PATTERNS  # noqa: E402
+
+#: deterministic synthetic-PII injection shared by the Spark builder
+#: and the oracle -- the documents corpus contains no PII of its own,
+#: so the scrub demonstrates on text seeded as a function of doc_id.
+_PII_INJECT_SQL = """
+inj AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' user' || doc_id || '@example.com' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-123-'
+                 || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' from 10.0.0.' || (doc_id % 256) ELSE '' END AS text
+  FROM documents
+)"""
+
+
+@register("llm_pii_scrub", f"""
+WITH {_PII_INJECT_SQL.lstrip()},
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{PII_PATTERNS["email"]}'))
+              AS BIGINT) AS n_emails,
+         regexp_replace(text, '{PII_PATTERNS["email"]}',
+                        '<PII:email>', 'g') AS t
+  FROM inj
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t, '{PII_PATTERNS["phone"]}'))
+              AS BIGINT) AS n_phones,
+         regexp_replace(t, '{PII_PATTERNS["phone"]}',
+                        '<PII:phone>', 'g') AS t
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         CAST(len(regexp_extract_all(t, '{PII_PATTERNS["ipv4"]}'))
+              AS BIGINT) AS n_ipv4,
+         regexp_replace(t, '{PII_PATTERNS["ipv4"]}',
+                        '<PII:ipv4>', 'g') AS t
+  FROM s2
+)
+SELECT doc_id, t AS clean_text, n_emails, n_phones, n_ipv4,
+       n_emails + n_phones + n_ipv4 AS n_pii
+FROM s3
+""")
+def llm_pii_scrub(spark, sf):
+    """PII redaction pass: emails / phones / IPv4 replaced with typed
+    placeholders + per-doc removal counts.  Deterministic synthetic
+    PII is injected as a function of doc_id (the corpus has none of
+    its own) so the scrub is exercised for real.  Pure regexp codegen,
+    zero shuffle -- the patterns live in the Java-regex/RE2 common
+    subset so both engines see identical semantics."""
+    from .operators.text import pii_scrub
+    docs = read_parallel(spark, sf, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0,
+                   F.concat(F.lit(" user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com"))).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" call 555-123-"),
+                            F.lpad((F.col("doc_id") % 10000)
+                                   .cast("string"), 4, "0")))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.concat(F.lit(" from 10.0.0."),
+                            (F.col("doc_id") % 256).cast("string")))
+            .otherwise(F.lit(""))).alias("text"))
+    return pii_scrub(injected)
+
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 16, 12
+
+
+@register("llm_chunk_overlap", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1,
+                      {_CHUNK_STRIDE})) AS chunk_start
+  FROM tk
+)
+SELECT doc_id,
+       CAST(chunk_start // {_CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(chunk_start AS INT) AS chunk_start,
+       CAST(len(toks[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}])
+            AS INT) AS n_chunk_tokens,
+       array_to_string(toks[chunk_start + 1 : chunk_start + {_CHUNK_SIZE}],
+                       ' ') AS chunk_text
+FROM st
+""")
+def llm_chunk_overlap(spark, sf):
+    """Sliding-window chunking: {size}-token chunks every {stride}
+    tokens (overlap {ov}) -- the RAG / long-context example splitter.
+    One posexplode + slice inside codegen; shuffle-free."""
+    from .operators.text import chunk_with_overlap
+    return chunk_with_overlap(read_parallel(spark, sf, "documents"),
+                              chunk_size=_CHUNK_SIZE,
+                              stride=_CHUNK_STRIDE)
+
+
+@register("llm_token_rarity", f"""
+WITH tok AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+vocab AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok)
+SELECT t.doc_id, count(*) AS n_tokens,
+       CAST(SUM(v.freq) AS DOUBLE) / count(*) AS mean_token_freq,
+       MIN(v.freq) AS min_token_freq
+FROM tok t JOIN vocab v ON t.tok = v.tok
+GROUP BY t.doc_id
+""")
+def llm_token_rarity(spark, sf):
+    """Corpus-frequency rarity scoring (integer-exact unigram-LM
+    surprisal stand-in): mean/min corpus occurrence count of each
+    document's tokens.  Token-sized shuffles only; the single double
+    division is the only float op."""
+    from .operators.text import token_rarity
+    return token_rarity(read_parallel(spark, sf, "documents"))
+
+
+_BATCH_SIZE = 4
+
+
+@register("llm_length_buckets", f"""
+WITH n AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+           FROM documents),
+b AS (
+  SELECT doc_id, n_tokens,
+         CAST(CASE WHEN n_tokens <= 16 THEN 16
+                   WHEN n_tokens <= 32 THEN 32
+                   WHEN n_tokens <= 64 THEN 64
+                   WHEN n_tokens <= 128 THEN 128
+                   WHEN n_tokens <= 256 THEN 256
+                   WHEN n_tokens <= 512 THEN 512
+                   WHEN n_tokens <= 1024 THEN 1024
+                   ELSE 2048 END AS INT) AS bucket,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+  FROM n
+),
+r AS (
+  SELECT doc_id, n_tokens, bucket,
+         ROW_NUMBER() OVER (PARTITION BY bucket
+                            ORDER BY coin, doc_id) - 1 AS rn
+  FROM b
+)
+SELECT doc_id, n_tokens, bucket,
+       rn // {_BATCH_SIZE} AS batch_id,
+       rn % {_BATCH_SIZE} AS pos_in_batch
+FROM r
+""")
+def llm_length_buckets(spark, sf):
+    """Length-bucketed batch construction: power-of-two token-length
+    buckets, deterministic hash-coin order, fixed {b}-doc batches --
+    the padding-waste bound for variable-length tensor packing.  One
+    bucket-keyed shuffle + one sorted window."""
+    from .operators.sampling import length_bucket_batches
+    from .operators.text import token_count
+    docs = (read_parallel(spark, sf, "documents")
+            .select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens")))
+    return length_bucket_batches(docs, batch_size=_BATCH_SIZE)

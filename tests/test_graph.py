@@ -155,6 +155,44 @@ def test_sssp_weighted_relaxation(spark):
     assert got == {"A": 0, "B": 1, "C": 3, "D": 4, "E": None}
 
 
+def test_sssp_rejects_fractional_weights(spark):
+    """The long cast would silently truncate 1.5 -> 1; must raise."""
+    from graphdb_cia_factbook_spark.operators.graph import sssp
+    v = spark.createDataFrame([(x,) for x in "AB"], "id string")
+    e = spark.createDataFrame([("A", "B", 1.5)],
+                              "src string, dst string, cost double")
+    with pytest.raises(AssertionError, match="non-integer"):
+        sssp(Graph(v, e), ["A"])
+
+
+def test_sssp_warns_when_unconverged(spark):
+    """A chain longer than max_iter exits on the iteration cap --
+    distances are then upper bounds and a RuntimeWarning must say so."""
+    import warnings
+
+    from graphdb_cia_factbook_spark.operators.graph import sssp
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B", 1), ("B", "C", 1), ("C", "D", 1), ("D", "E", 1)],
+        "src string, dst string, cost int")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        sssp(Graph(v, e), ["A"], max_iter=2).collect()
+    assert any("max_iter" in str(w.message) for w in caught)
+
+
+def test_ppr_rejects_missing_source(spark):
+    """A seed absent from the vertex set would silently drop teleport
+    mass; must raise."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        personalized_pagerank,
+    )
+    v = spark.createDataFrame([(x,) for x in "AB"], "id string")
+    e = spark.createDataFrame([("A", "B")], "src string, dst string")
+    with pytest.raises(AssertionError, match="absent"):
+        personalized_pagerank(Graph(v, e), ["A", "Z"], max_iter=1)
+
+
 def test_label_propagation_two_cliques(spark):
     from graphdb_cia_factbook_spark.operators.graph import label_propagation
     v = spark.createDataFrame([(x,) for x in "ABCXYZ"], "id string")

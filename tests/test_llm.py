@@ -201,15 +201,36 @@ def test_multimodal_decode_roundtrip(spark, docs):
         assert 1 <= r.width <= 640
 
 
-def test_resize_is_gated_stub(spark, docs):
-    media = media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
-    try:
-        import PIL  # noqa: F401
-        pytest.skip("PIL present; stub gate not exercised")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError):
-        resize_images(media, 32, 32)
+def test_resize_nearest_neighbor_exact(spark):
+    """2x2 single-channel image upscaled to 4x4: every source pixel
+    must expand into a 2x2 block (integer floor-mapping), and the
+    output must carry the new dims."""
+    src = bytes([1, 2, 3, 4])  # [[1,2],[3,4]]
+    df = spark.createDataFrame(
+        [(7, src, 2, 2, 1)],
+        "media_id long, content binary, width int, height int, "
+        "channels int")
+    [r] = resize_images(df, 4, 4).collect()
+    assert (r.width, r.height, r.channels) == (4, 4, 1)
+    assert list(bytes(r.content)) == [1, 1, 2, 2,
+                                      1, 1, 2, 2,
+                                      3, 3, 4, 4,
+                                      3, 3, 4, 4]
+
+
+def test_resize_downscale_and_padding(spark, docs):
+    """Downscale picks the floor-mapped source pixels; short buffers
+    cyclically pad instead of failing, so the operator is total over
+    arbitrary binary payloads (joined from the decode stage)."""
+    meta = decode_media(
+        media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8")))
+    media = (media_table(docs, "doc_id", F.encode(F.col("text"), "UTF-8"))
+             .join(meta.select("media_id", "width", "height", "channels"),
+                   "media_id"))
+    out = resize_images(media, 8, 8).collect()
+    assert len(out) == docs.count()
+    for r in out:
+        assert len(bytes(r.content)) == 8 * 8 * r.channels
 
 
 def test_repetition_flags_repeated_doc(spark):
@@ -444,6 +465,71 @@ def test_simhash_hot_chunk_guard(spark):
     uncapped = simhash_neardup_pairs(df, nbits=32,
                                      max_chunk_df=10**9).count()
     assert uncapped >= 30 * 29 // 2      # the quadratic space it avoids
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from graphdb_cia_factbook_spark.operators.text import pii_scrub
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b+c@test.org or 555-123-4567 from 10.0.0.7"),
+         (2, "no pii here at all")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[1].clean_text == \
+        "mail me at <PII:email> or <PII:phone> from <PII:ipv4>"
+    assert (rows[1].n_emails, rows[1].n_phones, rows[1].n_ipv4,
+            rows[1].n_pii) == (1, 1, 1, 3)
+    assert rows[2].n_pii == 0 and rows[2].clean_text == rows[2].clean_text
+
+
+def test_chunk_overlap_covers_every_token(spark):
+    """Chunks must tile the token stream: every token position is in
+    at least one chunk, consecutive chunks overlap by size - stride,
+    and reassembling from stride-strided chunks reproduces the doc."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        chunk_with_overlap,
+    )
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = sorted(chunk_with_overlap(df, chunk_size=16, stride=12)
+                    .collect(), key=lambda r: r.chunk_idx)
+    covered = set()
+    for r in chunks:
+        assert r.chunk_start == r.chunk_idx * 12
+        covered |= set(range(r.chunk_start,
+                             r.chunk_start + r.n_chunk_tokens))
+        assert r.chunk_text.split(" ")[0] == f"w{r.chunk_start}"
+    assert covered == set(range(50))
+
+
+def test_token_rarity_orders_common_vs_rare(spark):
+    from graphdb_cia_factbook_spark.operators.text import token_rarity
+    df = spark.createDataFrame(
+        [(1, "common common common"), (2, "common rare1 rare2")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in token_rarity(df).collect()}
+    # 'common' appears 4x corpus-wide; doc 1 is all common tokens
+    assert rows[1].mean_token_freq == 4.0 and rows[1].min_token_freq == 4
+    assert rows[2].mean_token_freq == 2.0 and rows[2].min_token_freq == 1
+
+
+def test_length_buckets_exact_batches(spark):
+    """Bucket assignment is the power-of-2 ceiling; batches within a
+    bucket are full (except the last) and deterministic across runs."""
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        length_bucket_batches,
+    )
+    rows = [(i, 10 if i < 9 else 100) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = length_bucket_batches(df, batch_size=4).collect()
+    by_bucket: dict = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    assert set(by_bucket) == {16, 128}
+    assert len(by_bucket[16]) == 9 and len(by_bucket[128]) == 3
+    b16 = sorted(by_bucket[16], key=lambda r: (r.batch_id, r.pos_in_batch))
+    assert [r.batch_id for r in b16] == [0] * 4 + [1] * 4 + [2]
+    again = length_bucket_batches(df, batch_size=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
 def test_simhash_ragged_banding_rejected(spark):

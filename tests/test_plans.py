@@ -113,6 +113,24 @@ def test_q5_no_cartesian_and_pruned_scans(spark, queries):
     assert "l_comment" not in rs and "l_returnflag" not in rs
 
 
+def test_quantized_topk_has_local_prune(spark, queries):
+    """quantized_topk routes through the two-phase top-k: the local
+    rank partitioned by (query, input partition) appears as a
+    SPARK_PARTITION_ID window key -- the map-side prune that bounds
+    the shuffle to Q * partitions * k rows instead of Q * N."""
+    plan = plan_of(queries["llm_ann_quantized"](spark, SF), "simple")
+    assert "SPARK_PARTITION_ID" in plan.upper()
+
+
+def test_scrub_and_chunk_are_shuffle_free(spark, queries):
+    """PII scrub and overlap chunking are embarrassingly parallel
+    maps: no hash-partitioning exchange anywhere in the plan (only
+    the read_parallel round-robin scan widener is allowed)."""
+    for name in ("llm_pii_scrub", "llm_chunk_overlap"):
+        plan = plan_of(queries[name](spark, SF), "simple")
+        assert "Exchange hashpartitioning" not in plan, name
+
+
 def test_png_meta_stays_jvm_side(spark, queries):
     """The PNG header decode is pure Catalyst: no Arrow hop, no Python
     -- unlike the codec-bound decode_media path, binary metadata
