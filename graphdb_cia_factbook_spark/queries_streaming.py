@@ -146,6 +146,23 @@ def st_concurrency(spark, sf):
     return concurrency_peaks(read_table(spark, sf, "events"))
 
 
+@register("st_static_enrich", """
+SELECT c.c_mktsegment, e.event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""")
+def st_static_enrich(spark, sf):
+    """Stream-static enrichment: events join the static customer
+    dimension (broadcast per micro-batch, stateless -- the third
+    streaming join mode next to stream-stream and windowed aggs),
+    rolled up per (market segment, event type)."""
+    from .streaming import enriched_segment_totals
+    return enriched_segment_totals(read_table(spark, sf, "events"),
+                                   read_table(spark, sf, "customer"))
+
+
 @register("st_sessionize", """
 WITH b AS (
   SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -35,30 +35,59 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..operators.relational import davg, dsum
 from ..schemas import TESTDATA
 
-#: events schema as the parquet file actually stores it (ts = NANOS,
-#: read as long under spark.sql.legacy.parquet.nanosAsLong)
-_EVENTS_NS_SCHEMA = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """The ``events`` schema AS STORED, probed from one batch read: a
+    file-source stream needs a declared schema, and the driver's
+    testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (reads as
+    long under ``legacy.parquet.nanosAsLong``) and as plain micros
+    TIMESTAMP_NTZ across rounds -- hardcoding either silently
+    misscales every timestamp when the other shows up."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet").schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str,
                   max_files_per_trigger: int | None = None) -> DataFrame:
     """File-source stream over the testdata ``events`` parquet: the
-    same rows as the batch table, delivered as a stream (nanos ts
-    truncated to micros exactly like ``sources.read_table``)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+    same rows as the batch table, delivered as a stream, ``ts``
+    normalized to a timestamp exactly like ``sources.read_table``
+    (nanos-as-long files truncate to micros; micros files pass
+    through)."""
+    schema = _events_schema(spark, sf_dir)
+    reader = (spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet"))
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return (reader.parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    sdf = reader.parquet(sf_dir)
+    return _normalize_ts(sdf, schema)
+
+
+def _normalize_ts(sdf: DataFrame, schema: T.StructType) -> DataFrame:
+    """ts -> TIMESTAMP regardless of storage flavor: nanos-as-long
+    truncates to micros (integer DIV); TIMESTAMP_NTZ casts (watermarks
+    demand LTZ, and the session tz is pinned UTC so the cast is
+    value-preserving)."""
+    if isinstance(schema["ts"].dataType, T.LongType):
+        return sdf.withColumn("ts",
+                              F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, T.TimestampNTZType):
+        return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
+
+
+def stream_events_dir(spark: SparkSession, src_dir: str,
+                      schema_from: str,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Stream an arbitrary directory of events-shaped parquet files
+    (the multi-micro-batch test harness path: one file per trigger),
+    with the same probed-schema ts normalization as
+    :func:`stream_events`.  ``schema_from`` is a testdata sf dir whose
+    ``events.parquet`` defines the schema."""
+    schema = _events_schema(spark, schema_from)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _normalize_ts(reader.parquet(src_dir), schema)
 
 
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
@@ -289,6 +318,28 @@ def concurrency_peaks(events: DataFrame,
             .withColumn("open", F.sum("delta").over(w))
             .groupBy("user_id")
             .agg(F.max("open").alias("peak_concurrency")))
+
+
+def enriched_segment_totals(events: DataFrame,
+                            customers: DataFrame) -> DataFrame:
+    """STREAM-STATIC enrichment join + rollup: each event joins the
+    static customer dimension on user_id (= c_custkey in the
+    testdata), then value totals roll up per (market segment, event
+    type).
+
+    This is the third join mode of the streaming surface (next to
+    stream-stream ``interval_join`` and the windowed aggs): the static
+    side is broadcast per micro-batch -- STATELESS under Structured
+    Streaming, no watermark and no state store, because only the
+    stream side is unbounded.  The aggregate runs in update/complete
+    mode exactly like ``tumbling_agg``.  Decimal-exact value sums
+    (``dsum``) keep the totals engine-portable."""
+    dim = customers.select(F.col("c_custkey").alias("user_id"),
+                           "c_mktsegment")
+    return (events.join(F.broadcast(dim), "user_id")
+            .groupBy("c_mktsegment", "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum(F.col("value")).alias("total_value")))
 
 
 def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:

@@ -57,6 +57,21 @@ def test_stream_dedup_append(spark, batch_events):
     assert got == want and len(got) > 0
 
 
+def test_stream_static_enrich_equals_batch(spark, batch_events):
+    """Stream-static join (static customer dim broadcast per
+    micro-batch, stateless) + rollup must equal the batch twin."""
+    from graphdb_cia_factbook_spark.streaming import (
+        enriched_segment_totals,
+    )
+    customers = read_table(spark, SF, "customer")
+    sdf = enriched_segment_totals(stream_events(spark, SF), customers)
+    run_to_memory(sdf, "t_enrich", "complete")
+    cols = ["c_mktsegment", "event_type", "n_events", "total_value"]
+    got = rows(spark.table("t_enrich"), cols)
+    want = rows(enriched_segment_totals(batch_events, customers), cols)
+    assert got == want and len(got) > 0
+
+
 def test_stream_stream_interval_join(spark, batch_events):
     """Stream-stream interval join (watermarks on both sides, append
     mode) must equal the batch range join row-for-row."""
@@ -89,8 +104,8 @@ def test_stateful_user_totals(spark, batch_events):
 
 def _split_events_files(tmp_path, n_chunks=4):
     """Slice the events parquet into time-ordered chunk files so the
-    file source delivers multiple micro-batches (schema preserved,
-    incl. the TIMESTAMP(NANOS) ts column)."""
+    file source delivers multiple micro-batches (storage schema
+    preserved verbatim, whatever ts flavor the testdata ships)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     src = tmp_path / "stream_src"
@@ -110,15 +125,9 @@ def test_incremental_watermark_append(spark, batch_events, tmp_path):
     advances between batches, so append mode emits closed windows
     incrementally.  Every emitted window must carry exactly the batch
     aggregate's values."""
-    import pyspark.sql.functions as F
-    from graphdb_cia_factbook_spark.streaming import (
-        _EVENTS_NS_SCHEMA,
-    )
+    from graphdb_cia_factbook_spark.streaming import stream_events_dir
     src = _split_events_files(tmp_path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=1)
     sdf = tumbling_agg(with_watermark(stream, "10 minutes"))
     run_to_memory(sdf, "t_incr", "append")
     emitted = rows(spark.table("t_incr"),
@@ -139,12 +148,8 @@ def test_foreachbatch_incremental_sink(spark, batch_events, tmp_path):
     doesn't ship natively."""
     src = _split_events_files(tmp_path)
     out = str(tmp_path / "sink")
-    import pyspark.sql.functions as F
-    from graphdb_cia_factbook_spark.streaming import _EVENTS_NS_SCHEMA
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
-              .option("maxFilesPerTrigger", 2).parquet(src)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    from graphdb_cia_factbook_spark.streaming import stream_events_dir
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=2)
 
     def sink(batch_df, batch_id):
         (batch_df.withColumn("batch_id", F.lit(batch_id))
@@ -163,12 +168,8 @@ def test_dropduplicates_within_watermark(spark, batch_events, tmp_path):
         dedup_events_within_watermark,
     )
     src = _split_events_files(tmp_path)
-    import pyspark.sql.functions as F
-    from graphdb_cia_factbook_spark.streaming import _EVENTS_NS_SCHEMA
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
-              .option("maxFilesPerTrigger", 2).parquet(src)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    from graphdb_cia_factbook_spark.streaming import stream_events_dir
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=2)
     sdf = dedup_events_within_watermark(stream).select("event_id")
     run_to_memory(sdf, "t_wmdedup", "append")
     got = spark.table("t_wmdedup")
@@ -183,12 +184,8 @@ def test_transform_with_state_peaks(spark, batch_events, tmp_path):
         reason="transformWithState state protocol needs protobuf")
     from graphdb_cia_factbook_spark.streaming import user_value_peaks
     src = _split_events_files(tmp_path)
-    import pyspark.sql.functions as F
-    from graphdb_cia_factbook_spark.streaming import _EVENTS_NS_SCHEMA
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    from graphdb_cia_factbook_spark.streaming import stream_events_dir
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=1)
     run_to_memory(user_value_peaks(stream), "t_peaks", "update")
     peaks = spark.table("t_peaks").collect()
     assert peaks, "no peaks emitted"
@@ -257,18 +254,14 @@ def test_foreach_batch_sink_idempotent(spark, batch_events, tmp_path):
     exactly once, and replaying a batch (the crash-recovery case)
     leaves the row count unchanged because the batch overwrites its
     own partition."""
-    import pyspark.sql.functions as F
     from graphdb_cia_factbook_spark.streaming import (
-        _EVENTS_NS_SCHEMA,
         foreach_batch_parquet_sink,
+        stream_events_dir,
     )
     src = _split_events_files(tmp_path)
     out = str(tmp_path / "sink")
     ckpt = str(tmp_path / "ckpt")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src)
-              .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000"))))
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=1)
     q = foreach_batch_parquet_sink(
         stream.select("event_id", "ts", "user_id"), out, ckpt)
     q.awaitTermination()
