@@ -82,19 +82,29 @@ def lsh_bands(sig: DataFrame, id_col: str, bands: int,
                     F.col("bb.bucket").alias("bucket")))
 
 
-def lsh_candidate_pairs(bands_df: DataFrame, id_col: str) -> DataFrame:
+def lsh_candidate_pairs(bands_df: DataFrame, id_col: str,
+                        max_bucket_size: int = 10_000) -> DataFrame:
     """Candidate pairs: docs sharing any (band, bucket).
 
     ONE shuffle: group the band rows by (band, bucket), then enumerate
     in-bucket pairs from the sorted id array with higher-order
     functions -- sum(bucket_size^2) work, the same cost shape as a
     bucket self-join but without reading the signature table twice or
-    shuffling both join sides.  Degenerate hot buckets (everything
-    identical) bound the array size; cap bucket size upstream if a
-    corpus is pathological."""
+    shuffling both join sides.
+
+    ``max_bucket_size`` is the hot-bucket guard (the MinHash analog of
+    the shingle/chunk/fingerprint DF caps): buckets above the cap are
+    excluded from enumeration, because a bucket of m docs yields m^2/2
+    pair structs inside ONE task's array -- a dup-heavy corpus (the
+    norm at crawl scale: mirrors, boilerplate) would otherwise build a
+    billions-element array in a single executor.  Docs in a mega
+    bucket are overwhelmingly exact/near-exact duplicates of each
+    other; run :func:`exact_dedup` FIRST (the standard pipeline order)
+    and the survivors fall under the cap."""
     buckets = (bands_df.groupBy("band", "bucket")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
-               .where(F.size("ids") > 1))
+               .where((F.size("ids") > 1)
+                      & (F.size("ids") <= max_bucket_size)))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
@@ -139,9 +149,12 @@ def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
 def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", k_shingle: int = 3,
                       num_hashes: int = 12, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket_size: int = 10_000) -> DataFrame:
     """End-to-end MinHash-LSH near-dedup: shingle -> signature -> band
-    buckets -> candidate pairs -> exact-Jaccard verification >= threshold.
+    buckets -> candidate pairs (hot buckets above ``max_bucket_size``
+    excluded, see :func:`lsh_candidate_pairs`) -> exact-Jaccard
+    verification >= threshold.
 
     With b=4, r=3 the candidate probability is 1-(1-j^3)^4 (~50% at
     j=0.5); verification removes false positives, so the output equals
@@ -153,7 +166,7 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band),
-                               id_col)
+                               id_col, max_bucket_size=max_bucket_size)
     return (pair_jaccard(cand, sh, id_col)
             .where(F.col("jaccard") >= threshold))
 

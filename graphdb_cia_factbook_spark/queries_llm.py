@@ -60,6 +60,24 @@ sh AS (
 )"""
 
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND = 12, 4, 3
+_LSH_BUCKET_CAP = 10_000  # hot-bucket candidate cap (dedup.py pattern)
+
+#: band rows restricted to buckets under the hot-bucket cap -- the
+#: candidate space both MinHash oracles enumerate from
+_LSH_CAND_SQL = f"""okb AS (
+  SELECT band, bucket FROM bands
+  GROUP BY band, bucket HAVING count(*) <= {_LSH_BUCKET_CAP}
+),
+bnd AS (
+  SELECT bd.doc_id, bd.band, bd.bucket
+  FROM bands bd JOIN okb o ON bd.band = o.band AND bd.bucket = o.bucket
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bnd a
+  JOIN bnd b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+)"""
 
 _SIG_COLS = ", ".join(
     f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES))
@@ -146,21 +164,17 @@ sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
 bands AS (
   {_BAND_SELECTS}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id
-),
+{_LSH_CAND_SQL},
 {_JACCARD_TAIL.rstrip()}
 WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
 """)
 def llm_minhash_lsh(spark, sf):
     """MinHash+LSH near-dedup: shingle -> 12-hash signature -> 4 bands
-    -> bucket join -> exact-Jaccard verify >= 0.5."""
+    -> capped bucket join -> exact-Jaccard verify >= 0.5."""
     return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
                              num_hashes=_NUM_HASHES, bands=_BANDS,
-                             threshold=0.5)
+                             threshold=0.5,
+                             max_bucket_size=_LSH_BUCKET_CAP)
 
 
 @register("llm_dedup_clusters", f"""
@@ -169,12 +183,7 @@ sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
 bands AS (
   {_BAND_SELECTS}
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a
-  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-              AND a.doc_id < b.doc_id
-),
+{_LSH_CAND_SQL},
 {_JACCARD_CTES.lstrip()},
 pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
 bi AS (SELECT id_a AS a, id_b AS b FROM pairs
@@ -203,7 +212,8 @@ def llm_dedup_clusters(spark, sf):
     recursive-CTE transitive closure."""
     docs = read_parallel(spark, sf, "documents")
     pairs = minhash_lsh_dedup(docs, num_hashes=_NUM_HASHES, bands=_BANDS,
-                              threshold=0.5)
+                              threshold=0.5,
+                              max_bucket_size=_LSH_BUCKET_CAP)
     from .operators.dedup import dedup_clusters
     return dedup_clusters(docs, pairs)
 

@@ -532,6 +532,28 @@ def test_length_buckets_exact_batches(spark):
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
 
 
+def test_minhash_hot_bucket_guard(spark):
+    """A mega-bucket of identical docs (every band bucket shared) must
+    be excluded from pair enumeration under the cap -- a rare drifted
+    near-dup pair still surfaces through its own small buckets.
+    Identical docs are exact_dedup's job, run before fuzzy dedup."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight ") * 2
+    rows = ([(i, "copy copy " + base) for i in range(20)]
+            + [(100, base + "ending one two three"),
+               (101, base + "ending one two four")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = {(r.id_a, r.id_b)
+              for r in minhash_lsh_dedup(df, threshold=0.5,
+                                         max_bucket_size=10).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 20 and b < 20 for a, b in capped)
+    uncapped = {(r.id_a, r.id_b)
+                for r in minhash_lsh_dedup(df, threshold=0.5,
+                                           max_bucket_size=10**9).collect()}
+    assert any(a < 20 and b < 20 for a, b in uncapped)
+
+
 def test_simhash_ragged_banding_rejected(spark):
     """nbits not divisible by bands would silently drop trailing bits
     from candidate generation -- must be rejected."""
