@@ -396,6 +396,94 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
     return labels
 
 
+def strongly_connected_components(graph: Graph, max_pivots: int = 50,
+                                  max_hops: int = 50) -> DataFrame:
+    """Strongly connected components of a DIGRAPH by FW-BW-Trim (the
+    published distributed SCC recipe: Fleischer et al.'s
+    forward-backward reachability with trimming, the algorithm behind
+    most Pregel/BSP SCC implementations).  Complements
+    :func:`connected_components`, which ignores direction.
+
+    Per round: TRIM iteratively peels vertices with zero in- or
+    out-degree inside the remaining subgraph (each is a singleton SCC
+    -- on real digraphs the vast majority of vertices leave here,
+    cheaply), then one PIVOT (the min remaining id) runs a forward and
+    a backward frontier BFS; the intersection is exactly the pivot's
+    SCC.  Assigned vertices drop out and the next round runs on the
+    rest.
+
+    ``scc_id`` is the MIN member id of the component (the pivot is the
+    global min of the remaining set, hence the min of its own SCC; a
+    trimmed singleton is its own min) -- a deterministic labeling a
+    SQL reachability oracle can reproduce.
+
+    Scale shape: every step is frontier-sized joins + distincts; the
+    only driver-side values are 1-row counts and the pivot id.  Round
+    count = #non-trivial SCCs, which trimming keeps small on
+    power-law graphs (web crawls: one giant SCC + tendrils).  A graph
+    with MANY large SCCs degrades to one BFS pair per SCC -- the
+    known FW-BW bound; ``max_pivots`` caps it and any leftover is
+    labeled as its own singleton with a RuntimeWarning (upper-bound
+    labeling, never silent)."""
+    edges = (graph.edges.select("src", "dst")
+             .where(F.col("src") != F.col("dst"))
+             .distinct().localCheckpoint())
+    remaining = graph.vertices.select("id").localCheckpoint()
+    done: DataFrame | None = None
+
+    def finish(extra: DataFrame) -> DataFrame:
+        nonlocal done
+        done = extra if done is None else done.union(extra)
+        done = done.localCheckpoint()
+        return done
+
+    for _ in range(max_pivots):
+        # TRIM: peel zero-in/zero-out vertices of the remaining
+        # subgraph until none are left
+        while True:
+            e_r = (edges
+                   .join(remaining.select(F.col("id").alias("src")),
+                         "src", "left_semi")
+                   .join(remaining.select(F.col("id").alias("dst")),
+                         "dst", "left_semi").localCheckpoint())
+            core = (e_r.select(F.col("src").alias("id")).distinct()
+                    .join(e_r.select(F.col("dst").alias("id")).distinct(),
+                          "id"))
+            trivial = remaining.join(core, "id", "left_anti") \
+                .localCheckpoint()
+            if trivial.isEmpty():
+                break
+            finish(trivial.select("id", F.col("id").alias("scc_id")))
+            remaining = remaining.join(trivial, "id", "left_anti") \
+                .localCheckpoint()
+        if remaining.isEmpty():
+            break
+        # PIVOT: min remaining id; SCC = fwd-reach ∩ bwd-reach
+        pivot = remaining.agg(F.min("id")).first()[0]
+        sub = Graph(remaining, e_r)
+        rsub = Graph(remaining, e_r.select(F.col("dst").alias("src"),
+                                           F.col("src").alias("dst")))
+        fwd = bfs_hops(sub, [pivot], max_hops=max_hops) \
+            .where(F.col("dist").isNotNull()).select("id")
+        bwd = bfs_hops(rsub, [pivot], max_hops=max_hops) \
+            .where(F.col("dist").isNotNull()).select("id")
+        scc = fwd.join(bwd, "id").localCheckpoint()
+        finish(scc.select("id", F.lit(pivot).alias("scc_id")))
+        remaining = remaining.join(scc, "id", "left_anti").localCheckpoint()
+    if not remaining.isEmpty():
+        import warnings
+        warnings.warn(
+            f"scc: {remaining.count()} vertices unassigned after "
+            f"max_pivots={max_pivots} rounds; labeling them as "
+            "singletons (upper bound)", RuntimeWarning, stacklevel=2)
+        finish(remaining.select("id", F.col("id").alias("scc_id")))
+    out = done if done is not None else graph.vertices.select(
+        "id", F.col("id").alias("scc_id"))
+    w = Window.partitionBy("scc_id")
+    return out.select("id", "scc_id",
+                      F.count(F.lit(1)).over(w).alias("scc_size"))
+
+
 def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
              directed: bool = True) -> DataFrame:
     """Minimum hop count from any source vertex (unweighted BFS).

@@ -673,6 +673,42 @@ def g_kcore(spark, sf):
     return k_core(Graph(g.vertices, top3), k=_KCORE_K)
 
 
+@register("g_scc", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_COST_CTE.lstrip()},
+e AS (SELECT src, dst FROM top3 WHERE src != dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc_id
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id
+)
+SELECT id, scc_id,
+       COUNT(*) OVER (PARTITION BY scc_id) AS scc_size
+FROM scc
+""")
+def g_scc(spark, sf):
+    """EXT graph algorithm: strongly connected components of the
+    top-3-partner DIGRAPH by FW-BW-Trim (trim singletons, then
+    forward ∩ backward reachability from a min-id pivot per round).
+    scc_id = min member id, so the oracle -- a recursive-CTE mutual-
+    reachability closure -- reproduces the labeling exactly.  The
+    directed complement of g_connected_components: one-way trade
+    chains do NOT merge blocs."""
+    from .operators.graph import Graph, strongly_connected_components
+    g, top3 = _top3_cost(spark, sf)
+    return strongly_connected_components(
+        Graph(g.vertices, top3.select("src", "dst")))
+
+
 @register("g_label_propagation", _lpa_sql(_LPA_ITERS))
 def g_label_propagation(spark, sf):
     """EXT graph algorithm: community detection by synchronous label

@@ -181,6 +181,27 @@ def test_sssp_warns_when_unconverged(spark):
     assert any("max_iter" in str(w.message) for w in caught)
 
 
+def test_scc_cycles_and_singletons(spark):
+    """Two directed cycles bridged by a one-way edge plus an isolated
+    vertex: each cycle is one SCC (labeled by its min member), the
+    bridge does not merge them, the isolate is a singleton."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        strongly_connected_components,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABCDEF"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"),      # cycle 1
+         ("C", "D"),                               # one-way bridge
+         ("D", "E"), ("E", "D")],                  # cycle 2
+        "src string, dst string")
+    rows = {r.id: r for r in
+            strongly_connected_components(Graph(v, e)).collect()}
+    assert {i: r.scc_id for i, r in rows.items()} == {
+        "A": "A", "B": "A", "C": "A", "D": "D", "E": "D", "F": "F"}
+    assert rows["A"].scc_size == 3 and rows["D"].scc_size == 2
+    assert rows["F"].scc_size == 1
+
+
 def test_ppr_rejects_missing_source(spark):
     """A seed absent from the vertex set would silently drop teleport
     mass; must raise."""
