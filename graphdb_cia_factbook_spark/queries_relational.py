@@ -439,6 +439,24 @@ def agg_rollup(spark, sf):
                  F.count(F.lit(1)).alias("n")))
 
 
+@register("agg_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS total,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+""")
+def agg_grouping_sets(spark, sf):
+    """EXT agg: explicit GROUPING SETS -- two independent group-bys in
+    one pass (CUBE/ROLLUP's general form; one shuffle produces both
+    marginal tables instead of two scans)."""
+    orders = read_table(spark, sf, "orders")
+    return (orders.groupingSets([["o_orderpriority"], ["o_orderstatus"]],
+                                "o_orderpriority", "o_orderstatus")
+            .agg(dsum("o_totalprice").alias("total"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 # ---------------------------------------------------------------------------
 # W: windows
 # ---------------------------------------------------------------------------
@@ -492,6 +510,39 @@ def w4_moving_sum(spark, sf):
         "event_id", "user_id",
         F.sum(F.col("value").cast("decimal(27,4)")).over(w)
         .cast("double").alias("running_value"))
+
+
+@register("w_range_frame", """
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT event_id, user_id,
+       COUNT(*) OVER w AS n_last_10m,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER w AS DOUBLE)
+         AS sum_last_10m
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+""")
+def w_range_frame(spark, sf):
+    """EXT window: VALUE-range frame (all events within the trailing
+    10 minutes, however many rows that is) -- the complement of
+    w4_moving_sum's row-count frame.  The frame bound is integer epoch
+    seconds on both engines, so peer-row semantics (range frames
+    include ALL rows with equal order value) are deterministic and
+    engine-exact; the sum is decimal-exact."""
+    ev = read_table(spark, sf, "events")
+    ts_s = F.floor(F.col("ts").cast("timestamp").cast("double")) \
+        .cast("long")
+    w = (Window.partitionBy("user_id").orderBy(ts_s)
+         .rangeBetween(-600, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10m"),
+        F.sum(F.col("value").cast("decimal(27,4)")).over(w)
+        .cast("double").alias("sum_last_10m"))
 
 
 @register("w5_topk_per_group", """
