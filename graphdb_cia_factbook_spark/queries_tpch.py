@@ -1,0 +1,348 @@
+"""Additional TPC-H-shape queries (SURVEY.md §2.4 EXT / §2.3 EXT).
+
+The reference's relational phase is a star-schema dataflow
+(preprocess_upload_neo4j.py:116-208); rounds 1-3 already cover Q1/Q3/Q5
+shapes.  This module adds the remaining classic shapes expressible on
+the driver's columns (no partsupp / shipmode / commitdate in the
+testdata, so predicates are adapted while keeping each query's
+*structural* point: semi/anti joins from EXISTS/NOT EXISTS, scalar
+subqueries as broadcast crossjoins, HAVING-subquery reductions,
+disjunctive pushdown, correlated-min via window).
+
+Determinism: every money aggregate goes through decimal-exact
+``dsum``/``davg`` so Spark's 32-partition tree reduction and DuckDB's
+single-stream reduction produce bit-identical doubles; every top-k has
+a full tiebreak order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .operators.relational import davg, dsum
+from .registry import register
+from .sources import read_table
+
+_REV = "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE)"
+
+
+@register("q2_top_supplier_per_part", """
+WITH offers AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+)
+SELECT p.p_partkey, p.p_brand, s.s_name, s.s_acctbal
+FROM (
+  SELECT o.l_partkey, o.l_suppkey,
+         ROW_NUMBER() OVER (PARTITION BY o.l_partkey
+                            ORDER BY s.s_acctbal DESC, o.l_suppkey) AS rn
+  FROM offers o JOIN supplier s ON o.l_suppkey = s.s_suppkey
+) best
+JOIN part p     ON best.l_partkey = p.p_partkey
+JOIN supplier s ON best.l_suppkey = s.s_suppkey
+WHERE best.rn = 1 AND p.p_size = 10
+""")
+def q2_top_supplier_per_part(spark, sf):
+    """TPC-H Q2 shape: the correlated MIN subquery (best supplier per
+    part) becomes one window over the distinct offer pairs -- a single
+    shuffle on l_partkey instead of a per-row rescan.  The p_size
+    filter lands on the part scan; at 100 TB the offers dedup is the
+    only wide op and it is map-side-combined."""
+    offers = (read_table(spark, sf, "lineitem")
+              .select("l_partkey", "l_suppkey").distinct())
+    supp = read_table(spark, sf, "supplier")
+    part = (read_table(spark, sf, "part")
+            .where(F.col("p_size") == 10)
+            .select("p_partkey", "p_brand"))
+    w = Window.partitionBy("l_partkey").orderBy(F.desc("s_acctbal"),
+                                                F.asc("l_suppkey"))
+    best = (offers.join(supp, offers.l_suppkey == supp.s_suppkey)
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1))
+    return (best.join(part, best.l_partkey == part.p_partkey)
+            .select("p_partkey", "p_brand", "s_name", "s_acctbal"))
+
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark, sf):
+    """TPC-H Q4 shape: EXISTS -> left-semi join.  The semi join carries
+    only o_orderkey through the shuffle and never duplicates orders
+    rows, so the count stays correct without a distinct."""
+    orders = (read_table(spark, sf, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+              .select("o_orderkey", "o_orderpriority"))
+    flagged = (read_table(spark, sf, "lineitem")
+               .where(F.col("l_returnflag") == "R")
+               .select("l_orderkey"))
+    return (orders.join(flagged, orders.o_orderkey == flagged.l_orderkey,
+                        "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@register("q6_forecast_revenue", """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,4)))
+            AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark, sf):
+    """TPC-H Q6 shape: pure scan-side aggregation -- all three
+    predicates push to parquet, no shuffle at all beyond the final
+    1-row reduce.  The canonical 'is the filter actually pushed down'
+    query (plan-tested in tests/test_plans.py)."""
+    li = read_table(spark, sf, "lineitem")
+    return (li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                     & F.col("l_discount").between(0.02, 0.04)
+                     & (F.col("l_quantity") < 24))
+            .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q10_returned_items", f"""
+SELECT c.c_custkey, c.c_name, n.n_name AS nation, {_REV} AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark, sf):
+    """TPC-H Q10 shape: returned-revenue per customer, global top-20.
+    The returnflag filter prunes lineitem before its join; nation is a
+    broadcast dim; the final top-20 is TakeOrderedAndProject (no global
+    sort)."""
+    cust = read_table(spark, sf, "customer") \
+        .select("c_custkey", "c_name", "c_nationkey")
+    orders = (read_table(spark, sf, "orders")
+              .where((F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                     & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    li = (read_table(spark, sf, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    nation = read_table(spark, sf, "nation") \
+        .select("n_nationkey", F.col("n_name").alias("nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "nation")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "nation", "revenue")
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20))
+
+
+@register("q12_priority_by_status", """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l.l_linestatus
+""")
+def q12_priority_by_status(spark, sf):
+    """TPC-H Q12 shape (shipmode -> linestatus): conditional pivot
+    counts inside one aggregation pass -- no second scan, no join per
+    bucket."""
+    orders = read_table(spark, sf, "orders") \
+        .select("o_orderkey", "o_orderpriority")
+    li = (read_table(spark, sf, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_orderkey", "l_linestatus"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@register("q14_promo_revenue", """
+SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                               AS DECIMAL(27,4))
+                     ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS promo_share
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'
+""")
+def q14_promo_revenue(spark, sf):
+    """TPC-H Q14 shape: promo revenue share -- conditional and total
+    sums in the same pass, both decimal-exact, divided once at the end
+    (two identical doubles divide to the identical double on both
+    engines)."""
+    li = (read_table(spark, sf, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp")))
+          .select("l_partkey", "l_extendedprice", "l_discount"))
+    part = read_table(spark, sf, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    zero = F.lit(0).cast("decimal(27,4)")
+    promo = F.when(F.col("p_type") == "PROMO",
+                   rev.cast("decimal(27,4)")).otherwise(zero)
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .agg((F.sum(promo).cast("double")
+                  / dsum(rev)).alias("promo_share")))
+
+
+@register("q16_supplier_variety", """
+WITH offers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT o.l_suppkey) AS supplier_cnt
+FROM offers o JOIN part p ON o.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#5'
+  AND p.p_size IN (1, 9, 19, 29, 39, 49)
+  AND o.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                          WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""")
+def q16_supplier_variety(spark, sf):
+    """TPC-H Q16 shape: NOT IN -> left-anti join against the
+    (broadcast-small) excluded-supplier set, then count-distinct
+    suppliers per part attribute.  The anti join runs before the
+    aggregation so excluded rows never shuffle."""
+    offers = (read_table(spark, sf, "lineitem")
+              .select("l_partkey", "l_suppkey").distinct())
+    part = (read_table(spark, sf, "part")
+            .where((F.col("p_brand") != "Brand#5")
+                   & F.col("p_size").isin(1, 9, 19, 29, 39, 49))
+            .select("p_partkey", "p_brand", "p_type", "p_size"))
+    excluded = (read_table(spark, sf, "supplier")
+                .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (offers.join(F.broadcast(excluded),
+                        offers.l_suppkey == excluded.s_suppkey, "left_anti")
+            .join(part, offers.l_partkey == part.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("q18_large_orders", """
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sum_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                       GROUP BY l_orderkey
+                       HAVING SUM(CAST(l_quantity AS DECIMAL(27,4))) > 300)
+GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT 20
+""")
+def q18_large_orders(spark, sf):
+    """TPC-H Q18 shape: HAVING-subquery -> aggregate once, semi-join
+    the surviving keys back.  The heavy lineitem aggregation happens
+    exactly once; the IN becomes a semi join on its (tiny) result."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    big = (li.groupBy("l_orderkey")
+           .agg(dsum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 300))
+    orders = read_table(spark, sf, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = read_table(spark, sf, "customer").select("c_custkey", "c_name")
+    return (orders.join(big, orders.o_orderkey == big.l_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_totalprice",
+                    "sum_qty")
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(20))
+
+
+@register("q19_disjunctive", f"""
+SELECT {_REV} AS revenue, COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive(spark, sf):
+    """TPC-H Q19 shape: disjunctive (OR-of-ANDs) join predicates.
+    Catalyst factors the common join key into the equi-condition and
+    keeps the disjunction as a post-join filter; the per-table halves
+    of each disjunct (brand/size on part, quantity on lineitem) are
+    OR-combined and pushed to each scan so both sides prune before the
+    join."""
+    li = read_table(spark, sf, "lineitem") \
+        .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    part = read_table(spark, sf, "part") \
+        .select("p_partkey", "p_brand", "p_size")
+    d1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 11))
+    d2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+          & F.col("l_quantity").between(10, 20))
+    d3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+          & F.col("l_quantity").between(20, 30))
+    return (li.join(part, li.l_partkey == part.p_partkey)
+            .where(d1 | d2 | d3)
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q22_dormant_customers", """
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,4))) AS DOUBLE)
+         / COUNT(c_acctbal) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_nationkey,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,4))) AS DOUBLE) AS totacctbal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c.c_nationkey
+""")
+def q22_dormant_customers(spark, sf):
+    """TPC-H Q22 shape: scalar subquery (global average balance) as a
+    broadcast 1-row cross join, NOT EXISTS as a left-anti join
+    ("dormant" = no order since 2000 -- the date filter makes the set
+    nonempty on the driver data while keeping the anti-join shape).
+    The anti join's build side is only the filtered custkeys; the
+    scalar side never shuffles."""
+    cust = read_table(spark, sf, "customer") \
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = (cust.where(F.col("c_acctbal") > 0.0)
+               .agg(davg("c_acctbal").alias("avg_bal")))
+    orders = (read_table(spark, sf, "orders")
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01").cast("timestamp"))
+              .select("o_custkey"))
+    return (cust.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+            .groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 dsum("c_acctbal").alias("totacctbal")))
