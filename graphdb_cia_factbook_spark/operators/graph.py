@@ -521,6 +521,76 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
             .select("id", "dist"))
 
 
+def closeness_centrality(graph: Graph, sources: list | None = None,
+                         max_hops: int = 30,
+                         directed: bool = True) -> DataFrame:
+    """Closeness centrality + eccentricity via multi-root BFS.
+
+    One shared frontier carries (root, id, dist) triples, so all roots
+    expand in the SAME supersteps -- |diameter| rounds total, each a
+    frontier-sized join + anti-join, instead of |V| sequential BFS
+    runs.  Per-root stats reduce the closure to one row per root:
+
+    - ``closeness`` -- Wasserman-Faust normalization as GDS uses it:
+      ``(r / sum_dist) * (r / (N - 1))`` where r = vertices reached
+      (self excluded); 0.0 when nothing is reached.  The inputs are
+      exact integers, so the two double divisions are IEEE-identical
+      cross-engine.
+    - ``eccentricity`` -- max shortest-path distance (NULL when
+      nothing is reached); its max over roots is the graph diameter.
+
+    Scale posture: the closure is O(V * V-within-distance) pairs --
+    exact all-pairs is for moderate vertex counts (the reference's
+    country graph).  At web scale pass ``sources`` = a landmark sample
+    and the state stays |landmarks| * |V|; the superstep shape is
+    unchanged.  Matches the Neo4j GDS closeness/eccentricity calls the
+    reference's stack exposes next to pageRank
+    (preprocess_upload_neo4j.py:400-447 runs the GDS family)."""
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.union(graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+
+    roots = graph.vertices.select("id")
+    if sources is not None:
+        roots = roots.where(F.col("id").isin(sources))
+    n_total = graph.vertices.count()
+
+    frontier = (roots.select(F.col("id").alias("root"), "id")
+                .withColumn("dist", F.lit(0)).localCheckpoint())
+    visited = frontier
+
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier, edges.src == frontier.id)
+               .select("root", F.col("dst").alias("id"))
+               .distinct()
+               .join(visited.select("root", "id"), ["root", "id"],
+                     "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+
+    stats = (visited.where(F.col("dist") > 0)
+             .groupBy("root")
+             .agg(F.count(F.lit(1)).alias("n_reached"),
+                  F.sum("dist").alias("sum_dist"),
+                  F.max("dist").alias("eccentricity")))
+    r = F.col("n_reached").cast("double")
+    return (graph.vertices.select(F.col("id"))
+            .join(stats, F.col("id") == F.col("root"), "left")
+            .select("id",
+                    F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+                    F.when(F.col("sum_dist").isNotNull(),
+                           (r / F.col("sum_dist").cast("double"))
+                           * (r / F.lit(float(n_total - 1))))
+                    .otherwise(F.lit(0.0)).alias("closeness"),
+                    "eccentricity"))
+
+
 def sssp(graph: Graph, sources: list, weight_col: str = "cost",
          max_iter: int = 30) -> DataFrame:
     """Weighted single-source shortest path (Bellman-Ford supersteps):

@@ -528,6 +528,57 @@ def g_bfs_hops(spark, sf):
     return bfs_hops(Graph(g.vertices, top3), ["NATION_0"])
 
 
+@register("g_closeness", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY root, id
+),
+stats AS (
+  SELECT root, COUNT(*) AS n_reached,
+         SUM(dist) AS sum_dist, MAX(dist) AS eccentricity
+  FROM mind WHERE dist > 0 GROUP BY root
+)
+SELECT v.id,
+       COALESCE(s.n_reached, 0) AS n_reached,
+       CASE WHEN s.sum_dist IS NOT NULL THEN
+         (CAST(s.n_reached AS DOUBLE) / CAST(s.sum_dist AS DOUBLE))
+         * (CAST(s.n_reached AS DOUBLE)
+            / CAST((SELECT COUNT(*) - 1 FROM verts) AS DOUBLE))
+       ELSE 0.0 END AS closeness,
+       s.eccentricity
+FROM verts v LEFT JOIN stats s ON v.id = s.root
+""")
+def g_closeness(spark, sf):
+    """EXT graph algorithm: closeness centrality + eccentricity over
+    the top-3-partner digraph.  All |V| roots share one frontier, so
+    the whole all-pairs closure costs diameter-many supersteps; the
+    closeness uses the GDS Wasserman-Faust normalization from exact
+    integer inputs (engine-identical doubles).  Matches the GDS
+    centrality family next to the reference's pageRank calls
+    (preprocess_upload_neo4j.py:400-447)."""
+    from .operators.graph import Graph, closeness_centrality
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return closeness_centrality(Graph(g.vertices, top3))
+
+
 #: top-3-partner sparsification with the edge's partner rank kept as an
 #: integer COST (1 = strongest link) -- shared by the SSSP/LPA oracles
 _TOP3_COST_CTE = """

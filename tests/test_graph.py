@@ -144,6 +144,31 @@ def test_bfs_hops_chain_and_unreachable(spark):
     assert und == {"A": 0, "B": 1, "C": 2, "D": None, "E": 1}
 
 
+def test_closeness_chain_and_landmarks(spark):
+    from graphdb_cia_factbook_spark.operators.graph import (
+        closeness_centrality,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    # path A->B->C; D isolated
+    e = spark.createDataFrame([("A", "B"), ("B", "C")],
+                              "src string, dst string")
+    rows = {r.id: r for r in
+            closeness_centrality(Graph(v, e)).collect()}
+    # A reaches B(1), C(2): r=2, sum=3, N-1=3 -> (2/3)*(2/3)
+    assert abs(rows["A"].closeness - (2 / 3) * (2 / 3)) < 1e-12
+    assert rows["A"].eccentricity == 2 and rows["A"].n_reached == 2
+    # B reaches C only: (1/1)*(1/3)
+    assert abs(rows["B"].closeness - 1 / 3) < 1e-12
+    assert rows["B"].eccentricity == 1
+    # C and D reach nothing -> closeness 0, NULL eccentricity
+    assert rows["C"].closeness == 0.0 and rows["C"].eccentricity is None
+    assert rows["D"].closeness == 0.0 and rows["D"].n_reached == 0
+    # landmark restriction: only A's row carries stats
+    lm = {r.id: r for r in
+          closeness_centrality(Graph(v, e), sources=["A"]).collect()}
+    assert lm["A"].n_reached == 2 and lm["B"].n_reached == 0
+
+
 def test_sssp_weighted_relaxation(spark):
     from graphdb_cia_factbook_spark.operators.graph import sssp
     v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
