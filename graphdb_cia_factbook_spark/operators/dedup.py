@@ -401,3 +401,52 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
                     (F.col("n_shared") / F.col("n_fp_a").cast("double"))
                     .alias("containment"))
             .where(F.col("containment") >= min_containment))
+
+
+def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Exact span-level dedup: the line/paragraph-level pass of
+    C4-style pipelines, on fixed ``span``-token windows (the driver
+    corpus has no sentence punctuation, so spans stand in for lines).
+
+    Every document is cut into consecutive ``span``-token chunks; a
+    chunk occurring in several places keeps only its GLOBALLY FIRST
+    occurrence (minimum ``doc_id * 1e6 + position`` -- an integer
+    total order, engine-exact).  Per document this returns how much of
+    it was boilerplate (``dup_frac``) plus the surviving text with
+    duplicated spans removed (``kept_text``).
+
+    Scale shape: one explode (doc -> spans), one span-keyed partial
+    aggregate (MIN of the order key -- map-side combined, the only
+    wide op touching the full span stream), one join back, one
+    doc-keyed reassembly.  Never doc x doc, never all-spans x
+    all-spans; a boilerplate span shared by millions of docs costs one
+    aggregate row, not a quadratic candidate set."""
+    assert span >= 1
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    ns = F.expr(f"(size(__toks) + {span - 1}) div {span}")
+    spans = F.expr(
+        f"transform(sequence(0, __ns - 1), "
+        f"i -> array_join(slice(__toks, i * {span} + 1, {span}), ' '))")
+    rows = (df.select(id_col, toks.alias("__toks"))
+            .withColumn("__ns", ns)
+            .select(id_col, F.posexplode(spans).alias("pos", "span_text"))
+            .withColumn("okey",
+                        F.col(id_col) * 1_000_000 + F.col("pos")))
+    first = (rows.groupBy("span_text")
+             .agg(F.min("okey").alias("first_okey")))
+    marked = (rows.join(first, "span_text")
+              .withColumn("is_dup", F.col("okey") != F.col("first_okey")))
+    kept = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.when(~F.col("is_dup"),
+                       F.struct("pos", "span_text")))),
+            lambda s: s.span_text), " ")
+    return (marked.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_spans"),
+                 F.sum(F.col("is_dup").cast("int")).alias("n_dup_spans"),
+                 kept.alias("kept_text"))
+            .withColumn("dup_frac",
+                        F.col("n_dup_spans").cast("double")
+                        / F.col("n_spans").cast("double")))

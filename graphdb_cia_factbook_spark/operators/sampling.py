@@ -155,3 +155,40 @@ def fixed_size_sample(df: DataFrame, strata_col: str, k: int,
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k)
             .drop("__rn"))
+
+
+def mixture_weights(df: DataFrame, strata_col: str = "source",
+                    text_col: str = "text",
+                    budget_tokens: int = 1_000_000) -> DataFrame:
+    """Temperature-scaled domain mixing: per-source sampling weights
+    proportional to sqrt(source token count) -- the alpha = 0.5
+    rebalancing used when composing multilingual / multi-domain
+    training mixes, flattening the head without drowning the tail.
+
+    alpha is FIXED at 0.5 because IEEE sqrt is correctly rounded on
+    every engine while pow(x, alpha) is not; each sqrt is then rounded
+    to 6 decimals and summed as DECIMAL so the normalization constant
+    is reduction-order-independent.  From there ``weight`` (share of
+    the mix) and ``budget_alloc_tokens`` (tokens this source
+    contributes to a ``budget_tokens``-sized mix) are single double
+    ops on identical inputs -- engine-exact.
+
+    Scale shape: one map-side-combined per-source aggregate (|sources|
+    rows), a 1-row total broadcast back via cross join -- the fact
+    stream is read once and nothing doc-sized ever shuffles."""
+    from .text import tokens
+    per_src = (df.groupBy(strata_col)
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum(F.size(tokens(F.col(text_col))))
+                    .alias("n_tokens")))
+    w = (F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+         .cast("decimal(18,6)"))
+    scored = per_src.withColumn("__w", w)
+    total = scored.agg(F.sum("__w").alias("__total"))
+    return (scored.crossJoin(F.broadcast(total))
+            .select(strata_col, "n_docs", "n_tokens",
+                    (F.col("__w").cast("double")
+                     / F.col("__total").cast("double")).alias("weight"))
+            .withColumn("budget_alloc_tokens",
+                        F.round(F.col("weight") * F.lit(float(budget_tokens)))
+                        .cast("long")))

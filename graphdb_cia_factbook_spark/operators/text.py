@@ -302,3 +302,41 @@ def simhash_bits(df: DataFrame, id_col: str, text_col: str,
     bit_chars = [F.when(F.col(f"b{p}") > 0, F.lit("1")).otherwise(F.lit("0"))
                  for p in range(nbits)]
     return sums.select(id_col, F.concat(*bit_chars).alias("simhash"))
+
+
+def bigram_novelty(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   rare_max_freq: int = 3) -> DataFrame:
+    """Bigram-LM novelty scoring: the integer-exact stand-in for a
+    2-gram language-model perplexity filter (the same role
+    :func:`token_rarity` plays for unigrams).  A document whose word
+    PAIRS rarely occur elsewhere in the corpus is surprising --
+    novel content or word salad; both tails get routed to review.
+
+    Per document: ``n_bigrams`` (token positions - 1),
+    ``n_rare_bigrams`` (positions whose bigram occurs at most
+    ``rare_max_freq`` times corpus-wide), ``novelty`` = the exact
+    integer ratio of the two, and ``min_bigram_freq``.
+
+    Scale shape: explode to the bigram stream, one bigram-keyed count
+    (map-side combined), join back, doc-keyed reduce -- the unigram
+    rarity plan with a 2-token key; shuffles stay token-sized.  No
+    floats until the single final division."""
+    toks = tokens(F.col(text_col))
+    bigrams = F.expr(
+        "CASE WHEN size(__toks) >= 2 THEN "
+        "transform(sequence(1, size(__toks) - 1), "
+        "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"
+        " ELSE array() END")
+    bg = (df.select(id_col, toks.alias("__toks"))
+          .select(id_col, F.explode(bigrams).alias("bg")))
+    freqs = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("freq"))
+    return (bg.join(freqs, "bg")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum((F.col("freq") <= rare_max_freq).cast("int"))
+                 .alias("n_rare_bigrams"),
+                 F.min("freq").alias("min_bigram_freq"))
+            .withColumn("novelty",
+                        F.col("n_rare_bigrams").cast("double")
+                        / F.col("n_bigrams").cast("double")))

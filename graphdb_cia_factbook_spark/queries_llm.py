@@ -1382,3 +1382,89 @@ def llm_length_buckets(spark, sf):
                     token_count(F.col("text")).cast("long")
                     .alias("n_tokens")))
     return length_bucket_batches(docs, batch_size=_BATCH_SIZE)
+
+
+@register("llm_span_dedup", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+rows AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ')
+           AS span_text,
+         doc_id * 1000000 + (i - 1) AS okey
+  FROM tk, unnest(range(1, ((len(toks) + 9) // 10) + 1)) AS u(i)
+),
+first AS (
+  SELECT span_text, MIN(okey) AS first_okey FROM rows GROUP BY span_text
+)
+SELECT r.doc_id,
+       COUNT(*) AS n_spans,
+       SUM(CASE WHEN r.okey <> f.first_okey THEN 1 ELSE 0 END)
+         AS n_dup_spans,
+       COALESCE(string_agg(CASE WHEN r.okey = f.first_okey
+                                THEN r.span_text END,
+                           ' ' ORDER BY r.pos), '') AS kept_text,
+       CAST(SUM(CASE WHEN r.okey <> f.first_okey THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS dup_frac
+FROM rows r JOIN first f ON r.span_text = f.span_text
+GROUP BY r.doc_id
+""")
+def llm_span_dedup(spark, sf):
+    """Exact span-level dedup (the C4 line-dedup pass on 10-token
+    windows): globally-first occurrence survives, per-doc boilerplate
+    fraction + surviving text.  One span-keyed MIN aggregate is the
+    only wide op over the span stream."""
+    from .operators.dedup import span_dedup
+    return span_dedup(read_parallel(spark, sf, "documents"), span=10)
+
+
+@register("llm_bigram_novelty", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS bg
+  FROM tk, unnest(range(1, len(toks))) AS u(i)
+  WHERE len(toks) >= 2
+),
+freqs AS (SELECT bg, COUNT(*) AS freq FROM bg GROUP BY bg)
+SELECT b.doc_id,
+       COUNT(*) AS n_bigrams,
+       SUM(CASE WHEN f.freq <= 3 THEN 1 ELSE 0 END) AS n_rare_bigrams,
+       MIN(f.freq) AS min_bigram_freq,
+       CAST(SUM(CASE WHEN f.freq <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS novelty
+FROM bg b JOIN freqs f ON b.bg = f.bg
+GROUP BY b.doc_id
+""")
+def llm_bigram_novelty(spark, sf):
+    """Bigram-LM novelty: integer-exact 2-gram rarity scoring (the
+    perplexity-filter stand-in one n-gram order up from
+    llm_token_rarity).  Token-sized shuffles only."""
+    from .operators.text import bigram_novelty
+    return bigram_novelty(read_parallel(spark, sf, "documents"),
+                          rare_max_freq=3)
+
+
+@register("llm_mixture_weights", f"""
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         SUM(len({TOKS})) AS n_tokens
+  FROM documents GROUP BY source
+),
+scored AS (
+  SELECT *, CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(18,6)) AS w
+  FROM per_src
+),
+total AS (SELECT SUM(w) AS total_w FROM scored)
+SELECT s.source, s.n_docs, s.n_tokens,
+       CAST(s.w AS DOUBLE) / CAST(t.total_w AS DOUBLE) AS weight,
+       CAST(round((CAST(s.w AS DOUBLE) / CAST(t.total_w AS DOUBLE))
+                  * 1000000.0) AS BIGINT) AS budget_alloc_tokens
+FROM scored s, total t
+""")
+def llm_mixture_weights(spark, sf):
+    """Temperature-scaled (alpha = 0.5) domain-mixing weights with a
+    1M-token budget allocation; sqrt + decimal-summed normalization
+    keeps every float engine-exact."""
+    from .operators.sampling import mixture_weights
+    return mixture_weights(read_parallel(spark, sf, "documents"),
+                           budget_tokens=1_000_000)

@@ -565,3 +565,47 @@ def test_simhash_ragged_banding_rejected(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(AssertionError):
         simhash_neardup_pairs(df, nbits=30, bands=4)
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    from graphdb_cia_factbook_spark.operators.dedup import span_dedup
+    boiler = " ".join(f"w{i}" for i in range(10))
+    uniq = " ".join(f"u{i}" for i in range(10))
+    rows = [(1, boiler + " " + uniq),      # owns the boilerplate span
+            (2, boiler),                   # pure boilerplate -> all dup
+            (3, uniq.replace("u", "v"))]   # fully unique
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in span_dedup(df, span=10).collect()}
+    assert got[1].n_dup_spans == 0 and got[1].kept_text == rows[0][1]
+    assert got[2].n_dup_spans == 1 and got[2].kept_text == ""
+    assert got[2].dup_frac == 1.0
+    assert got[3].n_dup_spans == 0 and got[3].dup_frac == 0.0
+
+
+def test_bigram_novelty_rare_vs_common(spark):
+    from graphdb_cia_factbook_spark.operators.text import bigram_novelty
+    rows = ([(i, "a b a b a b") for i in range(5)]     # 'a b' freq >> 3
+            + [(100, "x y z q"), (101, "single")])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_novelty(df).collect()}
+    assert got[0].novelty == 0.0           # every bigram common
+    assert got[100].novelty == 1.0         # all three bigrams unique
+    assert got[100].n_bigrams == 3
+    assert 101 not in got                  # <2 tokens -> no bigrams
+
+
+def test_mixture_weights_sqrt_flattening(spark):
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        mixture_weights,
+    )
+    rows = ([(i, "big", "t " * 99 + "t") for i in range(40)]
+            + [(1000 + i, "small", "t") for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "text string")
+    got = {r.source: r for r in mixture_weights(df).collect()}
+    assert abs(sum(r.weight for r in got.values()) - 1.0) < 1e-9
+    # raw token ratio is 1000:1; sqrt flattens it to ~sqrt(1000):1
+    ratio = got["big"].weight / got["small"].weight
+    assert 25 < ratio < 40
+    assert (got["big"].budget_alloc_tokens
+            + got["small"].budget_alloc_tokens) in (999999, 1000000, 1000001)
