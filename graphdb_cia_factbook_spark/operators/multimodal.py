@@ -212,3 +212,46 @@ def png_metadata(media: DataFrame) -> DataFrame:
         null_unless(be(49, 1).cast("int")).alias("bit_depth"),
         null_unless(color_type.cast("int")).alias("color_type"),
         null_unless(channels).alias("channels"))
+
+
+def wav_metadata(media: DataFrame) -> DataFrame:
+    """REAL audio-metadata extraction, zero codecs: parse the RIFF/WAVE
+    header (the canonical 44-byte PCM layout) straight out of the
+    binary payload with pure Catalyst expressions -- the
+    little-endian sibling of :func:`png_metadata` (WAV fields are LE,
+    so each field's hex byte pairs are reversed before base-16
+    conversion).  Stays inside whole-stage codegen; no UDF, no Arrow
+    hop.
+
+    Layout parsed: "RIFF" (1-4), "WAVE" (9-12), "fmt " (13-16),
+    audio_format u16le (21-22), n_channels u16le (23-24), sample_rate
+    u32le (25-28), byte_rate u32le (29-32), block_align u16le (33-34),
+    bits_per_sample u16le (35-36), "data" size u32le (41-44).
+    ``duration_s`` = data_bytes / byte_rate -- one double division of
+    two exact integers.  Non-RIFF payloads yield is_wav=false and NULL
+    fields."""
+    hx = F.hex(F.substring(F.col("content"), 1, 44))
+
+    def le(byte_start: int, nbytes: int):
+        parts = [F.substring(hx, (byte_start - 1) * 2 + 1 + 2 * i, 2)
+                 for i in reversed(range(nbytes))]
+        return F.conv(F.concat(*parts), 16, 10).cast("long")
+
+    is_wav = ((F.substring(hx, 1, 8) == "52494646")
+              & (F.substring(hx, 17, 8) == "57415645")
+              & (F.substring(hx, 25, 8) == "666D7420"))
+    byte_rate = le(29, 4)
+    data_bytes = le(41, 4)
+    null_unless = lambda c: F.when(is_wav, c)
+    return media.select(
+        "media_id", is_wav.alias("is_wav"),
+        null_unless(le(21, 2).cast("int")).alias("audio_format"),
+        null_unless(le(23, 2).cast("int")).alias("n_channels"),
+        null_unless(le(25, 4)).alias("sample_rate"),
+        null_unless(byte_rate).alias("byte_rate"),
+        null_unless(le(35, 2).cast("int")).alias("bits_per_sample"),
+        null_unless(data_bytes).alias("data_bytes"),
+        null_unless(F.when(byte_rate > 0,
+                           data_bytes.cast("double")
+                           / byte_rate.cast("double")))
+        .alias("duration_s"))

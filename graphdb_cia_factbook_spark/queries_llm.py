@@ -1468,3 +1468,109 @@ def llm_mixture_weights(spark, sf):
     from .operators.sampling import mixture_weights
     return mixture_weights(read_parallel(spark, sf, "documents"),
                            budget_tokens=1_000_000)
+
+
+#: shared WAV synthesis arithmetic (Spark twin below must mirror):
+#: channels from doc parity, sample rate from doc mod 3, 16-bit PCM,
+#: data size from doc mod 500; every multi-byte field little-endian.
+_WAV_LE2 = "printf('%02x%02x', {v} % 256, ({v} // 256) % 256)"
+_WAV_LE4 = ("printf('%02x%02x%02x%02x', {v} % 256, ({v} // 256) % 256, "
+            "({v} // 65536) % 256, ({v} // 16777216) % 256)")
+
+
+@register("mm_wav_meta", f"""
+WITH params AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS ch,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         ELSE 44100 END AS rate,
+         (doc_id % 2 + 1) * 2 AS block,
+         (doc_id % 500 + 1) * ((doc_id % 2 + 1) * 2) AS dsize
+  FROM documents
+),
+px AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN encode('not a riff payload')
+         ELSE unhex(
+           '52494646' || {_WAV_LE4.format(v='(36 + dsize)')}
+           || '57415645' || '666d7420' || '10000000' || '0100'
+           || {_WAV_LE2.format(v='ch')}
+           || {_WAV_LE4.format(v='rate')}
+           || {_WAV_LE4.format(v='(rate * block)')}
+           || {_WAV_LE2.format(v='block')}
+           || '1000' || '64617461'
+           || {_WAV_LE4.format(v='dsize')})
+         END AS content
+  FROM params
+),
+hx AS (SELECT doc_id, substr(hex(content), 1, 88) AS h FROM px),
+parsed AS (
+  SELECT doc_id,
+         substr(h, 1, 8) = '52494646'
+           AND substr(h, 17, 8) = '57415645'
+           AND substr(h, 25, 8) = '666D7420' AS is_wav,
+         TRY_CAST(('0x' || substr(h, 43, 2) || substr(h, 41, 2))
+                  AS BIGINT) AS fmt,
+         TRY_CAST(('0x' || substr(h, 47, 2) || substr(h, 45, 2))
+                  AS BIGINT) AS nch,
+         TRY_CAST(('0x' || substr(h, 55, 2) || substr(h, 53, 2)
+               || substr(h, 51, 2) || substr(h, 49, 2)) AS BIGINT) AS srate,
+         TRY_CAST(('0x' || substr(h, 63, 2) || substr(h, 61, 2)
+               || substr(h, 59, 2) || substr(h, 57, 2)) AS BIGINT) AS brate,
+         TRY_CAST(('0x' || substr(h, 71, 2) || substr(h, 69, 2))
+                  AS BIGINT) AS bits,
+         TRY_CAST(('0x' || substr(h, 87, 2) || substr(h, 85, 2)
+               || substr(h, 83, 2) || substr(h, 81, 2)) AS BIGINT) AS dbytes
+  FROM hx
+)
+SELECT doc_id AS media_id, is_wav,
+       CASE WHEN is_wav THEN CAST(fmt AS INTEGER) END AS audio_format,
+       CASE WHEN is_wav THEN CAST(nch AS INTEGER) END AS n_channels,
+       CASE WHEN is_wav THEN srate END AS sample_rate,
+       CASE WHEN is_wav THEN brate END AS byte_rate,
+       CASE WHEN is_wav THEN CAST(bits AS INTEGER) END AS bits_per_sample,
+       CASE WHEN is_wav THEN dbytes END AS data_bytes,
+       CASE WHEN is_wav AND brate > 0
+            THEN CAST(dbytes AS DOUBLE) / CAST(brate AS DOUBLE)
+       END AS duration_s
+FROM parsed
+""")
+def mm_wav_meta(spark, sf):
+    """REAL audio metadata decode, zero codecs: synthesize a canonical
+    44-byte RIFF/WAVE PCM header per doc (deterministic params from
+    doc_id; every 7th payload is garbage), then parse
+    channels/rate/bit-depth/duration back out of the BINARY column
+    with pure Catalyst little-endian hex slicing -- the audio twin of
+    mm_png_meta.  Header-only parsing is how a 100-TB audio corpus
+    gets indexed (sample rate, duration, channel layout) without
+    decoding a single sample."""
+    from .operators.multimodal import media_table, wav_metadata
+    docs = read_parallel(spark, sf, "documents")
+    ch = F.col("doc_id") % 2 + 1
+    rate = (F.when(F.col("doc_id") % 3 == 0, 8000)
+            .when(F.col("doc_id") % 3 == 1, 16000).otherwise(44100))
+    block = ch * 2
+    dsize = (F.col("doc_id") % 500 + 1) * block
+
+    def le2(v):
+        return F.format_string("%02x%02x", (v % 256).cast("int"),
+                               ((v / 256).cast("long") % 256).cast("int"))
+
+    def le4(v):
+        return F.format_string(
+            "%02x%02x%02x%02x", (v % 256).cast("int"),
+            ((v / 256).cast("long") % 256).cast("int"),
+            ((v / 65536).cast("long") % 256).cast("int"),
+            ((v / 16777216).cast("long") % 256).cast("int"))
+
+    wav_hex = F.concat(
+        F.lit("52494646"), le4(dsize + 36),
+        F.lit("57415645" + "666d7420" + "10000000" + "0100"),
+        le2(ch), le4(rate), le4(rate * block), le2(block),
+        F.lit("1000" + "64617461"), le4(dsize))
+    payload = F.when(F.col("doc_id") % 7 == 0,
+                     F.lit("not a riff payload").cast("binary")) \
+        .otherwise(F.unhex(wav_hex))
+    media = media_table(docs.select("doc_id", payload.alias("p")),
+                        "doc_id", "p")
+    return wav_metadata(media)

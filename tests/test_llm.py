@@ -609,3 +609,27 @@ def test_mixture_weights_sqrt_flattening(spark):
     assert 25 < ratio < 40
     assert (got["big"].budget_alloc_tokens
             + got["small"].budget_alloc_tokens) in (999999, 1000000, 1000001)
+
+
+def test_wav_metadata_le_fields_and_garbage(spark):
+    import struct
+
+    from graphdb_cia_factbook_spark.operators.multimodal import (
+        media_table,
+        wav_metadata,
+    )
+    hdr = (b"RIFF" + struct.pack("<I", 36 + 4000) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100,
+                                   44100 * 4, 4, 16)
+           + b"data" + struct.pack("<I", 4000))
+    rows = [(1, bytearray(hdr)), (2, bytearray(b"garbage bytes"))]
+    df = spark.createDataFrame(rows, "media_id long, p binary")
+    got = {r.media_id: r
+           for r in wav_metadata(media_table(df, "media_id", "p")).collect()}
+    w = got[1]
+    assert w.is_wav and w.audio_format == 1 and w.n_channels == 2
+    assert w.sample_rate == 44100 and w.byte_rate == 176400
+    assert w.bits_per_sample == 16 and w.data_bytes == 4000
+    assert abs(w.duration_s - 4000 / 176400) < 1e-15
+    g = got[2]
+    assert not g.is_wav and g.sample_rate is None and g.duration_s is None
