@@ -188,3 +188,28 @@ def st_sessionize(spark, sf):
     the joinable-key complement to session windows."""
     from .streaming import sessionize
     return sessionize(read_table(spark, sf, "events"))
+
+
+@register("st_topk_per_window", """
+WITH agg AS (
+  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+           AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, rank, event_type, n_events, total_value
+FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY total_value DESC, event_type)
+               AS rank
+      FROM agg)
+WHERE rank <= 3
+""")
+def st_topk_per_window(spark, sf):
+    """Top-3 event types per tumbling hour (streaming leaderboard):
+    incremental windowed aggregate + rank over closed windows; the
+    post-aggregate shuffle is window-count-sized, never event-sized."""
+    from .streaming import windowed_topk
+    return windowed_topk(read_table(spark, sf, "events"), "1 hour", k=3)

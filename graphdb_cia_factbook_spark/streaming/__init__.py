@@ -395,3 +395,28 @@ def foreach_batch_parquet_sink(sdf: DataFrame, path: str,
     return (sdf.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)
             .trigger(availableNow=True).start())
+
+
+def windowed_topk(events: DataFrame, duration: str = "1 hour",
+                  k: int = 3) -> DataFrame:
+    """Top-k event types per tumbling window by (decimal-exact) total
+    value -- the streaming leaderboard shape.
+
+    Composition: the tumbling aggregate is the streaming-native stage
+    (runs incrementally under readStream + watermark); the per-window
+    rank runs on CLOSED windows -- in a live deployment it sits in a
+    ``foreachBatch`` over the append-mode output where each arriving
+    row's window is already final, so the rank never sees a window
+    twice.  Batch-mode (here) the two stages fuse into one plan.
+
+    Scale shape: the rank's partition key is the window start, so
+    state per window is |event_types| rows -- the window count grows
+    with time, not data volume; the shuffle after the windowed
+    aggregate is aggregate-sized, never event-sized."""
+    agg = tumbling_agg(events, duration)
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("total_value"), F.asc("event_type"))
+    return (agg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("window_start", "rank", "event_type",
+                    "n_events", "total_value"))

@@ -278,3 +278,24 @@ def test_foreach_batch_sink_idempotent(spark, batch_events, tmp_path):
      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
      .partitionBy("__batch_id").parquet(out))
     assert spark.read.parquet(out).count() == n_in
+
+
+def test_windowed_topk_rank_and_tiebreak(spark):
+    from graphdb_cia_factbook_spark.streaming import windowed_topk
+    rows = [
+        # window 00:00 -- click total 30, view 30 (tie -> click first),
+        # error 5
+        ("2024-01-01 00:10:00", "click", 30.0),
+        ("2024-01-01 00:20:00", "view", 10.0),
+        ("2024-01-01 00:30:00", "view", 20.0),
+        ("2024-01-01 00:40:00", "error", 5.0),
+        # window 01:00 -- only one type
+        ("2024-01-01 01:10:00", "click", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts string, event_type string, "
+                                     "value double") \
+        .selectExpr("CAST(ts AS TIMESTAMP) ts", "event_type", "value")
+    got = [(r.window_start.hour, r.rank, r.event_type)
+           for r in windowed_topk(df, "1 hour", k=2)
+           .orderBy("window_start", "rank").collect()]
+    assert got == [(0, 1, "click"), (0, 2, "view"), (1, 1, "click")]
