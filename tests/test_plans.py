@@ -137,3 +137,32 @@ def test_png_meta_stays_jvm_side(spark, queries):
     extraction never leaves the JVM."""
     plan = plan_of(queries["mm_png_meta"](spark, SF), "simple")
     assert "MapInPandas" not in plan and "BatchEvalPython" not in plan
+
+
+def test_q6_pure_scan_side_aggregation(spark, queries):
+    """TPC-H Q6: all three predicates must reach the parquet scan and
+    the plan must contain no join or window -- scan, filter, partial
+    agg, one-row final agg only."""
+    plan = plan_of(queries["q6_forecast_revenue"](spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan and "Window" not in plan
+    rs = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_returnflag" not in rs and "l_partkey" not in rs
+
+
+def test_q10_topk_and_returnflag_pushdown(spark, queries):
+    """TPC-H Q10: global top-20 via TakeOrderedAndProject (no full
+    sort) and the returnflag filter pushed into the lineitem scan."""
+    plan = plan_of(queries["q10_returned_items"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, queries):
+    """TPC-H Q22: NOT EXISTS must be a left-anti join; the scalar
+    average must arrive via a broadcast, never a shuffle."""
+    plan = plan_of(queries["q22_dormant_customers"](spark, SF))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
