@@ -289,3 +289,36 @@ def salted_join(fact: DataFrame, dim: DataFrame, key: str,
     dim_s = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     return fact_s.join(dim_s, [key, "__salt"]).drop("__salt")
+
+
+def scd2_intervals(changes: DataFrame, key_col: str, attr_cols: list,
+                   ts_col: str = "ts",
+                   tiebreak_col: str | None = None) -> DataFrame:
+    """Build a slowly-changing-dimension (SCD type 2) history from a
+    change stream: each change row opens a validity interval
+    ``[valid_from, valid_to)`` closed by the key's NEXT change
+    (``lead`` over the per-key timeline); the last interval stays open
+    (NULL ``valid_to``, ``is_current`` true).
+
+    The reference keeps only latest-wins snapshots (A1 argmax dedup,
+    preprocess_upload_neo4j.py:139-140); SCD2 is the lakehouse-native
+    generalization that keeps every version queryable as-of any time
+    (pairs with :func:`asof_join` for time-travel lookups).
+
+    Determinism: the timeline orders by (ts, tiebreak) -- pass a
+    unique ``tiebreak_col`` when timestamps can collide.  Scale shape:
+    ONE window over data hash-partitioned by the dimension key; no
+    join, no second pass; 100 TB of change rows shuffle once."""
+    order = [F.asc(ts_col)] + \
+        ([F.asc(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (changes
+            .select(key_col, ts_col,
+                    *(attr_cols if isinstance(attr_cols, list)
+                      else [attr_cols]),
+                    *([tiebreak_col] if tiebreak_col else []))
+            .withColumn("valid_from", F.col(ts_col))
+            .withColumn("valid_to", nxt)
+            .withColumn("is_current", nxt.isNull())
+            .drop(ts_col))

@@ -267,3 +267,25 @@ def s1_from_records(spark, sf):
     region = read_table(spark, sf, "region")
     return (region.join(F.broadcast(dim), "r_regionkey", "left")
             .select("r_regionkey", "r_name", "hemisphere"))
+
+
+@register("scd2_user_history", """
+SELECT user_id, event_type, event_id,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def scd2_user_history(spark, sf):
+    """SCD type-2 dimension history from the event change stream:
+    every per-user event opens a validity interval closed by the next
+    one -- one window over key-partitioned data, no joins (the
+    time-travel generalization of the reference's latest-wins A1
+    dedup)."""
+    from .operators.relational import scd2_intervals
+    ev = read_table(spark, sf, "events")
+    return (scd2_intervals(ev, "user_id", ["event_type"], "ts",
+                           tiebreak_col="event_id")
+            .select("user_id", "event_type", "event_id",
+                    "valid_from", "valid_to", "is_current"))

@@ -102,3 +102,29 @@ def test_asof_join_row_count_and_bound(spark, rows):
         matches = [t for t in right_ts.get(r.k, []) if t <= r.ts]
         if not matches:
             assert r.asof_rv is None             # nothing at-or-before
+
+
+def test_scd2_intervals_tile_the_timeline(spark):
+    """Property: per key, SCD2 intervals are disjoint, contiguous
+    (each valid_to equals the next valid_from), and exactly one
+    interval is open/current."""
+    from graphdb_cia_factbook_spark.operators.relational import (
+        scd2_intervals,
+    )
+    rows = [(1, "2024-01-01 00:00:00", "a", 10),
+            (1, "2024-01-01 01:00:00", "b", 11),
+            (1, "2024-01-01 01:00:00", "c", 12),   # ts tie -> event_id
+            (2, "2024-01-01 05:00:00", "x", 13)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string, event_id long"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts",
+                 "event_type", "event_id")
+    out = scd2_intervals(df, "user_id", ["event_type"], "ts",
+                         tiebreak_col="event_id") \
+        .orderBy("user_id", "valid_from", "event_id").collect()
+    u1 = [r for r in out if r.user_id == 1]
+    assert [r.event_type for r in u1] == ["a", "b", "c"]
+    assert u1[0].valid_to == u1[1].valid_from
+    assert u1[1].valid_to == u1[2].valid_from   # tie broken by event_id
+    assert [r.is_current for r in u1] == [False, False, True]
+    assert sum(r.is_current for r in out if r.user_id == 2) == 1
