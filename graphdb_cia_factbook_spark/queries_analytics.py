@@ -1,0 +1,210 @@
+"""Event-analytics and data-quality queries (EXT).
+
+The reference validates its data by hand (README.md:30-33 documents
+known quality issues; constraint checks at
+preprocess_upload_neo4j.py:45-54).  A 100-TB engine needs that
+validation as first-class, run-on-every-load operators: column
+profiling, referential-integrity checks, and the standard
+event-analytics shapes (funnel, cohort retention) a training-data
+pipeline uses to understand its corpus before mixing it.
+
+Determinism: counts and integer ratios only -- no floats except
+single final divisions of exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+from .sources import read_table
+
+
+@register("dq_profile", """
+WITH s AS (
+  SELECT
+    COUNT(*) AS n_rows,
+    COUNT(l_quantity) AS nn_quantity,
+    COUNT(DISTINCT l_quantity) AS nd_quantity,
+    COUNT(l_returnflag) AS nn_returnflag,
+    COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+    COUNT(l_shipdate) AS nn_shipdate,
+    COUNT(DISTINCT l_shipdate) AS nd_shipdate
+  FROM lineitem
+)
+SELECT col, n_rows, n_nonnull, n_distinct,
+       CAST(n_rows - n_nonnull AS DOUBLE) / n_rows AS null_frac
+FROM (
+  SELECT 'l_quantity' AS col, n_rows, nn_quantity AS n_nonnull,
+         nd_quantity AS n_distinct FROM s
+  UNION ALL
+  SELECT 'l_returnflag', n_rows, nn_returnflag, nd_returnflag FROM s
+  UNION ALL
+  SELECT 'l_shipdate', n_rows, nn_shipdate, nd_shipdate FROM s
+)
+""")
+def dq_profile(spark, sf):
+    """Column profiling (the ANALYZE TABLE analog): null counts and
+    distinct cardinalities for a column set in ONE scan -- every
+    measure is an aggregate over the same pass, then unpivoted to a
+    long stats table.  At 100 TB this is the load-time health check
+    that runs before any query does; one scan, aggregate-sized
+    output."""
+    li = read_table(spark, sf, "lineitem")
+    cols = ["l_quantity", "l_returnflag", "l_shipdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    s = li.agg(*aggs)
+    rows = None
+    for c in cols:
+        row = s.select(F.lit(c).alias("col"), "n_rows",
+                       F.col(f"nn_{c}").alias("n_nonnull"),
+                       F.col(f"nd_{c}").alias("n_distinct"))
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.withColumn(
+        "null_frac",
+        (F.col("n_rows") - F.col("n_nonnull")).cast("double")
+        / F.col("n_rows").cast("double"))
+
+
+@register("dq_referential", """
+SELECT 'lineitem.l_orderkey -> orders' AS fk,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows
+UNION ALL
+SELECT 'orders.o_custkey -> customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'customer.c_nationkey -> nation',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer)
+""")
+def dq_referential(spark, sf):
+    """Referential-integrity validation (S6 generalized): orphan-row
+    counts for each foreign key via left-anti joins -- the bulk
+    equivalent of the reference's per-row MERGE endpoint checks
+    (preprocess_upload_neo4j.py:291-293 silently drops edges whose
+    endpoints are missing; here the engine COUNTS what would drop).
+    Anti joins carry only the key columns; dims broadcast."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey")
+    orders = read_table(spark, sf, "orders") \
+        .select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf, "customer") \
+        .select("c_custkey", "c_nationkey")
+    nation = read_table(spark, sf, "nation").select("n_nationkey")
+
+    def check(name, child, parent, ckey, pkey):
+        orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti")
+        return (orphans.agg(F.count(F.lit(1)).alias("n_orphans"))
+                .crossJoin(child.agg(F.count(F.lit(1)).alias("n_rows")))
+                .select(F.lit(name).alias("fk"), "n_orphans", "n_rows"))
+
+    return (check("lineitem.l_orderkey -> orders", li,
+                  orders.select("o_orderkey"), "l_orderkey", "o_orderkey")
+            .unionByName(check("orders.o_custkey -> customer",
+                               orders.select("o_custkey"),
+                               cust.select("c_custkey"),
+                               "o_custkey", "c_custkey"))
+            .unionByName(check("customer.c_nationkey -> nation",
+                               cust.select("c_nationkey"), nation,
+                               "c_nationkey", "n_nationkey")))
+
+
+@register("funnel_conversion", """
+WITH v AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(e.ts AS TIMESTAMP) > c.t_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conversion
+""")
+def funnel_conversion(spark, sf):
+    """Ordered funnel (view -> click -> purchase): each stage keeps
+    users whose stage event strictly follows their previous stage's
+    FIRST event.  Three user-keyed min-aggregates chained by joins --
+    every shuffle is user-sized, the event stream is read once per
+    stage with the stage filter pushed to the scan."""
+    ev = read_table(spark, sf, "events").select("user_id", "ts",
+                                                "event_type")
+
+    def stage(etype, prev=None, prev_t=None):
+        e = ev.where(F.col("event_type") == etype)
+        if prev is not None:
+            e = e.join(prev, "user_id").where(F.col("ts") > F.col(prev_t))
+        return e.groupBy("user_id").agg(F.min("ts").alias(f"t_{etype}"))
+
+    v = stage("view")
+    c = stage("click", v, "t_view")
+    p = stage("purchase", c, "t_click")
+    counts = (v.agg(F.count(F.lit(1)).alias("n_view"))
+              .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+              .crossJoin(p.agg(F.count(F.lit(1))
+                               .alias("n_view_click_purchase"))))
+    return counts.withColumn(
+        "conversion",
+        F.col("n_view_click_purchase").cast("double")
+        / F.col("n_view").cast("double"))
+
+
+@register("cohort_retention", """
+WITH first_day AS (
+  SELECT user_id,
+         MIN(date_trunc('day', CAST(ts AS TIMESTAMP))) AS cohort_day
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         date_diff('day', f.cohort_day,
+                   date_trunc('day', CAST(e.ts AS TIMESTAMP)))
+           AS day_offset
+  FROM events e JOIN first_day f ON e.user_id = f.user_id
+)
+SELECT cohort_day, day_offset, COUNT(*) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+""")
+def cohort_retention(spark, sf):
+    """Cohort retention: users grouped by first-activity day, counted
+    per (cohort, day-offset) for the first week.  One user-keyed MIN
+    (the cohort assignment, broadcast-or-shuffle joined back) + one
+    distinct + one count -- shuffles are user-sized and
+    cohort-grid-sized, never event-sized after the distinct."""
+    ev = read_table(spark, sf, "events").select("user_id", "ts")
+    day = F.date_trunc("day", F.col("ts"))
+    first_day = (ev.groupBy("user_id")
+                 .agg(F.min(day).alias("cohort_day")))
+    activity = (ev.join(first_day, "user_id")
+                .select("user_id", "cohort_day",
+                        F.datediff(day, F.col("cohort_day"))
+                        .alias("day_offset"))
+                .distinct())
+    return (activity.where(F.col("day_offset") <= 7)
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))

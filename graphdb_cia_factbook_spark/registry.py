@@ -134,6 +134,7 @@ def _load() -> None:
         return
     from . import queries_relational  # noqa: F401
     from . import queries_tpch  # noqa: F401
+    from . import queries_analytics  # noqa: F401
     from . import queries_ext  # noqa: F401
     from . import queries_functions  # noqa: F401
     from . import queries_graph  # noqa: F401
