@@ -521,6 +521,43 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
             .select("id", "dist"))
 
 
+def _multi_root_bfs(graph: Graph, sources: list | None = None,
+                    max_hops: int = 30,
+                    directed: bool = True) -> DataFrame:
+    """Shared-frontier BFS from every root at once: returns the
+    shortest-path closure (root, id, dist) including the dist-0 self
+    rows.  All roots expand in the SAME supersteps (|diameter| rounds,
+    each one frontier join + anti-join) -- the kernel under
+    :func:`closeness_centrality` and :func:`graph_diameter`."""
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.union(graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+
+    roots = graph.vertices.select("id")
+    if sources is not None:
+        roots = roots.where(F.col("id").isin(sources))
+
+    frontier = (roots.select(F.col("id").alias("root"), "id")
+                .withColumn("dist", F.lit(0)).localCheckpoint())
+    visited = frontier
+
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier, edges.src == frontier.id)
+               .select("root", F.col("dst").alias("id"))
+               .distinct()
+               .join(visited.select("root", "id"), ["root", "id"],
+                     "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .localCheckpoint())
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+    return visited
+
+
 def closeness_centrality(graph: Graph, sources: list | None = None,
                          max_hops: int = 30,
                          directed: bool = True) -> DataFrame:
@@ -546,34 +583,8 @@ def closeness_centrality(graph: Graph, sources: list | None = None,
     unchanged.  Matches the Neo4j GDS closeness/eccentricity calls the
     reference's stack exposes next to pageRank
     (preprocess_upload_neo4j.py:400-447 runs the GDS family)."""
-    edges = graph.edges.select("src", "dst")
-    if not directed:
-        edges = edges.union(graph.edges.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().localCheckpoint()
-
-    roots = graph.vertices.select("id")
-    if sources is not None:
-        roots = roots.where(F.col("id").isin(sources))
+    visited = _multi_root_bfs(graph, sources, max_hops, directed)
     n_total = graph.vertices.count()
-
-    frontier = (roots.select(F.col("id").alias("root"), "id")
-                .withColumn("dist", F.lit(0)).localCheckpoint())
-    visited = frontier
-
-    for hop in range(1, max_hops + 1):
-        nxt = (edges.join(frontier, edges.src == frontier.id)
-               .select("root", F.col("dst").alias("id"))
-               .distinct()
-               .join(visited.select("root", "id"), ["root", "id"],
-                     "left_anti")
-               .withColumn("dist", F.lit(hop))
-               .localCheckpoint())
-        if nxt.isEmpty():
-            break
-        visited = visited.union(nxt).localCheckpoint()
-        frontier = nxt
-
     stats = (visited.where(F.col("dist") > 0)
              .groupBy("root")
              .agg(F.count(F.lit(1)).alias("n_reached"),
@@ -589,6 +600,34 @@ def closeness_centrality(graph: Graph, sources: list | None = None,
                            * (r / F.lit(float(n_total - 1))))
                     .otherwise(F.lit(0.0)).alias("closeness"),
                     "eccentricity"))
+
+
+def graph_diameter(graph: Graph, max_hops: int = 30,
+                   directed: bool = True) -> DataFrame:
+    """Global distance summary from the all-pairs BFS closure: one row
+    with vertex/edge-reachability structure --
+
+    - ``diameter``: max shortest-path distance over reachable pairs;
+    - ``radius``: min eccentricity over roots that reach anything;
+    - ``n_reachable_pairs`` / ``avg_path_len``: how connected the
+      digraph is and how far apart things sit (exact integer sum, one
+      final double division).
+
+    Same O(pairs-within-distance) posture as
+    :func:`closeness_centrality` -- exact for moderate |V|, landmark
+    sampling at web scale."""
+    visited = _multi_root_bfs(graph, None, max_hops, directed)
+    pairs = visited.where(F.col("dist") > 0)
+    ecc = pairs.groupBy("root").agg(F.max("dist").alias("ecc"))
+    return (pairs.agg(F.count(F.lit(1)).alias("n_reachable_pairs"),
+                      F.sum("dist").alias("sum_dist"),
+                      F.max("dist").alias("diameter"))
+            .crossJoin(F.broadcast(
+                ecc.agg(F.min("ecc").alias("radius"))))
+            .select("n_reachable_pairs", "diameter", "radius",
+                    (F.col("sum_dist").cast("double")
+                     / F.col("n_reachable_pairs").cast("double"))
+                    .alias("avg_path_len")))
 
 
 def sssp(graph: Graph, sources: list, weight_col: str = "cost",

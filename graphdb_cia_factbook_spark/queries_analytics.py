@@ -208,3 +208,97 @@ def cohort_retention(spark, sf):
     return (activity.where(F.col("day_offset") <= 7)
             .groupBy("cohort_day", "day_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@register("copurchase_pairs", """
+WITH brands AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       COUNT(*) AS n_orders
+FROM brands a JOIN brands b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+HAVING COUNT(*) >= 50
+""")
+def copurchase_pairs(spark, sf):
+    """Market-basket co-occurrence: brand pairs appearing in the same
+    order, counted across orders.  The self-join runs on per-order
+    DISTINCT brand sets (bounded by order width, never line-item
+    width) with the a < b triangle filter inside the join condition,
+    so the pair space per order is C(brands_in_order, 2) -- the
+    frequent-itemset k=2 pass every recommender pipeline starts
+    from."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_partkey")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    brands = (li.join(F.broadcast(part),
+                      li.l_partkey == part.p_partkey)
+              .select("l_orderkey", "p_brand").distinct())
+    a = brands.select("l_orderkey", F.col("p_brand").alias("brand_a"))
+    b = brands.select("l_orderkey", F.col("p_brand").alias("brand_b"))
+    return (a.join(b, (a.l_orderkey == b.l_orderkey)
+                   & (F.col("brand_a") < F.col("brand_b")))
+            .groupBy("brand_a", "brand_b")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .where(F.col("n_orders") >= 50))
+
+
+@register("agg_histogram", """
+SELECT CAST(floor(value / 5.0) AS INTEGER) AS bucket,
+       CAST(floor(value / 5.0) * 5 AS DOUBLE) AS bucket_lo,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+""")
+def agg_histogram(spark, sf):
+    """Equal-width histogram of event values (width 5): bucket index
+    from exact floor division -- the profiling companion to the
+    percentile sketches; one map-side-combined aggregate, output sized
+    by bucket count."""
+    ev = read_table(spark, sf, "events")
+    bucket = F.floor(F.col("value") / 5.0)
+    from .operators.relational import dsum
+    return (ev.groupBy(bucket.cast("int").alias("bucket"),
+                       (bucket * 5).cast("double").alias("bucket_lo"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("value").alias("total_value")))
+
+
+@register("anomaly_zscore", """
+WITH stats AS (
+  SELECT event_type,
+         round(CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE)
+               / COUNT(value), 6) AS mean_v,
+         round(stddev_samp(value), 6) AS sd_v
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN abs(round((e.value - s.mean_v) / s.sd_v, 6)) > 3
+                THEN 1 ELSE 0 END) AS n_outliers
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE s.sd_v > 0
+GROUP BY e.event_type
+""")
+def anomaly_zscore(spark, sf):
+    """Z-score outlier counts per event type: per-group mean (decimal
+    exact) and stddev rounded to 6 decimals BEFORE the z computation,
+    so both engines score from identical inputs and the |z| > 3 flag
+    cannot flip on reduction-order noise.  Two passes over events
+    (stats, then flag) -- the broadcast-dim shape of every streaming
+    anomaly monitor."""
+    ev = read_table(spark, sf, "events").select("event_type", "value")
+    from .operators.relational import davg
+    stats = (ev.groupBy("event_type")
+             .agg(F.round(davg("value"), 6).alias("mean_v"),
+                  F.round(F.stddev_samp("value"), 6).alias("sd_v"))
+             .where(F.col("sd_v") > 0))
+    z = F.round((F.col("value") - F.col("mean_v")) / F.col("sd_v"), 6)
+    return (ev.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(F.abs(z) > 3, 1).otherwise(0))
+                 .alias("n_outliers")))

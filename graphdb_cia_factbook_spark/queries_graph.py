@@ -809,3 +809,43 @@ def sql_top_partner_top10(spark, sf):
         ORDER BY total_exports DESC, nation
         LIMIT 10
     """)
+
+
+@register("g_diameter", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY root, id
+),
+pairs AS (SELECT * FROM mind WHERE dist > 0),
+ecc AS (SELECT root, MAX(dist) AS ecc FROM pairs GROUP BY root)
+SELECT (SELECT COUNT(*) FROM pairs) AS n_reachable_pairs,
+       (SELECT MAX(dist) FROM pairs) AS diameter,
+       (SELECT MIN(ecc) FROM ecc) AS radius,
+       CAST((SELECT SUM(dist) FROM pairs) AS DOUBLE)
+         / (SELECT COUNT(*) FROM pairs) AS avg_path_len
+""")
+def g_diameter(spark, sf):
+    """EXT graph summary: diameter / radius / average shortest path
+    over the top-3-partner digraph -- one row distilled from the same
+    shared-frontier all-pairs closure as g_closeness."""
+    from .operators.graph import Graph, graph_diameter
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return graph_diameter(Graph(g.vertices, top3))
