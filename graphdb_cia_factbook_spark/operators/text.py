@@ -340,3 +340,29 @@ def bigram_novelty(df: DataFrame, id_col: str = "doc_id",
             .withColumn("novelty",
                         F.col("n_rare_bigrams").cast("double")
                         / F.col("n_bigrams").cast("double")))
+
+
+def lang_confidence(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Language-ID confidence: per-language stopword-hit counts, the
+    winning language (same argmax + tiebreak as :func:`lang_id`), and
+    the top-two score MARGIN -- the mixed-language / low-confidence
+    detector that decides whether a doc routes to the cheap monolingual
+    pipeline or to review.  ``confident`` = margin >= 2 AND top >= 3.
+
+    All scores are integer counts; top/second come from a sorted
+    integer array -- engine-exact end to end, no model call."""
+    t = tokens(F.col(text_col))
+    scores = {lang: stopword_count(t, words)
+              for lang, words in LANG_STOPWORDS.items()}
+    arr = F.sort_array(F.array(*scores.values()), asc=False)
+    return (df.select(id_col,
+                      lang_id(F.col(text_col)).alias("lang_pred"),
+                      *[scores[lang].alias(f"s_{lang}")
+                        for lang in LANG_STOPWORDS],
+                      arr[0].alias("top_score"),
+                      arr[1].alias("second_score"))
+            .withColumn("margin",
+                        F.col("top_score") - F.col("second_score"))
+            .withColumn("confident",
+                        (F.col("margin") >= 2) & (F.col("top_score") >= 3)))

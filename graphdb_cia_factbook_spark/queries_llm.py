@@ -1574,3 +1574,76 @@ def mm_wav_meta(spark, sf):
     media = media_table(docs.select("doc_id", payload.alias("p")),
                         "doc_id", "p")
     return wav_metadata(media)
+
+
+@register("llm_langid_confidence", f"""
+WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_LANG_SCORES} FROM t),
+m AS (
+  SELECT *, (list_sort([s_en, s_de, s_es, s_fr], 'DESC'))[1] AS top_score,
+         (list_sort([s_en, s_de, s_es, s_fr], 'DESC'))[2] AS second_score
+  FROM s
+)
+SELECT doc_id, {_langid_case()} AS lang_pred,
+       s_en, s_de, s_es, s_fr, top_score, second_score,
+       top_score - second_score AS margin,
+       top_score - second_score >= 2 AND top_score >= 3 AS confident
+FROM m
+""")
+def llm_langid_confidence(spark, sf):
+    """Language-ID with confidence margin: integer stopword scores per
+    language, winner + top-two margin, and the route-to-review flag
+    for mixed/ambiguous docs.  Pure codegen, shuffle-free."""
+    from .operators.text import lang_confidence
+    return lang_confidence(read_parallel(spark, sf, "documents"))
+
+
+@register("dq_embeddings", """
+WITH checks AS (
+  SELECT vec_id,
+         embedding IS NULL AS is_null,
+         CASE WHEN embedding IS NULL THEN 0
+              ELSE len(embedding) END AS dims,
+         embedding IS NOT NULL AND
+           len(list_filter(embedding, x -> isnan(x) OR NOT isfinite(x)))
+             > 0 AS has_nonfinite,
+         embedding IS NOT NULL AND
+           list_reduce(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)
+                                           * CAST(x AS DOUBLE)),
+                       (a, b) -> a + b) = 0.0 AS is_zero
+  FROM embeddings
+)
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+       MIN(CASE WHEN NOT is_null THEN dims END) AS dims_min,
+       MAX(CASE WHEN NOT is_null THEN dims END) AS dims_max,
+       SUM(CASE WHEN has_nonfinite THEN 1 ELSE 0 END) AS n_nonfinite,
+       SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS n_zero_norm
+FROM checks
+""")
+def dq_embeddings(spark, sf):
+    """Embedding-table health check before any ANN index build: null
+    vectors, dimension consistency, non-finite components, zero-norm
+    rows (which break cosine).  One scan, one-row output; the
+    sum-of-squares uses the same sequential left fold as the ANN
+    kernels so the zero test is bit-exact."""
+    emb = read_parallel(spark, sf, "embeddings")
+    e = F.col("embedding")
+    sq = F.aggregate(F.transform(e, lambda x: x.cast("double")
+                                 * x.cast("double")),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    checks = emb.select(
+        e.isNull().alias("is_null"),
+        F.when(e.isNull(), 0).otherwise(F.size(e)).alias("dims"),
+        (e.isNotNull()
+         & F.exists(e, lambda x: F.isnan(x)
+                    | (F.abs(x) == float("inf")))).alias("has_nonfinite"),
+        (e.isNotNull() & (sq == 0.0)).alias("is_zero"))
+    return checks.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_null").cast("int")).alias("n_null"),
+        F.min(F.when(~F.col("is_null"), F.col("dims"))).alias("dims_min"),
+        F.max(F.when(~F.col("is_null"), F.col("dims"))).alias("dims_max"),
+        F.sum(F.col("has_nonfinite").cast("int")).alias("n_nonfinite"),
+        F.sum(F.col("is_zero").cast("int")).alias("n_zero_norm"))
