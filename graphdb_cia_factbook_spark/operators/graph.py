@@ -757,8 +757,6 @@ def hits(graph: Graph, max_iter: int = 10,
                                   F.lit(0.0).alias("w")))
         .localCheckpoint())
     small_vector = n <= 10_000_000
-    w_all = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing)
 
     hub = verts.select("id", F.lit(1.0 / n).alias("hub"))
     auth = None
@@ -781,9 +779,16 @@ def hits(graph: Graph, max_iter: int = 10,
             hub = hub.localCheckpoint()
 
     def _l1(df: DataFrame, col: str) -> DataFrame:
-        total = F.sum(col).over(w_all)
-        return df.select("id", F.when(total > 0, F.col(col) / total)
-                         .otherwise(F.lit(1.0 / n)).alias(col))
+        # L1 total as a scalar aggregate broadcast back -- never a
+        # global window, which would funnel the vertex-sized table
+        # through ONE partition (the same ceiling the rank loop's
+        # sentinel spread removes)
+        total_df = df.agg(F.sum(col).alias("__total"))
+        return (df.crossJoin(F.broadcast(total_df))
+                .select("id",
+                        F.when(F.col("__total") > 0,
+                               F.col(col) / F.col("__total"))
+                        .otherwise(F.lit(1.0 / n)).alias(col)))
 
     return _l1(hub, "hub").join(_l1(auth, "auth"), "id") \
         .select("id", "hub", "auth")
