@@ -322,3 +322,40 @@ def scd2_intervals(changes: DataFrame, key_col: str, attr_cols: list,
             .withColumn("valid_to", nxt)
             .withColumn("is_current", nxt.isNull())
             .drop(ts_col))
+
+
+def grouped_weighted_median(df: DataFrame, group_col: str,
+                            value_col: str, weight_col: str) -> DataFrame:
+    """Weighted median per group via ``applyInPandas`` -- the
+    engine's UDAF surface (SURVEY.md §2.11): Arrow-batched, grouped,
+    vectorized pandas; never row-at-a-time Python.
+
+    Definition (lower weighted median -- exact, no interpolation): the
+    smallest value v whose cumulative weight over the value-ascending
+    order reaches half the group's total weight.  Value ties share one
+    v, so the answer does not depend on tie order; the cumulative sum
+    is sequential over the same ordering on every engine, making the
+    crossing point bit-stable.
+
+    Scale shape: one hash shuffle on the group key, then each group
+    sorts locally inside its Arrow batch.  Groups must fit in executor
+    memory -- the standard applyInPandas contract; for heavy-hitter
+    groups pre-aggregate (value, sum(weight)) pairs first, which this
+    implementation does NOT need for dimension-sized groups."""
+    import pandas as pd
+
+    out_schema = (f"{group_col} string, wmedian double, "
+                  f"total_weight double, n long")
+
+    def median_of(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(value_col, kind="mergesort")
+        cum = pdf[weight_col].cumsum()
+        total = float(cum.iloc[-1])
+        v = float(pdf.loc[cum >= total / 2, value_col].iloc[0])
+        return pd.DataFrame({group_col: [pdf[group_col].iloc[0]],
+                             "wmedian": [v],
+                             "total_weight": [total],
+                             "n": [len(pdf)]})
+
+    return (df.select(group_col, value_col, weight_col)
+            .groupBy(group_col).applyInPandas(median_of, out_schema))

@@ -363,3 +363,33 @@ def quantized_topk(emb: DataFrame, queries: DataFrame, k: int = 3,
     return (topk_per_query(scored, k,
                            order=[F.desc("qdot"), F.asc("neighbor_id")])
             .select("query_id", "neighbor_id", "rank", "qdot"))
+
+
+def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
+                   lloyd_iters: int = 1, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """Semantic (embedding-cluster) deduplication: coarse-quantize the
+    corpus with the same deterministic seeded-then-Lloyd-refined
+    centroids as :func:`ivf_topk`, then keep ONE survivor per cluster
+    (minimum id -- an engine-exact total order) and mark the rest as
+    semantic duplicates.  This is the SemDeDup-style pass that removes
+    "same meaning, different words" redundancy exact/minhash dedup
+    cannot see.
+
+    Output: (vec_id, cluster_id, survivor_id, is_dup).  Scale shape:
+    one broadcast nested-loop assignment (corpus streams once past the
+    tiny centroid table) + one cluster-keyed MIN + an equi-join back
+    -- never vector x vector."""
+    cents = (corpus.where(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("__cent")))
+    cents = lloyd_refine(corpus, cents, lloyd_iters, id_col, vec_col)
+    assign = _nearest_centroids(corpus, cents, "vec_id", 1,
+                                id_col, vec_col) \
+        .select("vec_id", F.col("centroid_id").alias("cluster_id"))
+    survivor = (assign.groupBy("cluster_id")
+                .agg(F.min("vec_id").alias("survivor_id")))
+    return (assign.join(F.broadcast(survivor), "cluster_id")
+            .select("vec_id", "cluster_id", "survivor_id",
+                    (F.col("vec_id") != F.col("survivor_id"))
+                    .alias("is_dup")))

@@ -843,13 +843,14 @@ _IVF_K, _IVF_NPROBE, _IVF_LLOYD = 16, 2, 1
 
 
 def _ivf_sql(lloyd_iters: int, q_max: int = 8, k: int = 3,
-             vote: bool = False) -> str:
+             vote: bool = False, mode: str | None = None) -> str:
     """Generate the IVF oracle: seeded centroids -> ``lloyd_iters``
     Lloyd refinements (decimal-exact per-dimension means, mirroring
     similarity.lloyd_refine) -> assign/probe/score on the FINAL
     centroid table.  ``vote=True`` appends the k-NN majority-vote tail
     (same CTE shape as the llm_knn_classify oracle) instead of the
-    raw top-k projection."""
+    raw top-k projection; ``mode='dedup'`` stops at the assignment and
+    appends the semantic-dedup survivor tail instead (no probe)."""
     def nearest(cents: str, filt: str, n: int, out: str) -> str:
         return f"""(
   SELECT vec_id AS {out}, embedding, centroid_id
@@ -882,6 +883,17 @@ cents{i + 1} AS (
   GROUP BY centroid_id
 )""")
     fin = f"cents{lloyd_iters}"
+    if mode == "dedup":
+        parts.append(f""",
+assign AS {nearest(fin, '', 1, 'vec_id')},
+survivor AS (
+  SELECT centroid_id, MIN(vec_id) AS survivor_id
+  FROM assign GROUP BY centroid_id
+)
+SELECT a.vec_id, a.centroid_id AS cluster_id, s.survivor_id,
+       a.vec_id <> s.survivor_id AS is_dup
+FROM assign a JOIN survivor s ON a.centroid_id = s.centroid_id""")
+        return "".join(parts)
     parts.append(f""",
 assign AS {nearest(fin, '', 1, 'neighbor_id')},
 probe AS {nearest(fin, f'WHERE e.vec_id < {q_max}', _IVF_NPROBE, 'query_id')},
@@ -1647,3 +1659,15 @@ def dq_embeddings(spark, sf):
         F.max(F.when(~F.col("is_null"), F.col("dims"))).alias("dims_max"),
         F.sum(F.col("has_nonfinite").cast("int")).alias("n_nonfinite"),
         F.sum(F.col("is_zero").cast("int")).alias("n_zero_norm"))
+
+
+@register("llm_semantic_dedup", _ivf_sql(_IVF_LLOYD, mode="dedup"))
+def llm_semantic_dedup(spark, sf):
+    """Semantic dedup (SemDeDup-style): cluster embeddings with the
+    deterministic seeded + Lloyd-refined coarse quantizer, keep one
+    survivor (min id) per cluster, mark the rest as semantic
+    duplicates.  Catches same-meaning-different-words redundancy that
+    the lexical dedup family cannot; never vector x vector."""
+    from .operators.similarity import semantic_dedup
+    return semantic_dedup(read_parallel(spark, sf, "embeddings"),
+                          n_centroids=_IVF_K, lloyd_iters=_IVF_LLOYD)

@@ -756,3 +756,36 @@ def agg_stats_corr(spark, sf):
                  .alias("discount_sd"),
                  F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@register("udaf_weighted_median", """
+WITH ordered AS (
+  SELECT l_returnflag, l_extendedprice, l_quantity,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice
+                               ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS total
+  FROM lineitem
+),
+hit AS (
+  SELECT l_returnflag, l_extendedprice, total,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice) AS rn
+  FROM ordered WHERE cum >= total / 2
+)
+SELECT h.l_returnflag, h.l_extendedprice AS wmedian,
+       h.total AS total_weight, c.n
+FROM hit h JOIN (SELECT l_returnflag, COUNT(*) AS n
+                 FROM lineitem GROUP BY l_returnflag) c
+  ON h.l_returnflag = c.l_returnflag
+WHERE h.rn = 1
+""")
+def udaf_weighted_median(spark, sf):
+    """UDAF surface (§2.11): quantity-weighted median price per return
+    flag through grouped applyInPandas (Arrow batches, vectorized
+    pandas) -- the custom-aggregate shape built-ins can't express.
+    Oracle = the same lower-weighted-median via window cumsum."""
+    from .operators.relational import grouped_weighted_median
+    li = read_table(spark, sf, "lineitem")
+    return grouped_weighted_median(li, "l_returnflag",
+                                   "l_extendedprice", "l_quantity")

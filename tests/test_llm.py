@@ -633,3 +633,28 @@ def test_wav_metadata_le_fields_and_garbage(spark):
     assert abs(w.duration_s - 4000 / 176400) < 1e-15
     g = got[2]
     assert not g.is_wav and g.sample_rate is None and g.duration_s is None
+
+
+def test_semantic_dedup_one_survivor_per_cluster(spark):
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    # two tight clusters around orthogonal axes; seeds = ids 0,1
+    rows = [(0, [1.0, 0.0]), (2, [0.9, 0.1]), (4, [0.8, 0.05]),
+            (1, [0.0, 1.0]), (3, [0.1, 0.9])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup(df, n_centroids=2, lloyd_iters=1).collect()
+    assert len(got) == 5
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for rows_ in by_cluster.values():
+        survivors = [r for r in rows_ if not r.is_dup]
+        assert len(survivors) == 1
+        assert survivors[0].vec_id == min(r.vec_id for r in rows_)
+        assert all(r.survivor_id == survivors[0].vec_id for r in rows_)
+    x_cluster = {r.vec_id for r in got
+                 if r.cluster_id == [c for c in by_cluster
+                                     if 0 in {q.vec_id for q in
+                                              by_cluster[c]}][0]}
+    assert x_cluster == {0, 2, 4}

@@ -128,3 +128,19 @@ def test_scd2_intervals_tile_the_timeline(spark):
     assert u1[1].valid_to == u1[2].valid_from   # tie broken by event_id
     assert [r.is_current for r in u1] == [False, False, True]
     assert sum(r.is_current for r in out if r.user_id == 2) == 1
+
+
+def test_grouped_weighted_median_crossing(spark):
+    from graphdb_cia_factbook_spark.operators.relational import (
+        grouped_weighted_median,
+    )
+    # group A: values 1,2,3 with weights 1,1,10 -> half=6, median 3
+    # group B: uniform weights over 1..4 -> half=2, lower median 2
+    rows = [("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0),
+            ("B", 1.0, 1.0), ("B", 2.0, 1.0), ("B", 3.0, 1.0),
+            ("B", 4.0, 1.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    got = {r.g: r for r in
+           grouped_weighted_median(df, "g", "v", "w").collect()}
+    assert got["A"].wmedian == 3.0 and got["A"].total_weight == 12.0
+    assert got["B"].wmedian == 2.0 and got["B"].n == 4
