@@ -1,0 +1,94 @@
+"""Time-series operators (EXT): the hypertable-style surface a metric
+store needs over the driver's ``events`` stream -- exponential
+smoothing and gap-filled resampling.  No time-series abstraction
+exists in the reference (only ``year`` columns, SURVEY.md §1.3); these
+are north-star extensions built the Spark-first way: arrays + higher-
+order functions and windows, never a row-at-a-time UDF.
+
+Determinism: EWMA is a SEQUENTIAL left fold over the per-key
+time-ordered value list -- Spark ``F.aggregate`` and DuckDB
+``list_reduce`` execute the identical operation chain, so results are
+bit-equal (the same contract the ANN cosine kernels rely on).
+Resampling emits exact bucket timestamps and forward-fills by carrying
+the last non-null observation -- value-equal however the engine
+implements the carry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ewma(events: DataFrame, key_col: str = "user_id",
+         ts_col: str = "ts", value_col: str = "value",
+         alpha: float = 0.5) -> DataFrame:
+    """Exponentially-weighted moving average per key:
+    ``s_1 = x_1; s_t = alpha * x_t + (1 - alpha) * s_{t-1}`` over the
+    time-ascending series; returns the final smoothed level (the
+    streaming-forecast baseline).
+
+    The recursion is a sequential left fold, so it runs as ONE
+    ``collect_list`` (time-ordered via sort_array over (ts, value)
+    structs -- unique timestamps per key make the order total) + one
+    ``F.aggregate`` -- a single key-partitioned shuffle, all fold
+    arithmetic inside codegen.  Per-key state is the key's row list:
+    bounded by series length, the applyInPandas-free shape for
+    dimension-cardinality keys.  (For unbounded series, window it
+    first -- compose with tumbling_agg.)"""
+    pair = F.struct(F.col(ts_col).alias("t"),
+                    F.col(value_col).cast("double").alias("v"))
+    per_key = (events.groupBy(key_col)
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(pair)),
+                   lambda s: s["v"]).alias("__vals"),
+                   F.count(F.lit(1)).alias("n_obs")))
+    folded = F.aggregate(
+        F.slice(F.col("__vals"), 2,
+                F.greatest(F.size("__vals") - 1, F.lit(0))),
+        F.element_at(F.col("__vals"), 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc)
+    return per_key.select(key_col, "n_obs",
+                          folded.alias("ewma_value"))
+
+
+def resample_ffill(events: DataFrame, bucket: str = "1 hour",
+                   key_col: str = "user_id", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Gap-filled resampling (the hypertable / time_bucket_gapfill
+    shape): per key, one row per ``bucket`` between the key's first
+    and last observation; buckets with data carry that bucket's LAST
+    observation (by (ts, value) order), empty buckets forward-fill the
+    previous carried value.
+
+    Scale shape: the per-bucket last-observation collapse is a
+    map-side-combinable MAX of (ts, value) structs; the dense grid
+    comes from one ``sequence`` + explode per key (grid-sized, not
+    event-sized); the forward fill is one ``last(ignorenulls)`` window
+    per key ordered by bucket.  Everything shuffles on the key."""
+    b = F.window(ts_col, bucket)["start"]
+    per_bucket = (events
+                  .groupBy(key_col, b.alias("bucket"))
+                  .agg(F.max(F.struct(F.col(ts_col).alias("t"),
+                                      F.col(value_col).cast("double")
+                                      .alias("v"))
+                             ).alias("__last"),
+                       F.count(F.lit(1)).alias("n_events")))
+    span = (per_bucket.groupBy(key_col)
+            .agg(F.min("bucket").alias("__lo"),
+                 F.max("bucket").alias("__hi")))
+    grid = span.select(
+        key_col,
+        F.explode(F.sequence("__lo", "__hi",
+                             F.expr(f"INTERVAL {bucket}")))
+        .alias("bucket"))
+    joined = (grid.join(per_bucket, [key_col, "bucket"], "left")
+              .select(key_col, "bucket",
+                      F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                      F.col("__last.v").alias("__obs")))
+    w = (Window.partitionBy(key_col).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        key_col, "bucket", "n_events",
+        F.last("__obs", ignorenulls=True).over(w).alias("value_ffill"),
+        F.col("__obs").isNull().alias("is_gap"))

@@ -213,3 +213,65 @@ def st_topk_per_window(spark, sf):
     post-aggregate shuffle is window-count-sized, never event-sized."""
     from .streaming import windowed_topk
     return windowed_topk(read_table(spark, sf, "events"), "1 hour", k=3)
+
+
+@register("ts_ewma", """
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_obs,
+       list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ewma_value
+FROM ordered
+""")
+def ts_ewma(spark, sf):
+    """Exponential smoothing per user (alpha = 0.5): a sequential left
+    fold over the time-ordered series -- F.aggregate == list_reduce
+    bit for bit; one key-partitioned shuffle, fold inside codegen."""
+    from .operators.timeseries import ewma
+    return ewma(read_table(spark, sf, "events"), alpha=0.5)
+
+
+@register("ts_resample_ffill", """
+WITH ranked AS (
+  SELECT user_id,
+         time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(value AS DOUBLE) AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id,
+                        time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+           ORDER BY ts DESC, value DESC) AS rn,
+         COUNT(*) OVER (
+           PARTITION BY user_id,
+                        time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)))
+           AS n_events
+  FROM events
+),
+pb AS (SELECT user_id, bucket, v, n_events FROM ranked WHERE rn = 1),
+span AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+         FROM pb GROUP BY user_id),
+grid AS (SELECT user_id,
+                unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+         FROM span),
+j AS (SELECT g.user_id, g.bucket,
+             COALESCE(p.n_events, 0) AS n_events, p.v AS obs
+      FROM grid g LEFT JOIN pb p
+        ON g.user_id = p.user_id AND g.bucket = p.bucket),
+grp AS (SELECT *, COUNT(obs) OVER (PARTITION BY user_id ORDER BY bucket
+                                   ROWS UNBOUNDED PRECEDING) AS g
+        FROM j)
+SELECT user_id, bucket, n_events,
+       MAX(obs) OVER (PARTITION BY user_id, g) AS value_ffill,
+       obs IS NULL AS is_gap
+FROM grp
+""")
+def ts_resample_ffill(spark, sf):
+    """Gap-filled hourly resampling with forward fill (the
+    time_bucket_gapfill / hypertable shape): dense per-user grid from
+    one sequence+explode, last observation per bucket via struct MAX
+    (map-side combined), carry via one last(ignorenulls) window."""
+    from .operators.timeseries import resample_ffill
+    return resample_ffill(read_table(spark, sf, "events"),
+                          bucket="1 hour")

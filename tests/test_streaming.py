@@ -299,3 +299,36 @@ def test_windowed_topk_rank_and_tiebreak(spark):
            for r in windowed_topk(df, "1 hour", k=2)
            .orderBy("window_start", "rank").collect()]
     assert got == [(0, 1, "click"), (0, 2, "view"), (1, 1, "click")]
+
+
+def test_ewma_fold_and_single_obs(spark):
+    from graphdb_cia_factbook_spark.operators.timeseries import ewma
+    rows = [(1, "2024-01-01 00:00:00", 10.0),
+            (1, "2024-01-01 01:00:00", 20.0),
+            (1, "2024-01-01 02:00:00", 40.0),
+            (2, "2024-01-01 00:00:00", 7.0)]
+    df = spark.createDataFrame(rows, "user_id long, ts string, "
+                                     "value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    got = {r.user_id: r for r in ewma(df, alpha=0.5).collect()}
+    # s1=10, s2=0.5*20+0.5*10=15, s3=0.5*40+0.5*15=27.5
+    assert got[1].ewma_value == 27.5 and got[1].n_obs == 3
+    assert got[2].ewma_value == 7.0 and got[2].n_obs == 1
+
+
+def test_resample_ffill_carries_through_gaps(spark):
+    from graphdb_cia_factbook_spark.operators.timeseries import (
+        resample_ffill,
+    )
+    rows = [(1, "2024-01-01 00:10:00", 5.0),
+            (1, "2024-01-01 00:50:00", 6.0),   # same bucket, later wins
+            (1, "2024-01-01 03:20:00", 9.0)]   # 2 empty buckets between
+    df = spark.createDataFrame(rows, "user_id long, ts string, "
+                                     "value double") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    got = sorted(resample_ffill(df, "1 hour").collect(),
+                 key=lambda r: r.bucket)
+    assert len(got) == 4                       # 00,01,02,03
+    assert [r.value_ffill for r in got] == [6.0, 6.0, 6.0, 9.0]
+    assert [r.is_gap for r in got] == [False, True, True, False]
+    assert [r.n_events for r in got] == [2, 0, 0, 1]
