@@ -849,3 +849,70 @@ def g_diameter(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return graph_diameter(Graph(g.vertices, top3))
+
+
+_CONDENSATION_ROUNDS = 25
+
+
+def _condensation_sql(rounds: int) -> str:
+    """Generate the condensation oracle: the g_scc mutual-reachability
+    closure, component contraction, then ``rounds`` longest-path level
+    iterations (idempotent once converged -- exact while rounds >=
+    DAG depth, which the builder asserts via rounds >= |V|)."""
+    parts = [f"""WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_COST_CTE.lstrip()},
+e AS (SELECT src, dst FROM top3 WHERE src != dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc_id
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id
+),
+comps AS MATERIALIZED (
+  SELECT scc_id AS comp, COUNT(*) AS n_members FROM scc GROUP BY scc_id
+),
+cedges AS MATERIALIZED (
+  SELECT DISTINCT s1.scc_id AS csrc, s2.scc_id AS cdst
+  FROM e JOIN scc s1 ON e.src = s1.id JOIN scc s2 ON e.dst = s2.id
+  WHERE s1.scc_id != s2.scc_id
+),
+l0 AS (SELECT comp, 0 AS lvl FROM comps)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+l{r} AS MATERIALIZED (
+  SELECT c.comp, COALESCE(MAX(l.lvl + 1), 0) AS lvl
+  FROM comps c
+  LEFT JOIN cedges ce ON ce.cdst = c.comp
+  LEFT JOIN l{r - 1} l ON l.comp = ce.csrc
+  GROUP BY c.comp
+)""")
+    parts.append(f"""
+SELECT c.comp, c.n_members, l.lvl AS level
+FROM comps c JOIN l{rounds} l ON c.comp = l.comp""")
+    return "".join(parts)
+
+
+@register("g_condensation", _condensation_sql(_CONDENSATION_ROUNDS))
+def g_condensation(spark, sf):
+    """EXT graph algorithm: condensation DAG of the top-3-partner
+    digraph -- SCCs contracted to nodes with topological (longest-
+    path-from-source) levels: the supply-chain depth chart.  Oracle =
+    SCC closure + fixed-round level iteration (idempotent once
+    converged; exact while rounds >= |V| >= DAG depth, asserted)."""
+    from .operators.graph import Graph, condensation
+    g, top3 = _top3_cost(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts <= _CONDENSATION_ROUNDS, (
+        f"g_condensation oracle iterates {_CONDENSATION_ROUNDS} level "
+        f"rounds but the graph has {n_verts} vertices; raise "
+        "_CONDENSATION_ROUNDS to >= |V| or the oracle may stop before "
+        "the longest path converges")
+    return condensation(Graph(g.vertices, top3.select("src", "dst")))

@@ -329,3 +329,21 @@ def test_clustering_coefficient_triangle_plus_pendant(spark):
     assert rows["c"].clustering_coeff == pytest.approx(1.0)
     assert rows["a"].clustering_coeff == pytest.approx(1 / 3)
     assert rows["d"].clustering_coeff == 0.0 and rows["d"].degree == 1
+
+
+def test_condensation_levels_on_known_dag(spark):
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph,
+        condensation,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    # cycle {A,B} -> C -> D; E isolated
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C"), ("C", "D")],
+        "src string, dst string")
+    got = {r.comp: r for r in condensation(Graph(v, e)).collect()}
+    assert got["A"].n_members == 2          # {A,B} contracted, min id
+    assert got["A"].level == 0
+    assert got["C"].level == 1 and got["C"].n_members == 1
+    assert got["D"].level == 2
+    assert got["E"].level == 0 and got["E"].n_members == 1
