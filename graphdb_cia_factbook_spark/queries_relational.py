@@ -789,3 +789,47 @@ def udaf_weighted_median(spark, sf):
     li = read_table(spark, sf, "lineitem")
     return grouped_weighted_median(li, "l_returnflag",
                                    "l_extendedprice", "l_quantity")
+
+
+@register("agg_winsorized", """
+WITH cuts AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS p05,
+         quantile_cont(l_extendedprice, 0.95) AS p95
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag,
+       COUNT(*) AS n,
+       SUM(CASE WHEN l.l_extendedprice < c.p05
+                OR l.l_extendedprice > c.p95 THEN 1 ELSE 0 END)
+         AS n_clipped,
+       CAST(SUM(CAST(
+         CASE WHEN l.l_extendedprice < c.p05 THEN c.p05
+              WHEN l.l_extendedprice > c.p95 THEN c.p95
+              ELSE l.l_extendedprice END AS DECIMAL(27,6)))
+         AS DOUBLE) / COUNT(*) AS winsorized_mean
+FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def agg_winsorized(spark, sf):
+    """Winsorized mean per group: exact interpolated p05/p95 cuts
+    (broadcast back as a tiny dim) clip the tails before a
+    decimal-exact mean -- the outlier-robust aggregate monitoring
+    pipelines use where a plain mean follows one corrupt row.  Two
+    passes; the clip compares identical doubles on both engines."""
+    li = read_table(spark, sf, "lineitem").select("l_returnflag",
+                                                  "l_extendedprice")
+    cuts = (li.groupBy("l_returnflag")
+            .agg(F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+                 F.percentile("l_extendedprice", F.lit(0.95)).alias("p95")))
+    clipped = (F.when(F.col("l_extendedprice") < F.col("p05"), F.col("p05"))
+               .when(F.col("l_extendedprice") > F.col("p95"), F.col("p95"))
+               .otherwise(F.col("l_extendedprice")))
+    was_clipped = ((F.col("l_extendedprice") < F.col("p05"))
+                   | (F.col("l_extendedprice") > F.col("p95")))
+    return (li.join(F.broadcast(cuts), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(was_clipped.cast("int")).alias("n_clipped"),
+                 (F.sum(clipped.cast("decimal(27,6)")).cast("double")
+                  / F.count(F.lit(1))).alias("winsorized_mean")))
