@@ -366,3 +366,72 @@ def lang_confidence(df: DataFrame, id_col: str = "doc_id",
                         F.col("top_score") - F.col("second_score"))
             .withColumn("confident",
                         (F.col("margin") >= 2) & (F.col("top_score") >= 3)))
+
+
+def bpe_learn(docs: DataFrame, n_merges: int = 5,
+              text_col: str = "text") -> DataFrame:
+    """Learn byte-pair-encoding merges from a corpus -- the tokenizer-
+    TRAINING op of an LLM data pipeline (the runtime token counter
+    ``llm_bpe_token_count`` is its consumer).
+
+    Classic BPE on the word vocabulary: start from characters, then
+    ``n_merges`` times (1) count adjacent symbol pairs weighted by
+    word frequency, (2) take the most frequent pair (count desc, pair
+    asc tiebreak -- a total order), (3) fuse that pair everywhere via
+    a single boundary-safe literal replace (symbols stay
+    space-delimited, the pattern is space-padded so a merged symbol
+    can never match across its boundary; one left-to-right
+    non-overlapping pass per iteration, identical semantics on every
+    engine).
+
+    Everything stays in-plan: the argmax is a 1-row MIN over
+    ``struct(-count, pair)`` (no global window, no sort, no driver
+    collect) broadcast back onto the vocabulary.  Scale shape per
+    merge: one pair explode over the VOCABULARY (not the corpus -- the
+    corpus collapses to word counts once), one map-side-combined
+    count, one broadcast join.  Output: (step, pair, merged, cnt)."""
+    w = docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = (w.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .select("freq",
+                     F.concat(F.lit(" "),
+                              F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+                              F.lit(" ")).alias("sym"))
+             .localCheckpoint())
+
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("sym")), " ")
+        pairs_expr = F.expr(
+            "CASE WHEN size(__arr) >= 2 THEN "
+            "transform(sequence(1, size(__arr) - 1), "
+            "i -> concat(element_at(__arr, i), ' ', "
+            "element_at(__arr, i + 1))) "
+            "ELSE array() END")
+        pair_counts = (vocab.select("freq", arr.alias("__arr"))
+                       .select("freq", F.explode(pairs_expr).alias("pair"))
+                       .groupBy("pair")
+                       .agg(F.sum("freq").alias("cnt")))
+        best = (pair_counts
+                .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
+                                    F.col("pair"))).alias("b"))
+                .select(F.col("b.pair").alias("pair"),
+                        (-F.col("b.nc")).alias("cnt"))
+                .localCheckpoint())
+        merges.append(best.select(
+            F.lit(step).alias("step"), "pair",
+            F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+            "cnt"))
+        vocab = (vocab.crossJoin(F.broadcast(best))
+                 .select("freq", F.replace(
+                     F.col("sym"),
+                     F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                     F.concat(F.lit(" "),
+                              F.replace(F.col("pair"), F.lit(" "),
+                                        F.lit("")),
+                              F.lit(" "))).alias("sym"))
+                 .localCheckpoint())
+
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

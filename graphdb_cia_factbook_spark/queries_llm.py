@@ -1671,3 +1671,56 @@ def llm_semantic_dedup(spark, sf):
     from .operators.similarity import semantic_dedup
     return semantic_dedup(read_parallel(spark, sf, "embeddings"),
                           n_centroids=_IVF_K, lloyd_iters=_IVF_LLOYD)
+
+
+def _bpe_sql(n_merges: int) -> str:
+    """Generate the BPE-training oracle: one (pair-count -> argmax ->
+    boundary-safe replace) CTE stage per merge, mirroring
+    operators.text.bpe_learn exactly (space-padded literal replace,
+    count-desc / pair-asc tiebreak)."""
+    parts = [f"""WITH w AS (SELECT unnest({TOKS}) AS w FROM documents),
+v0 AS MATERIALIZED (
+  SELECT COUNT(*) AS freq,
+         ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
+  FROM w GROUP BY w
+)"""]
+    for s in range(1, n_merges + 1):
+        prev = f"v{s - 1}"
+        parts.append(f""",
+p{s} AS MATERIALIZED (
+  SELECT t.arr[i] || ' ' || t.arr[i + 1] AS pair, SUM(t.freq) AS cnt
+  FROM (SELECT freq, string_split(trim(sym), ' ') AS arr FROM {prev}) t,
+       unnest(range(1, len(t.arr))) AS u(i)
+  GROUP BY 1
+),
+b{s} AS MATERIALIZED (
+  SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair LIMIT 1
+),
+v{s} AS MATERIALIZED (
+  SELECT freq,
+         replace(sym, ' ' || (SELECT pair FROM b{s}) || ' ',
+                 ' ' || replace((SELECT pair FROM b{s}), ' ', '') || ' ')
+           AS sym
+  FROM {prev}
+)""")
+    selects = [f"SELECT {s} AS step, pair, "
+               f"replace(pair, ' ', '') AS merged, cnt FROM b{s}"
+               for s in range(1, n_merges + 1)]
+    parts.append("\n" + "\nUNION ALL\n".join(selects))
+    return "".join(parts)
+
+
+_BPE_MERGES = 5
+
+
+@register("llm_bpe_learn", _bpe_sql(_BPE_MERGES))
+def llm_bpe_learn(spark, sf):
+    """BPE tokenizer TRAINING: learn the first {n} merges from the
+    corpus vocabulary -- per merge one pair explode over the word
+    VOCABULARY (the corpus collapses to word counts once), a 1-row
+    struct-MIN argmax (no global sort), and a broadcast boundary-safe
+    literal replace.  Oracle replays every merge stage as generated
+    SQL.""".replace("{n}", str(_BPE_MERGES))
+    from .operators.text import bpe_learn
+    return bpe_learn(read_parallel(spark, sf, "documents"),
+                     n_merges=_BPE_MERGES)

@@ -658,3 +658,18 @@ def test_semantic_dedup_one_survivor_per_cluster(spark):
                                      if 0 in {q.vec_id for q in
                                               by_cluster[c]}][0]}
     assert x_cluster == {0, 2, 4}
+
+
+def test_bpe_learn_classic_corpus(spark):
+    """The canonical BPE example: merges must follow exact weighted
+    pair counts with count-desc / pair-asc tiebreaks."""
+    from graphdb_cia_factbook_spark.operators.text import bpe_learn
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r.step, r.pair, r.merged, r.cnt)
+           for r in bpe_learn(df, n_merges=3).orderBy("step").collect()]
+    # 'e s' (9, ties 's t' but sorts first) -> 'es t' (9) -> 'l o' (7)
+    assert got == [(1, "e s", "es", 9),
+                   (2, "es t", "est", 9),
+                   (3, "l o", "lo", 7)]
