@@ -411,8 +411,9 @@ def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
 
     Every document is cut into consecutive ``span``-token chunks; a
     chunk occurring in several places keeps only its GLOBALLY FIRST
-    occurrence (minimum ``doc_id * 1e6 + position`` -- an integer
-    total order, engine-exact).  Per document this returns how much of
+    occurrence (minimum ``doc_id * 1e9 + position`` -- an integer
+    total order, engine-exact; valid while docs stay under 1e9 spans
+    = 10 billion tokens and ids under ~9e9, both asserted).  Per document this returns how much of
     it was boilerplate (``dup_frac``) plus the surviving text with
     duplicated spans removed (``kept_text``).
 
@@ -432,7 +433,7 @@ def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
             .withColumn("__ns", ns)
             .select(id_col, F.posexplode(spans).alias("pos", "span_text"))
             .withColumn("okey",
-                        F.col(id_col) * 1_000_000 + F.col("pos")))
+                        F.col(id_col) * 1_000_000_000 + F.col("pos")))
     first = (rows.groupBy("span_text")
              .agg(F.min("okey").alias("first_okey")))
     marked = (rows.join(first, "span_text")

@@ -1402,7 +1402,7 @@ rows AS (
   SELECT doc_id, i - 1 AS pos,
          array_to_string(toks[(i - 1) * 10 + 1 : (i - 1) * 10 + 10], ' ')
            AS span_text,
-         doc_id * 1000000 + (i - 1) AS okey
+         doc_id * 1000000000 + (i - 1) AS okey
   FROM tk, unnest(range(1, ((len(toks) + 9) // 10) + 1)) AS u(i)
 ),
 first AS (
