@@ -435,3 +435,44 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5,
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_encode(docs: DataFrame, n_merges: int = 5,
+               id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Tokenize with a learned BPE table: run :func:`bpe_learn`, apply
+    its merges IN ORDER to the word vocabulary (the same space-padded
+    boundary-safe replaces the trainer used), and count the resulting
+    symbols per document -- the train->encode round trip that prices a
+    corpus in tokens under its own tokenizer.
+
+    Scale shape: merges pivot to ONE broadcast row whose columns chain
+    ``n_merges`` literal replaces inside codegen over the vocabulary
+    (corpus-collapsed once); token counts then join back to the
+    (doc, word) stream on the word key.  Output: (doc_id, n_words,
+    bpe_tokens)."""
+    merges = bpe_learn(docs, n_merges, text_col)
+    mrow = (merges.select("step", "pair").groupBy()
+            .pivot("step", list(range(1, n_merges + 1)))
+            .agg(F.first("pair")))
+
+    dw = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("w"))
+    vocab = (dw.select("w").distinct()
+             .select("w",
+                     F.concat(F.lit(" "),
+                              F.trim(F.regexp_replace("w", "(.)", "$1 ")),
+                              F.lit(" ")).alias("sym"))
+             .crossJoin(F.broadcast(mrow)))
+    sym = F.col("sym")
+    for k in range(1, n_merges + 1):
+        pair = F.col(str(k))
+        sym = F.replace(
+            sym, F.concat(F.lit(" "), pair, F.lit(" ")),
+            F.concat(F.lit(" "), F.replace(pair, F.lit(" "), F.lit("")),
+                     F.lit(" ")))
+    per_word = vocab.select(
+        "w", F.size(F.split(F.trim(sym), " ")).alias("n_sym"))
+    return (dw.join(per_word, "w")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum("n_sym").alias("bpe_tokens")))

@@ -1673,14 +1673,16 @@ def llm_semantic_dedup(spark, sf):
                           n_centroids=_IVF_K, lloyd_iters=_IVF_LLOYD)
 
 
-def _bpe_sql(n_merges: int) -> str:
+def _bpe_sql(n_merges: int, mode: str = "learn") -> str:
     """Generate the BPE-training oracle: one (pair-count -> argmax ->
     boundary-safe replace) CTE stage per merge, mirroring
     operators.text.bpe_learn exactly (space-padded literal replace,
-    count-desc / pair-asc tiebreak)."""
+    count-desc / pair-asc tiebreak).  ``mode='encode'`` appends the
+    per-doc symbol-count tail (bpe_encode) instead of the merge
+    table."""
     parts = [f"""WITH w AS (SELECT unnest({TOKS}) AS w FROM documents),
 v0 AS MATERIALIZED (
-  SELECT COUNT(*) AS freq,
+  SELECT w, COUNT(*) AS freq,
          ' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS sym
   FROM w GROUP BY w
 )"""]
@@ -1697,12 +1699,20 @@ b{s} AS MATERIALIZED (
   SELECT pair, cnt FROM p{s} ORDER BY cnt DESC, pair LIMIT 1
 ),
 v{s} AS MATERIALIZED (
-  SELECT freq,
+  SELECT w, freq,
          replace(sym, ' ' || (SELECT pair FROM b{s}) || ' ',
                  ' ' || replace((SELECT pair FROM b{s}), ' ', '') || ' ')
            AS sym
   FROM {prev}
 )""")
+    if mode == "encode":
+        parts.append(f""",
+dw AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
+ns AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sym
+       FROM v{n_merges})
+SELECT d.doc_id, COUNT(*) AS n_words, SUM(n.n_sym) AS bpe_tokens
+FROM dw d JOIN ns n ON d.w = n.w GROUP BY d.doc_id""")
+        return "".join(parts)
     selects = [f"SELECT {s} AS step, pair, "
                f"replace(pair, ' ', '') AS merged, cnt FROM b{s}"
                for s in range(1, n_merges + 1)]
@@ -1724,3 +1734,14 @@ def llm_bpe_learn(spark, sf):
     from .operators.text import bpe_learn
     return bpe_learn(read_parallel(spark, sf, "documents"),
                      n_merges=_BPE_MERGES)
+
+
+@register("llm_bpe_encode", _bpe_sql(_BPE_MERGES, mode="encode"))
+def llm_bpe_encode(spark, sf):
+    """BPE train->encode round trip: apply the learned merges (in
+    order, as one broadcast row chaining literal replaces over the
+    vocabulary) and price every document in its own tokenizer's
+    tokens."""
+    from .operators.text import bpe_encode
+    return bpe_encode(read_parallel(spark, sf, "documents"),
+                      n_merges=_BPE_MERGES)

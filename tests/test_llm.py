@@ -673,3 +673,17 @@ def test_bpe_learn_classic_corpus(spark):
     assert got == [(1, "e s", "es", 9),
                    (2, "es t", "est", 9),
                    (3, "l o", "lo", 7)]
+
+
+def test_bpe_encode_counts_merged_symbols(spark):
+    from graphdb_cia_factbook_spark.operators.text import bpe_encode
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text), (2, "newest")],
+                               "doc_id long, text string")
+    got = {r.doc_id: r for r in bpe_encode(df, n_merges=3).collect()}
+    # corpus counts (newest x7 with doc 2): merges = es, est, ew
+    # newest -> n ew est (3 symbols)
+    assert got[2].bpe_tokens == 3 and got[2].n_words == 1
+    # doc 1: low=3*5, lower=5*2, newest=3*6, widest=(w i d est)=4*3
+    assert got[1].bpe_tokens == 3 * 5 + 5 * 2 + 3 * 6 + 4 * 3
