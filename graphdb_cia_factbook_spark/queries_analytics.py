@@ -302,3 +302,85 @@ def anomaly_zscore(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.sum(F.when(F.abs(z) > 3, 1).otherwise(0))
                  .alias("n_outliers")))
+
+
+@register("er_golden_record", """
+WITH RECURSIVE dirty AS (
+  SELECT c_custkey AS rid, c_name AS name, c_acctbal AS acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000 AS rid, c_name || '~' AS name, 0.0
+  FROM customer WHERE c_custkey % 10 = 0
+),
+blocked AS (SELECT rid, name, acctbal, substr(name, 10, 8) AS blk
+            FROM dirty),
+pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b
+  FROM blocked a JOIN blocked b
+    ON a.blk = b.blk AND a.rid < b.rid
+  WHERE levenshtein(a.name, b.name) <= 1
+    AND length(a.name) <> length(b.name)
+),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+),
+comp AS (SELECT a AS rid, MIN(b) AS cluster_id FROM reach GROUP BY a),
+resolved AS (
+  SELECT d.rid, d.name, d.acctbal,
+         COALESCE(c.cluster_id, d.rid) AS cluster_id
+  FROM dirty d LEFT JOIN comp c ON c.rid = d.rid
+)
+SELECT r.cluster_id,
+       COUNT(*) AS n_members,
+       MIN(CASE WHEN r.rid = r.cluster_id THEN r.name END)
+         AS canonical_name,
+       CAST(SUM(CAST(r.acctbal AS DECIMAL(27,4))) AS DOUBLE)
+         AS total_acctbal
+FROM resolved r
+GROUP BY r.cluster_id
+""")
+def er_golden_record(spark, sf):
+    """Entity resolution end to end: plant deterministic dirty
+    variants (every 10th customer re-enters with a '~'-suffixed name),
+    BLOCK on a name substring so the pair space is per-block bounded
+    (never corpus x corpus), match with edit-distance <= 1 plus a
+    length-differs guard (so equally-long sibling customers never
+    merge), resolve transitive clusters on the pair graph only
+    (reusing the fuzzy-dedup component machinery), and emit one GOLDEN
+    RECORD per cluster -- canonical (min-id) name with decimal-exact
+    merged balances.  The master-data shape every warehouse dedup
+    ships: blocking -> match -> cluster -> survivorship."""
+    from .operators.dedup import dedup_clusters
+    from .operators.relational import dsum
+    cust = read_table(spark, sf, "customer")
+    base = cust.select(F.col("c_custkey").alias("rid"),
+                       F.col("c_name").alias("name"),
+                       F.col("c_acctbal").alias("acctbal"))
+    planted = (cust.where(F.col("c_custkey") % 10 == 0)
+               .select((F.col("c_custkey") + 10_000_000).alias("rid"),
+                       F.concat(F.col("c_name"), F.lit("~")).alias("name"),
+                       F.lit(0.0).alias("acctbal")))
+    dirty = base.unionByName(planted)
+    blocked = dirty.withColumn("blk", F.substring("name", 10, 8))
+    a = blocked.select(F.col("rid").alias("id_a"),
+                       F.col("name").alias("__na"), "blk")
+    b = blocked.select(F.col("rid").alias("id_b"),
+                       F.col("name").alias("__nb"), "blk")
+    pairs = (a.join(b, "blk")
+             .where((F.col("id_a") < F.col("id_b"))
+                    & (F.length("__na") != F.length("__nb"))
+                    & (F.levenshtein("__na", "__nb") <= 1))
+             .select("id_a", "id_b"))
+    clusters = dedup_clusters(dirty.select(F.col("rid").alias("doc_id")),
+                              pairs, id_col="doc_id")
+    resolved = (dirty.join(clusters.select(F.col("doc_id").alias("rid"),
+                                           "cluster_id"), "rid"))
+    return (resolved.groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.min(F.when(F.col("rid") == F.col("cluster_id"),
+                              F.col("name"))).alias("canonical_name"),
+                 dsum("acctbal").alias("total_acctbal")))
