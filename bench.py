@@ -44,6 +44,8 @@ HEADLINE = [
     "llm_tfidf",             # TF-IDF keyword extraction
     "st_tumbling",           # event-time tumbling windows
     "st_session",            # session windows
+    "llm_span_dedup",        # span-level exact dedup (C4 line-dedup pass)
+    "ts_ewma",               # sequential-fold exponential smoothing
 ]
 
 

@@ -384,3 +384,41 @@ def er_golden_record(spark, sf):
                  F.min(F.when(F.col("rid") == F.col("cluster_id"),
                               F.col("name"))).alias("canonical_name"),
                  dsum("acctbal").alias("total_acctbal")))
+
+
+@register("dq_skew", """
+WITH per_key AS (
+  SELECT o_custkey AS key, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_n
+  FROM per_key
+)
+SELECT p.key, p.n,
+       CAST(p.n AS DOUBLE) / s.n_rows AS share,
+       CAST(p.n AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+FROM per_key p, stats s
+ORDER BY p.n DESC, p.key
+LIMIT 10
+""")
+def dq_skew(spark, sf):
+    """Join/groupBy skew audit: the top-10 heaviest keys with their
+    share of rows and skew ratio (key size over the uniform
+    expectation) -- the pre-flight check that decides whether a join
+    needs salting or AQE skew split before it runs at 100 TB.  One
+    map-side-combined count + a 1-row stats broadcast + a bounded
+    top-k."""
+    orders = read_table(spark, sf, "orders").select("o_custkey")
+    per_key = (orders.groupBy(F.col("o_custkey").alias("key"))
+               .agg(F.count(F.lit(1)).alias("n")))
+    stats = per_key.agg(F.count(F.lit(1)).alias("n_keys"),
+                        F.sum("n").alias("n_rows"))
+    return (per_key.crossJoin(F.broadcast(stats))
+            .select("key", "n",
+                    (F.col("n").cast("double")
+                     / F.col("n_rows").cast("double")).alias("share"),
+                    (F.col("n").cast("double") * F.col("n_keys")
+                     / F.col("n_rows").cast("double")).alias("skew_ratio"))
+            .orderBy(F.desc("n"), F.asc("key"))
+            .limit(10))
