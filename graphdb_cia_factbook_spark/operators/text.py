@@ -411,24 +411,31 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5,
                        .select("freq", F.explode(pairs_expr).alias("pair"))
                        .groupBy("pair")
                        .agg(F.sum("freq").alias("cnt")))
+        # the aggregate always yields one row; on an exhausted corpus
+        # (< n_merges distinct pairs) its pair is NULL -- filter it so
+        # the merge table matches the oracle's empty LIMIT-1 stage,
+        # and no-op the vocabulary update instead of NULLing every sym
         best = (pair_counts
                 .agg(F.min(F.struct((-F.col("cnt")).alias("nc"),
                                     F.col("pair"))).alias("b"))
                 .select(F.col("b.pair").alias("pair"),
                         (-F.col("b.nc")).alias("cnt"))
+                .where(F.col("pair").isNotNull())
                 .localCheckpoint())
         merges.append(best.select(
             F.lit(step).alias("step"), "pair",
             F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
             "cnt"))
-        vocab = (vocab.crossJoin(F.broadcast(best))
-                 .select("freq", F.replace(
-                     F.col("sym"),
-                     F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
-                     F.concat(F.lit(" "),
-                              F.replace(F.col("pair"), F.lit(" "),
-                                        F.lit("")),
-                              F.lit(" "))).alias("sym"))
+        merged_sym = F.replace(
+            F.col("sym"),
+            F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+            F.concat(F.lit(" "),
+                     F.replace(F.col("pair"), F.lit(" "), F.lit("")),
+                     F.lit(" ")))
+        vocab = (vocab.join(F.broadcast(best), F.lit(True), "left")
+                 .select("freq",
+                         F.when(F.col("pair").isNull(), F.col("sym"))
+                         .otherwise(merged_sym).alias("sym"))
                  .localCheckpoint())
 
     out = merges[0]
@@ -465,11 +472,13 @@ def bpe_encode(docs: DataFrame, n_merges: int = 5,
              .crossJoin(F.broadcast(mrow)))
     sym = F.col("sym")
     for k in range(1, n_merges + 1):
+        # a pivot column is NULL when the trainer exhausted the corpus
+        # before step k -- skip that replace instead of NULLing the sym
         pair = F.col(str(k))
-        sym = F.replace(
+        sym = F.when(pair.isNull(), sym).otherwise(F.replace(
             sym, F.concat(F.lit(" "), pair, F.lit(" ")),
             F.concat(F.lit(" "), F.replace(pair, F.lit(" "), F.lit("")),
-                     F.lit(" ")))
+                     F.lit(" "))))
     per_word = vocab.select(
         "w", F.size(F.split(F.trim(sym), " ")).alias("n_sym"))
     return (dw.join(per_word, "w")

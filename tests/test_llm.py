@@ -687,3 +687,19 @@ def test_bpe_encode_counts_merged_symbols(spark):
     assert got[2].bpe_tokens == 3 and got[2].n_words == 1
     # doc 1: low=3*5, lower=5*2, newest=3*6, widest=(w i d est)=4*3
     assert got[1].bpe_tokens == 3 * 5 + 5 * 2 + 3 * 6 + 4 * 3
+
+
+def test_bpe_learn_exhausted_corpus(spark):
+    """Fewer distinct pairs than requested merges: the merge table
+    must contain only real merges (no NULL rows) and encoding must
+    still work."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        bpe_encode,
+        bpe_learn,
+    )
+    df = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    merges = bpe_learn(df, n_merges=4).collect()
+    assert len(merges) == 1                      # only 'a b' exists
+    assert merges[0].pair == "a b" and merges[0].cnt == 2
+    enc = bpe_encode(df, n_merges=4).collect()
+    assert enc[0].bpe_tokens == 2                # two 'ab' symbols
