@@ -422,3 +422,52 @@ def dq_skew(spark, sf):
                      / F.col("n_rows").cast("double")).alias("skew_ratio"))
             .orderBy(F.desc("n"), F.asc("key"))
             .limit(10))
+
+
+@register("attribution_last_touch", """
+WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id,
+         c.event_id AS click_id,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p JOIN c ON p.user_id = c.user_id
+               AND c.ts <= p.ts
+               AND c.ts >= p.ts - INTERVAL 1 HOUR
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       p.ts AS purchase_ts,
+       j.click_id AS attributed_click_id,
+       j.click_id IS NOT NULL AS attributed
+FROM p LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+  ON p.event_id = j.purchase_id
+""")
+def attribution_last_touch(spark, sf):
+    """Last-touch attribution: each purchase credits the user's most
+    recent click within a 1-hour lookback.  Composes the scalable
+    as-of join (union trick -- ONE key shuffle, no per-row range
+    probe) with a lookback filter; purchases with no in-window click
+    stay unattributed.  The oracle takes the O(pairs) range-join path
+    -- same answer, the plan the as-of join exists to avoid."""
+    from .operators.relational import asof_join
+    ev = read_table(spark, sf, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.col("ts").alias("click_ts"),
+                      F.col("event_id").alias("click_id")))
+    j = asof_join(purchases, clicks, "user_id", "ts",
+                  ["click_ts", "click_id"])
+    attributed = (F.col("asof_click_ts").isNotNull()
+                  & (F.col("asof_click_ts")
+                     >= F.col("ts") - F.expr("INTERVAL 1 HOUR")))
+    return j.select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(attributed, F.col("asof_click_id"))
+        .alias("attributed_click_id"),
+        attributed.alias("attributed"))
