@@ -908,3 +908,51 @@ def condensation(graph: Graph, max_iter: int = 50) -> DataFrame:
             break
     return (comps.join(levels, "comp")
             .select("comp", "n_members", "level"))
+
+
+def random_walks(graph: Graph, length: int = 4) -> DataFrame:
+    """Deterministic random-walk corpus: one walk per vertex, up to
+    ``length`` steps -- the sequence generator feeding node-embedding
+    training (DeepWalk/node2vec's data-prep stage).  The "random"
+    next-step choice is a keyed md5 coin: at step k the walk picks
+    out-neighbor rank ``md5(walk_id:k) mod out_degree`` over the
+    dst-ascending neighbor order -- fully replayable, engine-exact
+    (the same md5-coin rationale as sampling.stratified_sample), no
+    seed state to ship.  Dead-end walks stop and keep their path.
+
+    Scale shape per step: one equi-join of the walk frontier against
+    the stationary edge table + one per-walk window over that walk's
+    candidate set (out-degree-sized partitions).  Walk state is one
+    row per walk; paths grow as strings (bounded by length).
+
+    Output: (walk_id, path, end_id, n_steps)."""
+    edges = (graph.edges.select("src", "dst").distinct()
+             .localCheckpoint())
+    walks = (graph.vertices
+             .select(F.col("id").alias("walk_id"),
+                     F.col("id").alias("cur"),
+                     F.col("id").alias("path"),
+                     F.lit(0).alias("n_steps")))
+    w = Window.partitionBy("walk_id").orderBy("dst")
+    for step in range(1, length + 1):
+        cand = (walks.join(edges, walks.cur == edges.src)
+                .withColumn("__rn", F.row_number().over(w) - 1)
+                .withColumn("__n", F.count(F.lit(1)).over(
+                    Window.partitionBy("walk_id"))))
+        coin = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("walk_id"), F.lit(f":{step}"))),
+                1, 7), 16, 10).cast("long"),
+            F.col("__n"))
+        stepped = (cand.where(F.col("__rn") == coin)
+                   .select("walk_id",
+                           F.col("dst").alias("cur"),
+                           F.concat("path", F.lit(">"), "dst")
+                           .alias("path"),
+                           (F.col("n_steps") + 1).alias("n_steps")))
+        stuck = (walks.join(edges.select(F.col("src").alias("cur"))
+                            .distinct(), "cur", "left_anti")
+                 .select("walk_id", "cur", "path", "n_steps"))
+        walks = stepped.unionByName(stuck).localCheckpoint()
+    return walks.select("walk_id", "path",
+                        F.col("cur").alias("end_id"), "n_steps")

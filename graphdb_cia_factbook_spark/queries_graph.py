@@ -916,3 +916,61 @@ def g_condensation(spark, sf):
         "_CONDENSATION_ROUNDS to >= |V| or the oracle may stop before "
         "the longest path converges")
     return condensation(Graph(g.vertices, top3.select("src", "dst")))
+
+
+def _walks_sql(length: int) -> str:
+    """Generate the random-walk oracle: one (candidate-rank -> md5-coin
+    pick + dead-end carry) CTE pair per step, mirroring
+    operators.graph.random_walks exactly."""
+    parts = [f"""WITH {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+w0 AS (SELECT id AS walk_id, id AS cur, id AS path, 0 AS n_steps
+       FROM verts)"""]
+    for k in range(1, length + 1):
+        prev = f"w{k - 1}"
+        parts.append(f""",
+s{k} AS (
+  SELECT w.walk_id, w.path, w.n_steps, e.dst,
+         ROW_NUMBER() OVER (PARTITION BY w.walk_id ORDER BY e.dst) - 1
+           AS rn,
+         COUNT(*) OVER (PARTITION BY w.walk_id) AS n
+  FROM {prev} w JOIN top3 e ON e.src = w.cur
+),
+w{k} AS (
+  SELECT walk_id, dst AS cur, path || '>' || dst AS path,
+         n_steps + 1 AS n_steps
+  FROM s{k}
+  WHERE rn = ('0x' || substr(md5(walk_id || ':{k}'), 1, 7))::BIGINT % n
+  UNION ALL
+  SELECT w.walk_id, w.cur, w.path, w.n_steps FROM {prev} w
+  WHERE NOT EXISTS (SELECT 1 FROM top3 e WHERE e.src = w.cur)
+)""")
+    parts.append(f"""
+SELECT walk_id, path, cur AS end_id, n_steps FROM w{length}""")
+    return "".join(parts)
+
+
+_WALK_LEN = 4
+
+
+@register("g_random_walks", _walks_sql(_WALK_LEN))
+def g_random_walks(spark, sf):
+    """EXT graph -> training-data op: deterministic random walks over
+    the top-3-partner digraph (one walk per vertex, {n} steps), next
+    hop chosen by a replayable md5 coin over the dst-ordered neighbor
+    rank -- the DeepWalk/node2vec sequence-generation stage with zero
+    seed state.  Oracle replays every step as generated SQL.""" \
+        .replace("{n}", str(_WALK_LEN))
+    from .operators.graph import Graph, random_walks
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return random_walks(Graph(g.vertices, top3), length=_WALK_LEN)

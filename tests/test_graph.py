@@ -347,3 +347,21 @@ def test_condensation_levels_on_known_dag(spark):
     assert got["C"].level == 1 and got["C"].n_members == 1
     assert got["D"].level == 2
     assert got["E"].level == 0 and got["E"].n_members == 1
+
+
+def test_random_walks_forced_path_and_dead_end(spark):
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph,
+        random_walks,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    # out-degree 1 everywhere reachable: any coin walks the chain;
+    # C is a dead end, D isolated
+    e = spark.createDataFrame([("A", "B"), ("B", "C")],
+                              "src string, dst string")
+    got = {r.walk_id: r for r in
+           random_walks(Graph(v, e), length=4).collect()}
+    assert got["A"].path == "A>B>C" and got["A"].n_steps == 2
+    assert got["A"].end_id == "C"
+    assert got["B"].path == "B>C" and got["C"].path == "C"
+    assert got["D"].path == "D" and got["D"].n_steps == 0
