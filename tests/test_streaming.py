@@ -332,3 +332,42 @@ def test_resample_ffill_carries_through_gaps(spark):
     assert [r.value_ffill for r in got] == [6.0, 6.0, 6.0, 9.0]
     assert [r.is_gap for r in got] == [False, True, True, False]
     assert [r.n_events for r in got] == [2, 0, 0, 1]
+
+
+def test_windowed_topk_streaming_foreachbatch(spark, tmp_path,
+                                              batch_events):
+    """The deployment path windowed_topk documents: incremental
+    windowed aggregate under readStream + watermark, rank applied in
+    foreachBatch over CLOSED (append-mode) windows.  Every emitted
+    window's top-k must equal the batch answer for that window."""
+    from graphdb_cia_factbook_spark.streaming import (
+        stream_events_dir,
+        tumbling_agg,
+        windowed_topk,
+        with_watermark,
+    )
+    src = _split_events_files(tmp_path)
+    out = str(tmp_path / "topk_sink")
+    stream = stream_events_dir(spark, src, SF, max_files_per_trigger=1)
+    sdf = tumbling_agg(with_watermark(stream, "10 minutes"))
+
+    def rank_sink(batch_df, batch_id):
+        from pyspark.sql import Window as W
+        w = W.partitionBy("window_start").orderBy(
+            F.desc("total_value"), F.asc("event_type"))
+        (batch_df.withColumn("rank", F.row_number().over(w))
+         .where(F.col("rank") <= 3)
+         .write.mode("append").parquet(out))
+
+    q = (sdf.writeStream.foreachBatch(rank_sink)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    want = {(r.window_start, r.rank): (r.event_type, r.n_events)
+            for r in windowed_topk(batch_events, "1 hour", 3).collect()}
+    emitted = got.collect()
+    assert emitted, "no closed windows emitted"
+    for r in emitted:
+        assert want[(r.window_start, r.rank)] == (r.event_type,
+                                                  r.n_events)
