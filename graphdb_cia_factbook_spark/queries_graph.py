@@ -974,3 +974,47 @@ def g_random_walks(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return random_walks(Graph(g.vertices, top3), length=_WALK_LEN)
+
+
+@register("g_skipgram_pairs", _walks_sql(_WALK_LEN).replace(
+    f"\nSELECT walk_id, path, cur AS end_id, n_steps FROM w{_WALK_LEN}",
+    f""",
+toks AS (
+  SELECT walk_id, string_split(path, '>') AS arr FROM w{_WALK_LEN}
+),
+pos AS (
+  SELECT walk_id, arr[i] AS center, i, len(arr) AS n
+  FROM toks, unnest(range(1, len(arr) + 1)) AS u(i)
+)
+SELECT p.walk_id, p.center, p.i AS center_pos,
+       p2.arr[j] AS context, j - p.i AS offset
+FROM pos p
+JOIN toks p2 ON p.walk_id = p2.walk_id,
+     unnest(range(1, len(p2.arr) + 1)) AS v(j)
+WHERE abs(j - p.i) BETWEEN 1 AND 2"""))
+def g_skipgram_pairs(spark, sf):
+    """Skip-gram training pairs from the walk corpus (window 2): the
+    final DeepWalk data-prep stage -- each walk explodes to (center,
+    context, offset) rows ready for embedding training.  Pure array
+    ops over the walk table; pair volume is walks x length x window,
+    never graph-squared."""
+    from .operators.graph import Graph, random_walks
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    walks = random_walks(Graph(g.vertices, top3), length=_WALK_LEN)
+    toks = walks.select("walk_id", F.split("path", ">").alias("arr"))
+    center = toks.select(
+        "walk_id", "arr",
+        F.posexplode("arr").alias("i0", "center")) \
+        .select("walk_id", "arr", "center",
+                (F.col("i0") + 1).alias("center_pos"))
+    ctx = center.select(
+        "walk_id", "center", "center_pos",
+        F.posexplode("arr").alias("j0", "context")) \
+        .select("walk_id", "center", "center_pos", "context",
+                (F.col("j0") + 1 - F.col("center_pos")).alias("offset"))
+    return (ctx.where(F.abs("offset").between(1, 2))
+            .select("walk_id", "center", "center_pos", "context",
+                    "offset"))

@@ -1745,3 +1745,40 @@ def llm_bpe_encode(spark, sf):
     from .operators.text import bpe_encode
     return bpe_encode(read_parallel(spark, sf, "documents"),
                       n_merges=_BPE_MERGES)
+
+
+@register("llm_negative_sampling", f"""
+WITH tok AS (SELECT unnest({TOKS}) AS tok FROM documents),
+freqs AS (SELECT tok, COUNT(*) AS freq FROM tok GROUP BY tok),
+scored AS (
+  SELECT tok, freq,
+         CAST(round(sqrt(CAST(freq AS DOUBLE)
+                         * sqrt(CAST(freq AS DOUBLE))), 6)
+              AS DECIMAL(18,6)) AS w
+  FROM freqs
+),
+total AS (SELECT SUM(w) AS total_w FROM scored)
+SELECT s.tok, s.freq,
+       CAST(s.w AS DOUBLE) / CAST(t.total_w AS DOUBLE) AS sample_prob
+FROM scored s, total t
+""")
+def llm_negative_sampling(spark, sf):
+    """word2vec negative-sampling table: per-token probability
+    proportional to freq^0.75, computed as sqrt(freq * sqrt(freq)) --
+    two correctly-rounded IEEE sqrts and one multiply, so the exponent
+    0.75 stays engine-exact where pow() would not; normalization is
+    decimal-summed like the mixture weights.  One token-keyed count,
+    one 1-row broadcast."""
+    from .operators.text import tokens
+    tok = (read_parallel(spark, sf, "documents")
+           .select(F.explode(tokens(F.col("text"))).alias("tok")))
+    freqs = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    fd = F.col("freq").cast("double")
+    w = (F.round(F.sqrt(fd * F.sqrt(fd)), 6).cast("decimal(18,6)"))
+    scored = freqs.withColumn("__w", w)
+    total = scored.agg(F.sum("__w").alias("__total"))
+    return (scored.crossJoin(F.broadcast(total))
+            .select("tok", "freq",
+                    (F.col("__w").cast("double")
+                     / F.col("__total").cast("double"))
+                    .alias("sample_prob")))
