@@ -833,3 +833,47 @@ def agg_winsorized(spark, sf):
                  F.sum(was_clipped.cast("int")).alias("n_clipped"),
                  (F.sum(clipped.cast("decimal(27,6)")).cast("double")
                   / F.count(F.lit(1))).alias("winsorized_mean")))
+
+
+@register("s4_merge_into", """
+WITH delta AS (
+  SELECT c_custkey, c_name, c_acctbal + 1000.0 AS c_acctbal,
+         c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 5 = 0
+  UNION ALL
+  SELECT c_custkey + 2000000, 'NEW#' || c_custkey, 0.0,
+         c_nationkey, c_mktsegment
+  FROM customer WHERE c_custkey % 100 = 0
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       COALESCE(t.c_name, s.c_name) AS c_name,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+            ELSE t.c_acctbal END AS c_acctbal,
+       COALESCE(t.c_nationkey, s.c_nationkey) AS c_nationkey,
+       COALESCE(t.c_mktsegment, s.c_mktsegment) AS c_mktsegment,
+       CASE WHEN t.c_custkey IS NOT NULL AND s.c_custkey IS NOT NULL
+            THEN 'update'
+            WHEN s.c_custkey IS NOT NULL THEN 'insert'
+            ELSE 'keep' END AS merge_action
+FROM customer t FULL OUTER JOIN delta s ON t.c_custkey = s.c_custkey
+""")
+def s4_merge_into(spark, sf):
+    """S4 generalized to the MERGE INTO statement: a deterministic
+    delta (every 5th customer re-priced, every 100th re-keyed as new)
+    merges into the customer table -- matched rows update acctbal,
+    unmatched source rows insert, the rest pass through, every row
+    tagged with its action.  One full-outer key join; the lakehouse
+    upsert the reference's per-row Cypher MERGE becomes at scale."""
+    from .sources import merge_into
+    cust = read_table(spark, sf, "customer")
+    delta = (cust.where(F.col("c_custkey") % 5 == 0)
+             .withColumn("c_acctbal", F.col("c_acctbal") + 1000.0)
+             .unionByName(
+                 cust.where(F.col("c_custkey") % 100 == 0)
+                 .select((F.col("c_custkey") + 2_000_000)
+                         .alias("c_custkey"),
+                         F.concat(F.lit("NEW#"), F.col("c_custkey"))
+                         .alias("c_name"),
+                         F.lit(0.0).alias("c_acctbal"),
+                         "c_nationkey", "c_mktsegment")))
+    return merge_into(cust, delta, "c_custkey", ["c_acctbal"])

@@ -125,3 +125,36 @@ def merge_upsert_by_key(df: DataFrame, key: Sequence[str],
     w = Window.partitionBy(*key).orderBy(*order)
     return (df.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def merge_into(target: DataFrame, source: DataFrame, key: str,
+               update_cols: Sequence[str]) -> DataFrame:
+    """S4 generalized: the MERGE INTO statement as a DataFrame op --
+    WHEN MATCHED update ``update_cols`` from the source, WHEN NOT
+    MATCHED insert the source row, target-only rows pass through.
+    Each output row carries its ``merge_action``
+    ('update'/'insert'/'keep') for sink-side audit.
+
+    This is the column-level sibling of :func:`merge_upsert_by_key`
+    (which realizes the reference's whole-row latest-wins MERGE,
+    preprocess_upload_neo4j.py:237-255): ONE full-outer equi-join on
+    the key -- a single shuffle of both sides; at 100 TB the target
+    side prunes to touched partitions first (partition-predicate
+    pushdown), which is exactly how lakehouse MERGE executes."""
+    t = target.alias("t")
+    s = source.alias("s")
+    tk, sk = F.col(f"t.{key}"), F.col(f"s.{key}")
+    matched = tk.isNotNull() & sk.isNotNull()
+    cols = [F.coalesce(tk, sk).alias(key)]
+    for c in target.columns:
+        if c == key:
+            continue
+        tc, sc = F.col(f"t.{c}"), F.col(f"s.{c}")
+        if c in update_cols:
+            cols.append(F.when(sk.isNotNull(), sc).otherwise(tc).alias(c))
+        else:
+            cols.append(F.coalesce(tc, sc).alias(c))
+    action = (F.when(matched, "update")
+              .when(sk.isNotNull(), "insert").otherwise("keep"))
+    return (t.join(s, tk == sk, "full_outer")
+            .select(*cols, action.alias("merge_action")))

@@ -126,3 +126,17 @@ def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
                        str(64 * 1024 * 1024))
         spark.sql(f"DROP TABLE IF EXISTS orders_b_{suffix}")
         spark.sql(f"DROP TABLE IF EXISTS lineitem_b_{suffix}")
+
+
+def test_merge_into_actions(spark):
+    from graphdb_cia_factbook_spark.sources import merge_into
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k long, name string, v double")
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", 30.0)], "k long, name string, v double")
+    got = {r.k: r for r in
+           merge_into(target, source, "k", ["v"]).collect()}
+    assert got[1].merge_action == "keep" and got[1].v == 10.0
+    assert got[2].merge_action == "update" and got[2].v == 99.0
+    assert got[2].name == "b"            # non-update col keeps target
+    assert got[3].merge_action == "insert" and got[3].name == "c"
