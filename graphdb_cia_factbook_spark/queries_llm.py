@@ -1782,3 +1782,35 @@ def llm_negative_sampling(spark, sf):
                     (F.col("__w").cast("double")
                      / F.col("__total").cast("double"))
                     .alias("sample_prob")))
+
+
+@register("llm_train_val_test", """
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                   1, 4))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'),
+                                   1, 4))::BIGINT % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, COUNT(*) AS n_docs
+FROM assigned GROUP BY source, split
+""")
+def llm_train_val_test(spark, sf):
+    """Deterministic 80/10/10 train/val/test assignment by keyed md5
+    coin (the same replayable-split rationale as stratified_sample:
+    re-runs, engine moves, and late-arriving shards all agree on every
+    doc's split with zero stored state).  Output is the (source,
+    split) census used to audit stratification."""
+    docs = read_parallel(spark, sf, "documents")
+    coin = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(":split"))), 1, 4), 16, 10)
+        .cast("long"), F.lit(100))
+    split = (F.when(coin < 80, "train")
+             .when(coin < 90, "val").otherwise("test"))
+    return (docs.select("source", split.alias("split"))
+            .groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))

@@ -877,3 +877,31 @@ def s4_merge_into(spark, sf):
                          F.lit(0.0).alias("c_acctbal"),
                          "c_nationkey", "c_mktsegment")))
     return merge_into(cust, delta, "c_custkey", ["c_acctbal"])
+
+
+@register("agg_equidepth_histogram", """
+WITH b AS (
+  SELECT l_extendedprice,
+         NTILE(8) OVER (ORDER BY l_extendedprice, l_orderkey,
+                        l_linenumber) AS bucket
+  FROM lineitem
+)
+SELECT bucket, COUNT(*) AS n,
+       MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+FROM b GROUP BY bucket
+""")
+def agg_equidepth_histogram(spark, sf):
+    """Equi-depth (equal-count) histogram via NTILE over a total
+    order: the optimizer-statistics companion to the equal-width
+    histogram -- bucket boundaries adapt to the distribution.  The
+    global sort is the documented cost (statistics builds run rarely);
+    at 100 TB the approx-percentile sketch replaces it and this exact
+    form validates the sketch."""
+    li = read_table(spark, sf, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (li.select("l_extendedprice",
+                      F.ntile(8).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("l_extendedprice").alias("lo"),
+                 F.max("l_extendedprice").alias("hi")))
