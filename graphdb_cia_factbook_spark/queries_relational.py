@@ -905,3 +905,51 @@ def agg_equidepth_histogram(spark, sf):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_extendedprice").alias("lo"),
                  F.max("l_extendedprice").alias("hi")))
+
+
+@register("agg_share_of_parent", """
+WITH cust_rev AS (
+  SELECT c.c_nationkey, n.n_regionkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS rev
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY c.c_nationkey, n.n_regionkey
+)
+SELECT c_nationkey, n_regionkey, rev,
+       rev / CAST(SUM(CAST(rev AS DECIMAL(27,4)))
+                  OVER (PARTITION BY n_regionkey) AS DOUBLE)
+         AS share_of_region,
+       rev / CAST(SUM(CAST(rev AS DECIMAL(27,4))) OVER () AS DOUBLE)
+         AS share_of_total
+FROM cust_rev
+""")
+def agg_share_of_parent(spark, sf):
+    """Hierarchical share-of-parent: each nation's revenue as a share
+    of its region and of the world -- the drill-down ratio every OLAP
+    browser computes.  The windows run over the AGGREGATED
+    (nation-sized) table, so the global-frame window is
+    dimension-sized, never fact-sized; fact rows shuffle once into the
+    base aggregate."""
+    orders = read_table(spark, sf, "orders").select("o_custkey",
+                                                    "o_totalprice")
+    cust = read_table(spark, sf, "customer").select("c_custkey",
+                                                    "c_nationkey")
+    nation = read_table(spark, sf, "nation").select("n_nationkey",
+                                                    "n_regionkey")
+    rev = (orders.join(F.broadcast(cust),
+                       orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy("c_nationkey", "n_regionkey")
+           .agg(dsum("o_totalprice").alias("rev")))
+    w_region = Window.partitionBy("n_regionkey")
+    w_all = Window.partitionBy()
+    dec = F.col("rev").cast("decimal(27,4)")
+    return rev.select(
+        "c_nationkey", "n_regionkey", "rev",
+        (F.col("rev") / F.sum(dec).over(w_region).cast("double"))
+        .alias("share_of_region"),
+        (F.col("rev") / F.sum(dec).over(w_all).cast("double"))
+        .alias("share_of_total"))

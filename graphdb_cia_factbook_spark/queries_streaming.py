@@ -11,6 +11,8 @@ gaps-and-islands SQL for session windows.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from .registry import register
 from .sources import read_table
 from .streaming import (
@@ -275,3 +277,67 @@ def ts_resample_ffill(spark, sf):
     from .operators.timeseries import resample_ffill
     return resample_ffill(read_table(spark, sf, "events"),
                           bucket="1 hour")
+
+
+@register("st_session_paths", """
+WITH x AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+                OR date_diff('second',
+                             lag(CAST(ts AS TIMESTAMP))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id),
+                             CAST(ts AS TIMESTAMP)) > 600
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+y AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM x
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM y GROUP BY user_id, sid
+),
+grams AS (
+  SELECT arr[i] || '>' || arr[i + 1] || '>' || arr[i + 2] AS trigram
+  FROM (SELECT string_split(path, '>') AS arr FROM paths) t,
+       unnest(range(1, len(t.arr) - 1)) AS u(i)
+  WHERE len(arr) >= 3
+)
+SELECT trigram, COUNT(*) AS n
+FROM grams GROUP BY trigram
+ORDER BY n DESC, trigram LIMIT 20
+""")
+def st_session_paths(spark, sf):
+    """Clickstream path mining: sessionize by 10-minute gaps, join
+    each session's event types into a path, count the top-20 trigram
+    sub-paths -- the navigation-pattern query behind funnel design.
+    One session window + one path aggregate + one gram-keyed count;
+    everything shuffles on user or gram keys."""
+    from .streaming import sessionize
+    ev = read_table(spark, sf, "events")
+    sess = (sessionize(ev, gap_seconds=600)
+            .join(ev.select("event_id", "event_type"), "event_id"))
+    paths = (sess.groupBy("user_id", "session_seq")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("ts", "event_id", "event_type"))),
+                     lambda s: s["event_type"]), ">").alias("path")))
+    arr = F.split(F.col("path"), ">")
+    grams_expr = F.expr(
+        "CASE WHEN size(__arr) >= 3 THEN "
+        "transform(sequence(1, size(__arr) - 2), "
+        "i -> concat(element_at(__arr, i), '>', "
+        "element_at(__arr, i + 1), '>', element_at(__arr, i + 2))) "
+        "ELSE array() END")
+    return (paths.select(arr.alias("__arr"))
+            .select(F.explode(grams_expr).alias("trigram"))
+            .groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
