@@ -11,8 +11,10 @@ gaps-and-islands SQL for session windows.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from .operators.relational import dsum
 from .registry import register
 from .sources import read_table
 from .streaming import (
@@ -341,3 +343,90 @@ def st_session_paths(spark, sf):
             .select(F.explode(grams_expr).alias("trigram"))
             .groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.desc("n"), F.asc("trigram")).limit(20))
+
+
+@register("st_late_audit", """
+WITH e AS (
+  SELECT event_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         event_id // 1000 AS arrival_bucket
+  FROM events
+),
+bmax AS (
+  SELECT arrival_bucket, MAX(ts) AS bucket_max FROM e GROUP BY 1
+),
+wm AS (
+  SELECT arrival_bucket,
+         MAX(bucket_max) OVER (ORDER BY arrival_bucket
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS watermark
+  FROM bmax
+)
+SELECT e.event_type,
+       COUNT(*) AS n_events,
+       SUM(CASE WHEN w.watermark IS NOT NULL AND e.ts < w.watermark
+                THEN 1 ELSE 0 END) AS n_late,
+       CAST(SUM(CASE WHEN w.watermark IS NOT NULL AND e.ts < w.watermark
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS late_frac
+FROM e JOIN wm w ON e.arrival_bucket = w.arrival_bucket
+GROUP BY e.event_type
+""")
+def st_late_audit(spark, sf):
+    """Watermark design audit: replay the arrival log (event_id order,
+    bucketed per 1000 arrivals) and count events that a 10-minute
+    watermark would drop -- the measurement that picks a watermark
+    BEFORE deploying the streaming job.  The prefix-max runs over
+    BUCKET aggregates (arrival-bucket-count rows, broadcast back), so
+    nothing event-sized ever funnels through one partition."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select("event_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts"),
+                  F.expr("event_id DIV 1000").alias("arrival_bucket"))
+    bmax = (e.groupBy("arrival_bucket")
+            .agg(F.max("ts").alias("bucket_max")))
+    w = (Window.orderBy("arrival_bucket")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    wm = bmax.select(
+        "arrival_bucket",
+        (F.max("bucket_max").over(w)
+         - F.expr("INTERVAL 10 MINUTE")).alias("watermark"))
+    late = (F.col("watermark").isNotNull()
+            & (F.col("ts") < F.col("watermark")))
+    return (e.join(F.broadcast(wm), "arrival_bucket")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(late.cast("int")).alias("n_late"),
+                 (F.sum(late.cast("int")).cast("double")
+                  / F.count(F.lit(1))).alias("late_frac")))
+
+
+@register("ts_rollup_multi", """
+SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+       CASE WHEN GROUPING(time_bucket(INTERVAL 1 HOUR,
+                                      CAST(ts AS TIMESTAMP))) = 0
+            THEN time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+       END AS hour,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS (
+  (date_trunc('day', CAST(ts AS TIMESTAMP)),
+   time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))),
+  (date_trunc('day', CAST(ts AS TIMESTAMP)))
+)
+""")
+def ts_rollup_multi(spark, sf):
+    """Multi-grain continuous-aggregate ladder (the hypertable rollup
+    shape): hour and day grains in ONE grouping-sets pass -- partial
+    aggregates are shared, so the fact stream is read and combined
+    once for every grain."""
+    ev = read_table(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    day = F.date_trunc("day", ts)
+    hour = F.window("ts", "1 hour")["start"]
+    gs = (ev.select(day.alias("day"), hour.alias("hour"), "value")
+          .groupingSets([["day", "hour"], ["day"]], "day", "hour")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               dsum("value").alias("total_value")))
+    return gs.select("day", "hour", "n_events", "total_value")
