@@ -393,3 +393,74 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
             .select("vec_id", "cluster_id", "survivor_id",
                     (F.col("vec_id") != F.col("survivor_id"))
                     .alias("is_dup")))
+
+
+def pca_top_component(emb: DataFrame, iters: int = 8,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Top principal component of an embedding table by power
+    iteration -- the whitening/compression prep step (explained-
+    variance screening, rotation-invariant dedup) an embedding
+    pipeline runs before indexing.
+
+    Engine-exact construction: per-dimension means and every inner
+    product go through decimal casts (the dsum/lloyd pattern), the
+    start vector is uniform 1/sqrt(dim) (exact for power-of-two dims),
+    and each matvec + L2 normalization uses only IEEE ops on identical
+    inputs -- so the converged direction (and its sign) replays
+    bit-stably as generated oracle SQL.
+
+    Scale shape: the covariance build is the only heavy op -- one
+    explode (N*dim rows) and one self-join per vector id (N*dim^2
+    product rows, map-side combined into dim^2 cells); each of the
+    ``iters`` matvecs then runs on the dim^2-row broadcast-sized
+    matrix.  For dim beyond ~1k, sample rows for the covariance or
+    switch to randomized SVD -- the iteration shape is unchanged.
+
+    Output: (pos, component, eigenvalue) -- component rounded to 6,
+    eigenvalue = the final iteration's L2 norm (Rayleigh estimate)."""
+    ex = emb.select(
+        id_col, F.posexplode(F.col(vec_col)).alias("pos", "val")) \
+        .withColumn("val", F.col("val").cast("double"))
+    means = (ex.groupBy("pos")
+             .agg((F.sum(F.col("val").cast("decimal(27,12)"))
+                   .cast("double") / F.count(F.lit(1))).alias("m")))
+    cen = (ex.join(F.broadcast(means), "pos")
+           .select(id_col, "pos", (F.col("val") - F.col("m")).alias("c"))
+           .localCheckpoint())
+    n = emb.count()
+    a = cen.select(F.col(id_col).alias("__id"),
+                   F.col("pos").alias("i"), F.col("c").alias("ci"))
+    b = cen.select(F.col(id_col).alias("__id"),
+                   F.col("pos").alias("j"), F.col("c").alias("cj"))
+    cov = (a.join(b, "__id")
+           .groupBy("i", "j")
+           .agg((F.sum((F.col("ci") * F.col("cj"))
+                       .cast("decimal(38,18)")).cast("double")
+                 / F.lit(float(n))).alias("cv"))
+           .localCheckpoint())
+
+    dim_rows = means.select(F.col("pos").alias("j"))
+    import math
+    v = dim_rows.select("j", F.lit(1.0 / math.sqrt(
+        dim_rows.count())).alias("v")).localCheckpoint()
+    nrm_out = None
+    for _ in range(iters):
+        w = (cov.join(v, "j")
+             .groupBy(F.col("i").alias("j"))
+             .agg(F.sum((F.col("cv") * F.col("v"))
+                        .cast("decimal(38,18)")).cast("double")
+                  .alias("w")))
+        nrm = w.agg(F.sqrt(F.sum((F.col("w") * F.col("w"))
+                                 .cast("decimal(38,18)")).cast("double"))
+                    .alias("nrm"))
+        v = (w.crossJoin(F.broadcast(nrm))
+             .select("j", (F.col("w") / F.col("nrm")).alias("v"))
+             .localCheckpoint())
+        nrm_out = nrm
+    # 1-based dimension index on output (the SQL generate_subscripts
+    # convention the oracle uses)
+    return (v.crossJoin(F.broadcast(nrm_out))
+            .select((F.col("j") + 1).alias("pos"),
+                    F.round("v", 6).alias("component"),
+                    F.round("nrm", 6).alias("eigenvalue")))

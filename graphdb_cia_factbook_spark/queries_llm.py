@@ -1814,3 +1814,70 @@ def llm_train_val_test(spark, sf):
     return (docs.select("source", split.alias("split"))
             .groupBy("source", "split")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def _pca_sql(iters: int) -> str:
+    """Generate the PCA power-iteration oracle mirroring
+    similarity.pca_top_component: decimal-exact covariance, uniform
+    1/sqrt(dim) start, one (matvec, L2-normalize) CTE pair per
+    iteration."""
+    parts = ["""WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+means AS (
+  SELECT pos, CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE)
+              / COUNT(*) AS m
+  FROM ex GROUP BY pos
+),
+cen AS (
+  SELECT e.vec_id, e.pos, e.val - m.m AS c
+  FROM ex e JOIN means m ON e.pos = m.pos
+),
+nvec AS (SELECT COUNT(*) AS n FROM embeddings),
+cov AS MATERIALIZED (
+  SELECT a.pos AS i, b.pos AS j,
+         CAST(SUM(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE)
+           / (SELECT CAST(n AS DOUBLE) FROM nvec) AS cv
+  FROM cen a JOIN cen b ON a.vec_id = b.vec_id
+  GROUP BY a.pos, b.pos
+),
+v0 AS (
+  SELECT pos AS j,
+         1.0 / sqrt((SELECT CAST(COUNT(*) AS DOUBLE) FROM means)) AS v
+  FROM means
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT c.i AS j,
+         CAST(SUM(CAST(c.cv * v.v AS DECIMAL(38,18))) AS DOUBLE) AS w
+  FROM cov c JOIN v{k - 1} v ON c.j = v.j GROUP BY c.i
+),
+n{k} AS MATERIALIZED (
+  SELECT sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS nrm
+  FROM w{k}
+),
+v{k} AS MATERIALIZED (SELECT j, w / nrm AS v FROM w{k}, n{k})""")
+    parts.append(f"""
+SELECT v.j AS pos, round(v.v, 6) AS component,
+       round(n.nrm, 6) AS eigenvalue
+FROM v{iters} v, n{iters} n""")
+    return "".join(parts)
+
+
+_PCA_ITERS = 8
+
+
+@register("llm_pca_power", _pca_sql(_PCA_ITERS))
+def llm_pca_power(spark, sf):
+    """Top principal component of the embedding table by power
+    iteration: decimal-exact covariance (the only heavy op -- one
+    explode + one per-vector self-join, map-side combined into dim^2
+    cells), then {n} matvec+normalize rounds over the broadcast-sized
+    matrix.  The PCA-whitening prep step, replayed exactly by
+    generated oracle SQL.""".replace("{n}", str(_PCA_ITERS))
+    from .operators.similarity import pca_top_component
+    return pca_top_component(read_parallel(spark, sf, "embeddings"),
+                             iters=_PCA_ITERS)

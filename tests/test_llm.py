@@ -703,3 +703,22 @@ def test_bpe_learn_exhausted_corpus(spark):
     assert merges[0].pair == "a b" and merges[0].cnt == 2
     enc = bpe_encode(df, n_merges=4).collect()
     assert enc[0].bpe_tokens == 2                # two 'ab' symbols
+
+
+def test_pca_power_recovers_dominant_direction(spark):
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        pca_top_component,
+    )
+    # points spread along the x=y diagonal with tiny orthogonal noise:
+    # the top component must align with (1,1)/sqrt(2)
+    rows = [(i, [float(t), float(t) + (0.01 if i % 2 else -0.01)])
+            for i, t in enumerate(range(-8, 8))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.pos: r for r in pca_top_component(df, iters=12).collect()}
+    import math
+    want = 1 / math.sqrt(2)
+    assert abs(abs(got[1].component) - want) < 1e-3
+    assert abs(abs(got[2].component) - want) < 1e-3
+    # both components share a sign (the diagonal, not anti-diagonal)
+    assert got[1].component * got[2].component > 0
+    assert got[1].eigenvalue > 10     # variance along the diagonal
