@@ -397,7 +397,8 @@ def semantic_dedup(corpus: DataFrame, n_centroids: int = 16,
 
 def pca_top_component(emb: DataFrame, iters: int = 8,
                       id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      round_to: int | None = 6) -> DataFrame:
     """Top principal component of an embedding table by power
     iteration -- the whitening/compression prep step (explained-
     variance screening, rotation-invariant dedup) an embedding
@@ -459,8 +460,11 @@ def pca_top_component(emb: DataFrame, iters: int = 8,
              .localCheckpoint())
         nrm_out = nrm
     # 1-based dimension index on output (the SQL generate_subscripts
-    # convention the oracle uses)
+    # convention the oracle uses); round_to=None returns the raw
+    # direction for downstream exact projection
+    rnd = (lambda c: F.round(c, round_to)) if round_to is not None \
+        else (lambda c: c)
     return (v.crossJoin(F.broadcast(nrm_out))
             .select((F.col("j") + 1).alias("pos"),
-                    F.round("v", 6).alias("component"),
-                    F.round("nrm", 6).alias("eigenvalue")))
+                    rnd(F.col("v")).alias("component"),
+                    rnd(F.col("nrm")).alias("eigenvalue")))

@@ -1881,3 +1881,45 @@ def llm_pca_power(spark, sf):
     from .operators.similarity import pca_top_component
     return pca_top_component(read_parallel(spark, sf, "embeddings"),
                              iters=_PCA_ITERS)
+
+
+@register("llm_pca_project", _pca_sql(_PCA_ITERS).replace(
+    f"""
+SELECT v.j AS pos, round(v.v, 6) AS component,
+       round(n.nrm, 6) AS eigenvalue
+FROM v{_PCA_ITERS} v, n{_PCA_ITERS} n""",
+    f""",
+proj AS (
+  SELECT c.vec_id,
+         CAST(SUM(CAST(c.c * v.v AS DECIMAL(38,18))) AS DOUBLE) AS coord
+  FROM cen c JOIN v{_PCA_ITERS} v ON c.pos = v.j
+  GROUP BY c.vec_id
+)
+SELECT vec_id, round(coord, 6) AS pc1 FROM proj"""))
+def llm_pca_project(spark, sf):
+    """Project every embedding onto the learned top component: the
+    1-D PCA coordinate used for variance screening and
+    coarse-to-fine bucketing.  One decimal-exact dot product per
+    vector against the broadcast component -- corpus streams once."""
+    from .operators.similarity import pca_top_component
+    from .sources import read_parallel as rp
+    emb = rp(spark, sf, "embeddings")
+    comp = (pca_top_component(emb, iters=_PCA_ITERS, round_to=None)
+            .select((F.col("pos") - 1).alias("pos"),
+                    F.col("component")))
+    # recompute centered values exactly as the operator does
+    ex = emb.select("vec_id",
+                    F.posexplode("embedding").alias("pos", "val")) \
+        .withColumn("val", F.col("val").cast("double"))
+    means = (ex.groupBy("pos")
+             .agg((F.sum(F.col("val").cast("decimal(27,12)"))
+                   .cast("double") / F.count(F.lit(1))).alias("m")))
+    cen = (ex.join(F.broadcast(means), "pos")
+           .select("vec_id", "pos",
+                   (F.col("val") - F.col("m")).alias("c")))
+    return (cen.join(F.broadcast(comp), "pos")
+            .groupBy("vec_id")
+            .agg(F.round(
+                F.sum((F.col("c") * F.col("component"))
+                      .cast("decimal(38,18)")).cast("double"), 6)
+                .alias("pc1")))
