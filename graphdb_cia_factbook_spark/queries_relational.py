@@ -953,3 +953,50 @@ def agg_share_of_parent(spark, sf):
         .alias("share_of_region"),
         (F.col("rev") / F.sum(dec).over(w_all).cast("double"))
         .alias("share_of_total"))
+
+
+@register("agg_trend_slope", """
+WITH x AS (
+  SELECT event_type, value,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+           - epoch_us(TIMESTAMP '2024-01-01')) / 86400000000.0 AS xs
+  FROM events
+)
+SELECT event_type,
+       round(regr_slope(value, xs), 6) AS slope,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+         - round(regr_slope(value, xs), 6)
+           * (CAST(SUM(CAST(xs AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*))
+         AS intercept,
+       round(regr_r2(value, xs), 6) AS r2,
+       COUNT(*) AS n
+FROM x
+GROUP BY event_type
+""")
+def agg_trend_slope(spark, sf):
+    """Per-key linear trend: slope/intercept/R^2 of value against
+    event time via the regression aggregates (single-pass co-moment
+    merges, like corr) -- the drift detector behind metric monitoring.
+    Time is centered at 2024-01-01 and measured in DAYS so the
+    regressor's magnitude stays small; the intercept derives from
+    the ROUNDED slope and decimal-exact means (mean_y - slope *
+    mean_x), so it is bit-identical by construction -- regr_intercept
+    itself sits too close to rounding boundaries under co-moment
+    merge drift.  Slope and R^2 round to 6 decimals (the
+    agg_stats_corr contract)."""
+    ev = read_table(spark, sf, "events")
+    epoch0 = F.unix_micros(F.lit("2024-01-01").cast("timestamp"))
+    x = ((F.unix_micros(F.col("ts").cast("timestamp"))
+          - epoch0).cast("double") / 86400000000.0)
+    slope6 = F.round(F.regr_slope("y", "x"), 6)
+    mean_y = (F.sum(F.col("y").cast("decimal(27,6)")).cast("double")
+              / F.count(F.lit(1)))
+    mean_x = (F.sum(F.col("x").cast("decimal(27,12)")).cast("double")
+              / F.count(F.lit(1)))
+    return (ev.select("event_type", F.col("value").alias("y"),
+                      x.alias("x"))
+            .groupBy("event_type")
+            .agg(slope6.alias("slope"),
+                 (mean_y - slope6 * mean_x).alias("intercept"),
+                 F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+                 F.count(F.lit(1)).alias("n")))
