@@ -430,3 +430,41 @@ def ts_rollup_multi(spark, sf):
           .agg(F.count(F.lit(1)).alias("n_events"),
                dsum("value").alias("total_value")))
     return gs.select("day", "hour", "n_events", "total_value")
+
+
+@register("ts_rolling_distinct", """
+WITH du AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       (SELECT COUNT(*) FROM du WHERE du.day = d.day) AS dau,
+       (SELECT COUNT(DISTINCT u.user_id) FROM du u
+        WHERE u.day > d.day - INTERVAL 7 DAY AND u.day <= d.day)
+         AS rolling_7d_users
+FROM days d
+""")
+def ts_rolling_distinct(spark, sf):
+    """Rolling 7-day distinct users (the WAU curve): distinct is not
+    window-decomposable, so the exact form pre-collapses events to
+    (day, user) pairs ONCE (the only event-sized op), then re-counts
+    distincts over each day's trailing week via a bounded 7-row grid
+    join -- cost is days x 7 over day-user pairs, never raw events.
+    (At extreme cardinality the HLL sketch union replaces the exact
+    recount; agg_approx_sketches holds that contract.)"""
+    ev = read_table(spark, sf, "events")
+    du = (ev.select(F.date_trunc("day", F.col("ts").cast("timestamp"))
+                    .alias("day"), "user_id")
+          .distinct().localCheckpoint())
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    days = du.select("day").distinct() \
+        .withColumnRenamed("day", "anchor")
+    window_pairs = (days.join(
+        du, (F.col("day") > F.col("anchor") - F.expr("INTERVAL 7 DAY"))
+        & (F.col("day") <= F.col("anchor"))))
+    rolling = (window_pairs.groupBy("anchor")
+               .agg(F.countDistinct("user_id").alias("rolling_7d_users")))
+    return (dau.join(rolling, dau.day == rolling.anchor)
+            .select("day", "dau", "rolling_7d_users"))
