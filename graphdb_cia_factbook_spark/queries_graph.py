@@ -16,6 +16,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .operators.graph import articlerank, build_trade_graph, pagerank
+from .operators.relational import dsum
 from .registry import register
 
 # Shared edge definition (must mirror operators.graph.build_trade_graph
@@ -1018,3 +1019,83 @@ def g_skipgram_pairs(spark, sf):
     return (ctx.where(F.abs("offset").between(1, 2))
             .select("walk_id", "center", "center_pos", "context",
                     "offset"))
+
+
+@register("g_reciprocity", f"""
+WITH {EDGES_CTE}
+SELECT COUNT(*) AS n_edges,
+       SUM(CASE WHEN EXISTS (SELECT 1 FROM edges r
+                             WHERE r.src = e.dst AND r.dst = e.src)
+                THEN 1 ELSE 0 END) AS n_reciprocal,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM edges r
+                                  WHERE r.src = e.dst AND r.dst = e.src)
+                     THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS reciprocity
+FROM edges e
+""")
+def g_reciprocity(spark, sf):
+    """Edge reciprocity: the fraction of trade flows with a
+    counter-flow (dyadic mutuality -- near 1 on a trade graph, near 0
+    on a citation graph).  One self-semi-join on the reversed key;
+    edge-sized shuffles only."""
+    edges = build_trade_graph(spark, sf).edges.select("src", "dst") \
+        .localCheckpoint()
+    rev = edges.select(F.col("dst").alias("src"),
+                       F.col("src").alias("dst"),
+                       F.lit(1).alias("__has_rev"))
+    marked = edges.join(rev, ["src", "dst"], "left")
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.col("__has_rev").isNotNull().cast("int"))
+        .alias("n_reciprocal"),
+        (F.sum(F.col("__has_rev").isNotNull().cast("int")).cast("double")
+         / F.count(F.lit(1))).alias("reciprocity"))
+
+
+@register("g_assortativity", f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT id, COALESCE(o.n, 0.0) + COALESCE(i.n, 0.0) AS d
+  FROM verts v
+  LEFT JOIN (SELECT src AS id2,
+                    CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                      AS n
+             FROM edges GROUP BY src) o
+    ON v.id = o.id2
+  LEFT JOIN (SELECT dst AS id3,
+                    CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                      AS n
+             FROM edges GROUP BY dst) i
+    ON v.id = i.id3
+)
+SELECT COUNT(*) AS n_edges,
+       round(corr(ds.d, dd.d), 6) AS strength_assortativity
+FROM edges e
+JOIN deg ds ON e.src = ds.id
+JOIN deg dd ON e.dst = dd.id
+""")
+def g_assortativity(spark, sf):
+    """Strength assortativity: correlation of endpoint STRENGTHS
+    (decimal-exact total trade amount, in + out) across edges -- do
+    heavy traders link to heavy traders or to the periphery?  Strength
+    replaces count-degree because a dense small-world graph has
+    near-constant degrees (zero variance makes count-degree corr
+    undefined).  Two broadcast strength joins + one co-moment
+    aggregate (rounded 6, the corr contract)."""
+    g = build_trade_graph(spark, sf)
+    edges = g.edges.select("src", "dst")
+    out = g.edges.groupBy(F.col("src").alias("id")) \
+        .agg(dsum("amount").alias("od"))
+    inn = g.edges.groupBy(F.col("dst").alias("id")) \
+        .agg(dsum("amount").alias("idg"))
+    deg = (g.vertices.select("id")
+           .join(out, "id", "left").join(inn, "id", "left")
+           .select("id", (F.coalesce("od", F.lit(0.0))
+                          + F.coalesce("idg", F.lit(0.0))).alias("d")))
+    ds = deg.select(F.col("id").alias("src"), F.col("d").alias("sd"))
+    dd = deg.select(F.col("id").alias("dst"), F.col("d").alias("dd"))
+    return (edges.join(F.broadcast(ds), "src")
+            .join(F.broadcast(dd), "dst")
+            .agg(F.count(F.lit(1)).alias("n_edges"),
+                 F.round(F.corr("sd", "dd"), 6)
+                 .alias("strength_assortativity")))
