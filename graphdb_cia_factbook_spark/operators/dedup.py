@@ -451,3 +451,45 @@ def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
             .withColumn("dup_frac",
                         F.col("n_dup_spans").cast("double")
                         / F.col("n_spans").cast("double")))
+
+
+def prefix_filter_pairs(df: DataFrame, threshold: float = 0.5,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k_shingle: int = 3) -> DataFrame:
+    """Set-similarity join by PREFIX FILTERING (the PPJoin family):
+    order every document's shingles by one global total order (corpus
+    document-frequency ascending, then shingle -- rarest first) and
+    emit candidates only from each doc's first ``|s| -
+    ceil(t * |s|) + 1`` shingles.  Two sets with Jaccard >= t MUST
+    share a prefix element under any common total order (pigeonhole on
+    the required overlap), so recall is exact -- unlike banded LSH
+    this candidate generator misses nothing at the same threshold.
+
+    Rarest-first ordering makes prefixes collide as little as
+    possible: the candidate volume is sum over PREFIX shingles of
+    df^2, and rare shingles have tiny df by construction -- the
+    built-in version of the hot-shingle cap the banded families need
+    as a separate guard.  Scoring is the shared exact
+    :func:`pair_jaccard` verify.
+
+    The third candidate-generation strategy next to MinHash banding
+    (probabilistic, fixed cost) and the n-gram df-cap join
+    (exact-but-capped): exact recall with data-adaptive cost."""
+    sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    prefix_len = (F.col("__sz")
+                  - F.ceil(F.lit(threshold) * F.col("__sz")) + 1)
+    prefix = (sh.join(dfreq, "shingle")
+              .withColumn("__rn", F.row_number().over(w))
+              .join(sizes, id_col)
+              .where(F.col("__rn") <= prefix_len)
+              .select(id_col, "shingle"))
+    cand = (prefix.select(F.col(id_col).alias("id_a"), "shingle")
+            .join(prefix.select(F.col(id_col).alias("id_b"), "shingle"),
+                  "shingle")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    return (pair_jaccard(cand, sh, id_col)
+            .where(F.col("jaccard") >= threshold))

@@ -1923,3 +1923,37 @@ def llm_pca_project(spark, sf):
                 F.sum((F.col("c") * F.col("component"))
                       .cast("decimal(38,18)")).cast("double"), 6)
                 .alias("pc1")))
+
+
+@register("llm_prefix_join", f"""
+WITH {SHINGLE_CTE},
+dfq AS (SELECT shingle, COUNT(*) AS dfc FROM sh GROUP BY shingle),
+szs AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+ranked AS (
+  SELECT s.doc_id, s.shingle,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.dfc, s.shingle) AS rn
+  FROM sh s JOIN dfq d ON s.shingle = d.shingle
+),
+prefix AS (
+  SELECT r.doc_id, r.shingle
+  FROM ranked r JOIN szs z ON r.doc_id = z.doc_id
+  WHERE r.rn <= z.sz - CAST(ceil(0.5 * z.sz) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM prefix a JOIN prefix b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+),
+{_JACCARD_TAIL.rstrip()}
+WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+""")
+def llm_prefix_join(spark, sf):
+    """Exact-recall set-similarity join by prefix filtering (PPJoin):
+    rarest-first global shingle order, candidates only from the
+    Jaccard-0.5 prefix, shared exact verify -- the third candidate
+    strategy next to MinHash banding and the df-capped n-gram join,
+    with nothing missed at the threshold."""
+    from .operators.dedup import prefix_filter_pairs
+    return prefix_filter_pairs(read_parallel(spark, sf, "documents"),
+                               threshold=0.5)

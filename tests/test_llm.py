@@ -722,3 +722,31 @@ def test_pca_power_recovers_dominant_direction(spark):
     # both components share a sign (the diagonal, not anti-diagonal)
     assert got[1].component * got[2].component > 0
     assert got[1].eigenvalue > 10     # variance along the diagonal
+
+
+def test_prefix_filter_exact_recall(spark):
+    """Prefix filtering must find EVERY pair above threshold (exact
+    recall -- its defining property vs banded LSH)."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        pair_jaccard,
+        prefix_filter_pairs,
+        shingle_sets,
+    )
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base),
+            (2, base + " extra"),                   # near-dup of 1
+            (3, base.replace("alpha", "omega")),    # near-dup of 1
+            (4, "totally different words here now entirely")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in prefix_filter_pairs(df, threshold=0.5).collect()}
+    # ground truth: all-pairs exact jaccard
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    ids = [r.doc_id for r in df.select("doc_id").collect()]
+    all_pairs = spark.createDataFrame(
+        [(a, b) for a in ids for b in ids if a < b], "id_a long, id_b long")
+    want = {(r.id_a, r.id_b)
+            for r in pair_jaccard(all_pairs, sh, "doc_id")
+            .where("jaccard >= 0.5").collect()}
+    assert got == want and (1, 2) in got and (1, 3) in got
+    assert not any(4 in p for p in got)
