@@ -144,3 +144,39 @@ def test_grouped_weighted_median_crossing(spark):
            grouped_weighted_median(df, "g", "v", "w").collect()}
     assert got["A"].wmedian == 3.0 and got["A"].total_weight == 12.0
     assert got["B"].wmedian == 2.0 and got["B"].n == 4
+
+
+def test_funnel_strict_ordering(spark):
+    """A purchase BEFORE the first view must not convert; one after
+    a post-view click must."""
+    from graphdb_cia_factbook_spark.queries_analytics import (
+        funnel_conversion,
+    )
+    import graphdb_cia_factbook_spark.queries_analytics as qa
+    rows = [
+        # user 1: view -> click -> purchase (converts)
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:10:00", "click"),
+        (1, "2024-01-01 00:20:00", "purchase"),
+        # user 2: purchase happens BEFORE the click -> no conversion
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:05:00", "purchase"),
+        (2, "2024-01-01 00:10:00", "click"),
+        # user 3: click precedes any view -> not even view_click
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:10:00", "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string, "
+                                     "event_type string") \
+        .selectExpr("user_id", "CAST(ts AS TIMESTAMP) ts", "event_type") \
+        .withColumn("event_id", F.col("user_id")) \
+        .withColumn("value", F.lit(0.0)) \
+        .withColumn("props", F.lit(""))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = funnel_conversion(spark, d).collect()[0]
+    assert out.n_view == 3
+    assert out.n_view_click == 2       # users 1 and 2 clicked post-view
+    assert out.n_view_click_purchase == 1   # only user 1 in order
+    assert abs(out.conversion - 1 / 3) < 1e-12
