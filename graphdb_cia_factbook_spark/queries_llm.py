@@ -1957,3 +1957,44 @@ def llm_prefix_join(spark, sf):
     from .operators.dedup import prefix_filter_pairs
     return prefix_filter_pairs(read_parallel(spark, sf, "documents"),
                                threshold=0.5)
+
+
+@register("llm_quantile_normalize", """
+WITH ex AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+ranked AS (
+  SELECT vec_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY pos ORDER BY val, vec_id)
+           AS rnk,
+         COUNT(*) OVER (PARTITION BY pos) AS n
+  FROM ex
+)
+SELECT vec_id,
+       list(CAST(rnk AS DOUBLE) / n ORDER BY pos) AS qnorm
+FROM ranked GROUP BY vec_id
+""")
+def llm_quantile_normalize(spark, sf):
+    """Per-dimension quantile (rank) normalization of the embedding
+    table: each component becomes its within-dimension rank / n --
+    the distribution-free rescaling that tames heavy-tailed dimensions
+    before indexing.  Exact integer ranks with a vec_id tiebreak, so
+    the transform is engine-identical; one window per dimension
+    partition, one array reassembly."""
+    emb = read_parallel(spark, sf, "embeddings")
+    ex = emb.select("vec_id",
+                    F.posexplode("embedding").alias("pos0", "val")) \
+        .select("vec_id", (F.col("pos0") + 1).alias("pos"),
+                F.col("val").cast("double").alias("val"))
+    w = Window.partitionBy("pos").orderBy("val", "vec_id")
+    wn = Window.partitionBy("pos")
+    ranked = ex.select(
+        "vec_id", "pos",
+        (F.row_number().over(w).cast("double")
+         / F.count(F.lit(1)).over(wn).cast("double")).alias("q"))
+    return (ranked.groupBy("vec_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "q"))),
+                lambda s: s["q"]).alias("qnorm")))
