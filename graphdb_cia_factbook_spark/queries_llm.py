@@ -1998,3 +1998,29 @@ def llm_quantile_normalize(spark, sf):
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "q"))),
                 lambda s: s["q"]).alias("qnorm")))
+
+
+from .registry import ORACLES as _ORACLES  # noqa: E402
+
+@register("llm_knn_confusion", _ORACLES["llm_knn_classify"].replace(
+    "SELECT query_id, predicted_label, votes FROM best WHERE vr = 1",
+    """pred AS (SELECT query_id, predicted_label FROM best WHERE vr = 1)
+SELECT t.label AS true_label, p.predicted_label, COUNT(*) AS n
+FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+GROUP BY t.label, p.predicted_label""").replace(
+    "best AS (", "best AS (", 1).replace(
+    ")\npred AS", "),\npred AS"))
+def llm_knn_confusion(spark, sf):
+    """Classifier evaluation: the confusion matrix of the k-NN
+    predictions against ground-truth labels -- the quality gate a
+    labeling pipeline runs before trusting model-assigned labels at
+    scale.  Pure composition: the llm_knn_classify plan joined back to
+    the truth column, collapsed to |labels|^2 cells."""
+    from .operators.similarity import knn_classify
+    emb = read_parallel(spark, sf, "embeddings")
+    preds = knn_classify(emb, emb.where(F.col("vec_id") < 32), k=5)
+    truth = emb.select(F.col("vec_id").alias("query_id"),
+                       F.col("label").alias("true_label"))
+    return (preds.join(F.broadcast(truth), "query_id")
+            .groupBy("true_label", "predicted_label")
+            .agg(F.count(F.lit(1)).alias("n")))
