@@ -346,3 +346,412 @@ def q22_dormant_customers(spark, sf):
             .groupBy("c_nationkey")
             .agg(F.count(F.lit(1)).alias("numcust"),
                  dsum("c_acctbal").alias("totacctbal")))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 batch 2: the remaining classic shapes (Q7/Q8/Q9/Q11/Q13/Q15/
+# Q17/Q20/Q21 structural points on the driver schema).
+# ---------------------------------------------------------------------------
+
+
+@register("q7_volume_shipping", f"""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS l_year, {_REV} AS revenue
+FROM lineitem l
+JOIN orders o    ON o.o_orderkey = l.l_orderkey
+JOIN customer c  ON c.c_custkey = o.o_custkey
+JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+JOIN nation ns   ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc   ON nc.n_nationkey = c.c_nationkey
+WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+GROUP BY ns.n_name, nc.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+""")
+def q7_volume_shipping(spark, sf):
+    """TPC-H Q7 shape: bilateral trade volume between two nations per
+    ship year.  Both nation dims broadcast; the OR-of-pairs predicate
+    cannot prune either fact scan alone, but the nationkey filters it
+    implies DO push to the (tiny) supplier/customer dims, so the big
+    joins see pre-filtered build sides.  One shuffle per fact join,
+    one for the final group."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+        F.year("l_shipdate").alias("l_year"))
+    orders = read_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    nation = read_table(spark, sf, "nation")
+    wanted = nation.where(F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (read_table(spark, sf, "supplier")
+            .join(F.broadcast(wanted.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"))), "s_nationkey")
+            .select("s_suppkey", "supp_nation"))
+    cust = (read_table(spark, sf, "customer")
+            .join(F.broadcast(wanted.select(
+                F.col("n_nationkey").alias("c_nationkey"),
+                F.col("n_name").alias("cust_nation"))), "c_nationkey")
+            .select("c_custkey", "cust_nation"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .where(F.col("supp_nation") != F.col("cust_nation"))
+            .groupBy("supp_nation", "cust_nation", "l_year")
+            .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue")))
+
+
+@register("q8_market_share", """
+WITH all_n AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+         CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
+           AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                     ELSE CAST(0 AS DECIMAL(27,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM all_n GROUP BY o_year
+""")
+def q8_market_share(spark, sf):
+    """TPC-H Q8 shape: one nation's share of a region's PROMO-part
+    import volume per year.  The region/part filters prune the dims
+    before broadcast; numerator and denominator come out of the same
+    aggregation pass (conditional decimal sum), so the share needs no
+    second scan or self-join."""
+    nation = read_table(spark, sf, "nation")
+    region = (read_table(spark, sf, "region")
+              .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    cust_n = (nation.join(F.broadcast(region),
+                          nation.n_regionkey == region.r_regionkey)
+              .select(F.col("n_nationkey").alias("c_nationkey")))
+    cust = (read_table(spark, sf, "customer")
+            .join(F.broadcast(cust_n), "c_nationkey").select("c_custkey"))
+    supp = (read_table(spark, sf, "supplier")
+            .join(F.broadcast(nation.select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("supp_nation"))), "s_nationkey")
+            .select("s_suppkey", "supp_nation"))
+    part = (read_table(spark, sf, "part")
+            .where(F.col("p_type") == "PROMO").select("p_partkey"))
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(27,4)").alias("volume"))
+    zero = F.lit(0).cast("decimal(27,4)")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey, "left_semi")
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .groupBy("o_year")
+            .agg((F.sum(F.when(F.col("supp_nation") == "NATION_3",
+                               F.col("volume")).otherwise(zero))
+                  .cast("double")
+                  / F.sum("volume").cast("double")).alias("mkt_share")))
+
+
+@register("q9_product_profit", """
+SELECT ns.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,4))
+                - CAST((0.5 * p.p_retailprice) * l.l_quantity
+                       AS DECIMAL(27,4))) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY ns.n_name, CAST(year(o.o_orderdate) AS INTEGER)
+""")
+def q9_product_profit(spark, sf):
+    """TPC-H Q9 shape: profit per supplier nation per year over a
+    part-name LIKE family.  partsupp does not exist in the driver
+    schema, so supply cost is proxied as half the part list price --
+    the structural point (fact x 2 dims x orders, LIKE-pruned part
+    build side, two-level group) is unchanged.  Decimal-exact profit
+    terms keep the sum associative across 1000 executors."""
+    part = (read_table(spark, sf, "part")
+            .where(F.col("p_name").like("%widget%"))
+            .select("p_partkey", "p_retailprice"))
+    supp = (read_table(spark, sf, "supplier")
+            .join(F.broadcast(read_table(spark, sf, "nation").select(
+                F.col("n_nationkey").alias("s_nationkey"),
+                F.col("n_name").alias("nation"))), "s_nationkey")
+            .select("s_suppkey", "nation"))
+    orders = read_table(spark, sf, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year"))
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+    profit = ((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+              .cast("decimal(27,4)")
+              - ((F.lit(0.5) * F.col("p_retailprice")) * F.col("l_quantity"))
+              .cast("decimal(27,4)"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("nation", "o_year")
+            .agg(F.sum(profit).cast("double").alias("sum_profit")))
+
+
+@register("q11_important_stock", """
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM(CAST(l.l_quantity * p.p_retailprice AS DECIMAL(27,4)))
+           AS part_value
+  FROM lineitem l
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE n.n_name IN ('NATION_4', 'NATION_5')
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
+FROM val
+WHERE CAST(part_value AS DOUBLE)
+      > 1.5 * (SELECT CAST(SUM(part_value) AS DOUBLE) / COUNT(*) FROM val)
+""")
+def q11_important_stock(spark, sf):
+    """TPC-H Q11 shape: parts whose inventory value (quantity x list
+    price, summed over two nations' suppliers) exceeds a threshold
+    derived from the global aggregate.  The HAVING-over-global becomes
+    one scalar aggregate broadcast-crossjoined back onto the per-part
+    sums -- the per-part aggregation runs exactly once and is reused
+    for both sides.  The threshold is 1.5x the MEAN part value (not a
+    fixed fraction of the total, which silently empties out as the
+    part count grows with scale)."""
+    nations = (read_table(spark, sf, "nation")
+               .where(F.col("n_name").isin("NATION_4", "NATION_5"))
+               .select(F.col("n_nationkey").alias("s_nationkey")))
+    supp = (read_table(spark, sf, "supplier")
+            .join(F.broadcast(nations), "s_nationkey").select("s_suppkey"))
+    part = read_table(spark, sf, "part").select("p_partkey", "p_retailprice")
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity")
+    val = (li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey,
+                   "left_semi")
+           .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+           .groupBy("l_partkey")
+           .agg(F.sum((F.col("l_quantity") * F.col("p_retailprice"))
+                      .cast("decimal(27,4)")).alias("pv")))
+    total = val.agg((F.lit(1.5) * (F.sum("pv").cast("double")
+                                   / F.count(F.lit(1))))
+                    .alias("threshold"))
+    return (val.crossJoin(F.broadcast(total))
+            .where(F.col("pv").cast("double") > F.col("threshold"))
+            .select("l_partkey", F.col("pv").cast("double")
+                    .alias("part_value")))
+
+
+@register("q13_customer_distribution", """
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q13_customer_distribution(spark, sf):
+    """TPC-H Q13 shape: order-count histogram over ALL customers --
+    the left outer join keeps zero-order customers (COUNT of a null
+    key column counts 0), then a second aggregation buckets the
+    counts.  The second group-by input is customer-sized, tiny
+    relative to the first."""
+    cust = read_table(spark, sf, "customer").select("c_custkey")
+    orders = (read_table(spark, sf, "orders")
+              .where(F.col("o_orderpriority") != "5-LOW")
+              .select("o_custkey", "o_orderkey"))
+    per_cust = (cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@register("q15_top_supplier", f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_REV} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(spark, sf):
+    """TPC-H Q15 shape: supplier(s) achieving the quarter's maximum
+    revenue.  The view-with-scalar-max becomes aggregate-once +
+    broadcast the 1-row max back; equality on two decimal-exact
+    doubles derived from the same sum is deterministic on both
+    engines."""
+    li = (read_table(spark, sf, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+          .select("l_suppkey", "l_extendedprice", "l_discount"))
+    revenue = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+               .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = read_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+    return (revenue.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("mx"))
+            .join(F.broadcast(supp),
+                  F.col("supplier_no") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q17_small_quantity_revenue", """
+WITH avgq AS (
+  SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,4)))
+                                AS DOUBLE) / COUNT(l_quantity)) AS lim
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avgq a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4' AND l.l_quantity < a.lim
+""")
+def q17_small_quantity_revenue(spark, sf):
+    """TPC-H Q17 shape: lines below 20% of their part's average
+    quantity.  The correlated scalar subquery becomes one per-part
+    aggregate joined back to the fact -- the aggregate is part-sized
+    (broadcastable), so the fact table never self-joins.  davg's
+    decimal sum keeps the 0.2*avg threshold bit-identical across
+    engines."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avgq = (li.groupBy("l_partkey")
+            .agg((F.lit(0.2) * davg("l_quantity")).alias("lim")))
+    part = (read_table(spark, sf, "part")
+            .where(F.col("p_brand") == "Brand#4").select("p_partkey"))
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(avgq), "l_partkey")
+            .where(F.col("l_quantity") < F.col("lim"))
+            .agg((F.sum(F.col("l_extendedprice").cast("decimal(27,4)"))
+                  .cast("double") / F.lit(7.0)).alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+@register("q20_potential_promotion", """
+WITH shipped AS (
+  SELECT l.l_suppkey, l.l_partkey,
+         CAST(SUM(CAST(l.l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS qty
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%gear%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey, l.l_partkey
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name IN ('NATION_6', 'NATION_7')
+  AND s.s_suppkey IN (
+    SELECT l_suppkey FROM shipped
+    WHERE qty > (SELECT 0.5 * CAST(SUM(CAST(qty AS DECIMAL(27,4)))
+                                   AS DOUBLE) / COUNT(*) FROM shipped))
+""")
+def q20_potential_promotion(spark, sf):
+    """TPC-H Q20 shape: nested IN chain -- suppliers who moved an
+    above-average volume of a part-name family in a year, restricted
+    to two nations.  Each IN level becomes a semi join whose build
+    side has already been reduced (per-pair aggregate, then scalar
+    threshold), so the supplier scan is the only unreduced input."""
+    part = (read_table(spark, sf, "part")
+            .where(F.col("p_name").like("%gear%")).select("p_partkey"))
+    li = (read_table(spark, sf, "lineitem")
+          .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+          .select("l_partkey", "l_suppkey", "l_quantity"))
+    shipped = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey,
+                       "left_semi")
+               .groupBy("l_suppkey", "l_partkey")
+               .agg(dsum("l_quantity").alias("qty")))
+    thr = shipped.agg((F.lit(0.5) * davg("qty")).alias("thr"))
+    heavy = (shipped.crossJoin(F.broadcast(thr))
+             .where(F.col("qty") > F.col("thr"))
+             .select("l_suppkey"))
+    nations = (read_table(spark, sf, "nation")
+               .where(F.col("n_name").isin("NATION_6", "NATION_7"))
+               .select(F.col("n_nationkey").alias("s_nationkey")))
+    supp = read_table(spark, sf, "supplier")
+    return (supp.join(F.broadcast(nations), "s_nationkey")
+            .join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+            .select("s_suppkey", "s_name", "s_acctbal"))
+
+
+@register("q21_waiting_suppliers", """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN orders o   ON o.o_orderkey = l1.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND o.o_orderstatus = 'F'
+  AND n.n_name IN ('NATION_8', 'NATION_9')
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+def q21_waiting_suppliers(spark, sf):
+    """TPC-H Q21 shape: the only supplier at fault -- EXISTS (another
+    supplier shares the order) and NOT EXISTS (no other supplier's
+    line was returned) become an equi semi join and an equi anti join
+    on l_orderkey, each with the suppkey-inequality as a join-side
+    residual predicate.  No commitdate/receiptdate in the driver
+    schema, so 'at fault' is the returnflag; the double-correlated
+    structure is the point and is unchanged."""
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag")
+    l1 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("orderkey"),
+                  F.col("l_suppkey").alias("suppkey")))
+    orders = (read_table(spark, sf, "orders")
+              .where(F.col("o_orderstatus") == "F").select("o_orderkey"))
+    l2 = li.select(F.col("l_orderkey").alias("k2"),
+                   F.col("l_suppkey").alias("s2"))
+    l3 = (li.where(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("k3"),
+                  F.col("l_suppkey").alias("s3")))
+    nations = (read_table(spark, sf, "nation")
+               .where(F.col("n_name").isin("NATION_8", "NATION_9"))
+               .select(F.col("n_nationkey").alias("s_nationkey")))
+    supp = (read_table(spark, sf, "supplier")
+            .join(F.broadcast(nations), "s_nationkey")
+            .select("s_suppkey", "s_name"))
+    return (l1.join(orders, l1.orderkey == orders.o_orderkey, "left_semi")
+            .join(supp, l1.suppkey == supp.s_suppkey)
+            .join(l2, (F.col("orderkey") == l2.k2)
+                  & (F.col("suppkey") != l2.s2), "left_semi")
+            .join(l3, (F.col("orderkey") == l3.k3)
+                  & (F.col("suppkey") != l3.s3), "left_anti")
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
