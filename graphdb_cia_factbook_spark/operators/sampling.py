@@ -192,3 +192,72 @@ def mixture_weights(df: DataFrame, strata_col: str = "source",
             .withColumn("budget_alloc_tokens",
                         F.round(F.col("weight") * F.lit(float(budget_tokens)))
                         .cast("long")))
+
+
+def dsir_weights(df: DataFrame, target_pred, n_buckets: int = 256,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 hex_digits: int = 4) -> DataFrame:
+    """DSIR-style importance weights for data selection (Data
+    Selection via Importance Resampling, Xie et al. 2023): score every
+    document by how much more likely its hashed-bigram bag is under
+    the TARGET corpus' feature distribution than under the RAW
+    corpus' distribution.
+
+    ``target_pred`` is a boolean Column marking the target (reference
+    quality) documents; everything else is raw.  Features are word
+    bigrams hashed into ``n_buckets`` buckets via md5 (engine-portable
+    and replayable, like every other keyed decision in this module);
+    bucket distributions are Laplace-smoothed unigram models over
+    feature occurrences, and a document's log importance weight is
+
+        sum_over_its_bigrams[ ln p_target(bucket) - ln p_raw(bucket) ]
+
+    Documents with ``log_weight > 0`` look more target-like than
+    raw-like (``selected``).  Integer bucket counts feed the lns, so
+    the doubles are identical on every engine; the per-doc sum runs
+    over decimal-cast addends (the dsum rationale) so the reduction
+    order cannot move the result.
+
+    Scale shape: one token-sized shuffle for the (doc, bucket) counts,
+    one ``n_buckets``-row aggregate (map-side combined), the 1-row
+    totals and the bucket log-ratio table broadcast back -- the corpus
+    is read once and nothing larger than (docs x touched-buckets)
+    shuffles.  Docs with fewer than 2 tokens have no features and are
+    absent from the output (their weight is undefined, not 0)."""
+    from .text import tokens
+    toks = tokens(F.col(text_col))
+    bg = F.when(
+        F.size(toks) >= 2,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                                       F.element_at(toks, i + 1)))
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("bgm")), 1, hex_digits), 16, 10)
+        .cast("long"), F.lit(n_buckets))
+    per_db = (df.select(F.col(id_col), target_pred.alias("is_t"),
+                        F.explode(bg).alias("bgm"))
+              .select(id_col, "is_t", bucket.alias("b"))
+              .groupBy(id_col, "is_t", "b")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    bc = (per_db.groupBy("b")
+          .agg(F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
+               .alias("t_cnt"),
+               F.sum(F.when(~F.col("is_t"), F.col("cnt")).otherwise(0))
+               .alias("r_cnt")))
+    tot = bc.agg(F.sum("t_cnt").alias("tt"), F.sum("r_cnt").alias("rr"))
+    nb = F.lit(float(n_buckets))
+    lr = (bc.crossJoin(F.broadcast(tot))
+          .select("b",
+                  (F.log((F.col("t_cnt") + F.lit(1.0)) / (F.col("tt") + nb))
+                   - F.log((F.col("r_cnt") + F.lit(1.0))
+                           / (F.col("rr") + nb))).alias("lr")))
+    return (per_db.join(F.broadcast(lr), "b")
+            .groupBy(id_col)
+            .agg(F.sum("cnt").alias("n_bigrams"),
+                 F.sum((F.col("cnt") * F.col("lr"))
+                       .cast("decimal(27,12)")).cast("double")
+                 .alias("__lw"))
+            .select(id_col, "n_bigrams",
+                    F.round("__lw", 6).alias("log_weight"),
+                    (F.col("__lw") > 0).alias("selected")))

@@ -2024,3 +2024,62 @@ def llm_knn_confusion(spark, sf):
     return (preds.join(F.broadcast(truth), "query_id")
             .groupBy("true_label", "predicted_label")
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+#: DSIR demo parameters: the "target" (reference-quality) corpus is
+#: two of the twenty synthetic sources; everything else is raw.
+_DSIR_TARGET = ("src0", "src1")
+_DSIR_BUCKETS = 256
+
+
+@register("llm_dsir_weights", f"""
+WITH tk AS (
+  SELECT doc_id, source IN {str(_DSIR_TARGET)} AS is_t,
+         {TOKS} AS toks
+  FROM documents
+),
+bgm AS (
+  SELECT doc_id, is_t,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS bg
+  FROM tk WHERE len(toks) >= 2
+),
+feat AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5(bg), 1, 4))::BIGINT % {_DSIR_BUCKETS} AS b
+  FROM bgm
+),
+pdb AS (
+  SELECT doc_id, is_t, b, COUNT(*) AS cnt FROM feat GROUP BY 1, 2, 3
+),
+bc AS (
+  SELECT b, SUM(CASE WHEN is_t THEN cnt ELSE 0 END) AS t_cnt,
+         SUM(CASE WHEN NOT is_t THEN cnt ELSE 0 END) AS r_cnt
+  FROM pdb GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(t_cnt) AS BIGINT) AS tt,
+               CAST(SUM(r_cnt) AS BIGINT) AS rr FROM bc),
+lr AS (
+  SELECT b, ln((t_cnt + 1.0) / (tt + {_DSIR_BUCKETS}.0))
+            - ln((r_cnt + 1.0) / (rr + {_DSIR_BUCKETS}.0)) AS lr
+  FROM bc, tot
+),
+w AS (
+  SELECT p.doc_id, CAST(SUM(p.cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(CAST(p.cnt * l.lr AS DECIMAL(27,12))) AS DOUBLE) AS lw
+  FROM pdb p JOIN lr l ON p.b = l.b GROUP BY 1
+)
+SELECT doc_id, n_bigrams, ROUND(lw, 6) AS log_weight,
+       lw > 0 AS selected
+FROM w
+""")
+def llm_dsir_weights(spark, sf):
+    """DSIR importance resampling (Xie et al. 2023): score raw
+    documents by hashed-bigram likelihood ratio against a target
+    corpus and select the target-like ones -- the published
+    data-selection method behind quality-matched pretraining mixes.
+    See operators/sampling.dsir_weights for the scale shape."""
+    from .operators.sampling import dsir_weights
+    docs = read_parallel(spark, sf, "documents")
+    return dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET),
+                        n_buckets=_DSIR_BUCKETS)

@@ -750,3 +750,29 @@ def test_prefix_filter_exact_recall(spark):
             .where("jaccard >= 0.5").collect()}
     assert got == want and (1, 2) in got and (1, 3) in got
     assert not any(4 in p for p in got)
+
+
+def test_dsir_weights_separate_target_from_raw(spark):
+    """DSIR importance weights must (a) rank clearly target-like docs
+    above clearly raw-like docs, (b) skip docs with < 2 tokens, and
+    (c) be deterministic across runs."""
+    from graphdb_cia_factbook_spark.operators.sampling import dsir_weights
+    from pyspark.sql import functions as F
+    target_text = "the quick brown fox jumps over the lazy dog again"
+    raw_text = "stack heap register opcode branch cache miss stall flush"
+    rows = ([(i, target_text, "tgt") for i in range(10)]
+            + [(100 + i, raw_text, "raw") for i in range(10)]
+            + [(200, target_text, "raw"),   # raw doc that LOOKS target-like
+               (201, "single", "raw")])     # 1 token -> no bigrams
+    df = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    got = dsir_weights(df, F.col("src") == "tgt").collect()
+    by_id = {r.doc_id: r for r in got}
+    assert 201 not in by_id                       # no features, no row
+    # the target-like raw doc scores positive, the raw-like ones negative
+    assert by_id[200].log_weight > 0 and by_id[200].selected
+    assert by_id[100].log_weight < 0 and not by_id[100].selected
+    assert by_id[200].log_weight > by_id[100].log_weight
+    # determinism: identical on a second run
+    again = {r.doc_id: r.log_weight
+             for r in dsir_weights(df, F.col("src") == "tgt").collect()}
+    assert again == {i: r.log_weight for i, r in by_id.items()}
