@@ -205,7 +205,12 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
             # cached partitions -- lineage stays linear with no
             # per-step plan doubling, and nothing below funnels
             # through a single partition
-            contribs = contribs.localCheckpoint()
+            # lazy: the logical plan is truncated to an RDD scan at
+            # call time either way (no 2^k analyzer blowup); eager
+            # would add a SEPARATE job per superstep, while lazy lets
+            # the dm broadcast-collect job materialize (and cache)
+            # the aggregate in the same pass its first consumer runs
+            contribs = contribs.localCheckpoint(eager=False)
             dm = (contribs.where(F.col("id") == _DANGLING_DST)
                   .agg(F.coalesce(F.max("contrib"), F.lit(0.0))
                        .alias("__dm")))
