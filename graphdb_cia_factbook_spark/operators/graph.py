@@ -235,7 +235,7 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
         # the dangling path already materializes once per superstep;
         # the periodic checkpoint only serves the no-dangling path
         if not n_dangling and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.withColumnRenamed("rank", out_name)
 
 
@@ -390,7 +390,7 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
                    F.col("component"),
                    F.coalesce(F.col("nbr_min"), F.col("component")))
                    .alias("component"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = (new.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.component") != F.col("o.component"))
@@ -516,10 +516,10 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
                .distinct()
                .join(visited.select("id"), "id", "left_anti")
                .withColumn("dist", F.lit(hop))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return (graph.vertices.select("id")
             .join(visited, "id", "left")
@@ -555,10 +555,10 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
                .join(visited.select("root", "id"), ["root", "id"],
                      "left_anti")
                .withColumn("dist", F.lit(hop))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
     return visited
 
@@ -681,7 +681,7 @@ def sssp(graph: Graph, sources: list, weight_col: str = "cost",
                .select("id", F.least(F.coalesce("dist", F.col("cand")),
                                      F.coalesce("cand", F.col("dist")))
                        .alias("dist"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         changed = (new.alias("n").join(dist.alias("o"), "id")
                    .where(~F.col("n.dist").eqNullSafe(F.col("o.dist")))
                    .count())
@@ -728,7 +728,7 @@ def label_propagation(graph: Graph, max_iter: int = 4) -> DataFrame:
         labels = (labels.join(best, "id", "left")
                   .select("id", F.coalesce("new_label", "label")
                           .alias("label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels.select("id", F.col("label").alias("community"))
 
 
@@ -775,13 +775,13 @@ def hits(graph: Graph, max_iter: int = 10,
             # checkpoint auth FIRST so the hub half-step (and its own
             # checkpoint) builds on the materialized auth instead of
             # recomputing the whole chain a second time
-            auth = auth.localCheckpoint()
+            auth = auth.localCheckpoint(eager=False)
         a_rhs = F.broadcast(auth) if small_vector else auth
         hub = (edges.join(a_rhs, edges.dst == auth.id)
                .groupBy(F.col("src").alias("id"))
                .agg(F.sum(F.col("auth") * F.col("w")).alias("hub")))
         if cadence:
-            hub = hub.localCheckpoint()
+            hub = hub.localCheckpoint(eager=False)
 
     def _l1(df: DataFrame, col: str) -> DataFrame:
         # L1 total as a scalar aggregate broadcast back -- never a
@@ -829,7 +829,7 @@ def k_core(graph: Graph, k: int, max_iter: int = 50) -> DataFrame:
         nxt = (both.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
                .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
                .select("a", "b")
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         n_nxt = nxt.count()
         both, changed = nxt, n_nxt != n_edges
         n_edges = n_nxt
@@ -958,6 +958,6 @@ def random_walks(graph: Graph, length: int = 4) -> DataFrame:
         stuck = (walks.join(edges.select(F.col("src").alias("cur"))
                             .distinct(), "cur", "left_anti")
                  .select("walk_id", "cur", "path", "n_steps"))
-        walks = stepped.unionByName(stuck).localCheckpoint()
+        walks = stepped.unionByName(stuck).localCheckpoint(eager=False)
     return walks.select("walk_id", "path",
                         F.col("cur").alias("end_id"), "n_steps")
