@@ -225,7 +225,7 @@ def lloyd_refine(corpus: DataFrame, cents: DataFrame, iters: int,
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "m"))),
                      lambda s: s["m"]).alias("__cent"))
-                 .localCheckpoint())  # truncate per-iteration lineage
+                 .localCheckpoint(eager=False))  # truncate per-iteration lineage
     return cents
 
 
@@ -457,7 +457,7 @@ def pca_top_component(emb: DataFrame, iters: int = 8,
                     .alias("nrm"))
         v = (w.crossJoin(F.broadcast(nrm))
              .select("j", (F.col("w") / F.col("nrm")).alias("v"))
-             .localCheckpoint())
+             .localCheckpoint(eager=False))
         nrm_out = nrm
     # 1-based dimension index on output (the SQL generate_subscripts
     # convention the oracle uses); round_to=None returns the raw

@@ -421,7 +421,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5,
                 .select(F.col("b.pair").alias("pair"),
                         (-F.col("b.nc")).alias("cnt"))
                 .where(F.col("pair").isNotNull())
-                .localCheckpoint())
+                .localCheckpoint(eager=False))
         merges.append(best.select(
             F.lit(step).alias("step"), "pair",
             F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
@@ -436,7 +436,7 @@ def bpe_learn(docs: DataFrame, n_merges: int = 5,
                  .select("freq",
                          F.when(F.col("pair").isNull(), F.col("sym"))
                          .otherwise(merged_sym).alias("sym"))
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
 
     out = merges[0]
     for m in merges[1:]:
