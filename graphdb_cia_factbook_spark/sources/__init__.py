@@ -21,6 +21,7 @@ scrape_cia.py:86-87); its graph sink is a per-row Cypher ``MERGE`` loop
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -158,3 +159,55 @@ def merge_into(target: DataFrame, source: DataFrame, key: str,
               .when(sk.isNotNull(), "insert").otherwise("keep"))
     return (t.join(s, tk == sk, "full_outer")
             .select(*cols, action.alias("merge_action")))
+
+
+def compact_files(spark: SparkSession, path: str,
+                  target_rows_per_file: int = 1_000_000) -> int:
+    """Small-file compaction: rewrite a parquet dataset into files of
+    ~``target_rows_per_file`` rows and return the new file count.
+
+    The operational fix for the classic long-running-pipeline failure
+    mode: thousands of tiny files (per-micro-batch appends, over-wide
+    shuffles) turn every downstream scan into a scheduling storm and
+    blow NameNode/listing budgets.  One pass: count, choose
+    ``ceil(rows/target)`` output files, round-robin repartition (even
+    sizes, no key skew), rewrite atomically via a temp dir + rename.
+
+    At cluster scale the same op runs per partition directory of a
+    date-partitioned table (compact only closed partitions); the
+    single-dataset form here keeps the demonstration engine-local."""
+    import math
+    import shutil
+    import tempfile
+    df = spark.read.parquet(path)
+    n = df.count()
+    n_files = max(1, math.ceil(n / target_rows_per_file))
+    parent = os.path.dirname(os.path.abspath(path))
+    tmp = tempfile.mkdtemp(dir=parent, prefix="__compact_")
+    try:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    return n_files
+
+
+def write_clustered(df: DataFrame, path: str, cluster_by: Sequence[str],
+                    n_files: int | None = None) -> None:
+    """Cluster-by write: range-partition on ``cluster_by`` then sort
+    rows within each file so parquet footer min/max statistics become
+    selective -- the poor man's Z-order for one key family.
+
+    A filter on the cluster key then skips whole files (disjoint
+    ranges across files) and whole row groups within a file (sorted
+    within), without any index structure.  This is the at-rest layout
+    a 100-TB fact table wants for its dominant predicate column
+    (e.g. ship date): scan cost becomes proportional to the selected
+    range, not the table.  ``repartitionByRange`` samples the key
+    distribution, so skewed keys still yield balanced files."""
+    cols = [F.col(c) for c in cluster_by]
+    part = (df.repartitionByRange(n_files, *cols) if n_files
+            else df.repartitionByRange(*cols))
+    part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)

@@ -140,3 +140,54 @@ def test_merge_into_actions(spark):
     assert got[2].merge_action == "update" and got[2].v == 99.0
     assert got[2].name == "b"            # non-update col keeps target
     assert got[3].merge_action == "insert" and got[3].name == "c"
+
+
+def test_compact_files_collapses_small_files(spark, tmp_path):
+    from graphdb_cia_factbook_spark.sources import compact_files, read_table
+    import os
+    path = str(tmp_path / "frag")
+    orders = read_table(spark, SF, "orders")
+    want = orders.count()
+    orders.repartition(64).write.parquet(path)  # the small-files mess
+    n_small = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_small >= 32
+    n_files = compact_files(spark, path, target_rows_per_file=want)
+    n_big = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_files == 1 and n_big == 1
+    after = spark.read.parquet(path)
+    assert after.count() == want
+    # content identical, not just counts
+    assert after.exceptAll(orders).isEmpty()
+
+
+def test_write_clustered_gives_prunable_file_ranges(spark, tmp_path):
+    from graphdb_cia_factbook_spark.sources import read_table, write_clustered
+    import os
+    import pyarrow.parquet as pq
+    path = str(tmp_path / "clustered")
+    li = read_table(spark, SF, "lineitem")
+    write_clustered(li, path, ["l_shipdate"], n_files=4)
+    files = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+    assert len(files) == 4
+    # footer min/max ranges on the cluster key must be disjoint across
+    # files (range partitioning) -- that is what makes a date predicate
+    # skip whole files without any index
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(os.path.join(path, f)).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema
+                   == "l_shipdate")
+        mins = [md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)]
+        maxs = [md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)]
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (a_lo, a_hi), (b_lo, b_hi) in zip(ranges, ranges[1:]):
+        assert a_hi <= b_lo
+    # and the clustered copy still answers queries identically
+    pred = "l_shipdate >= TIMESTAMP '1996-01-01' AND " \
+           "l_shipdate < TIMESTAMP '1996-02-01'"
+    got = spark.read.parquet(path).where(pred).count()
+    assert got == li.where(pred).count()
