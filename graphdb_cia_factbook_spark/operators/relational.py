@@ -359,3 +359,32 @@ def grouped_weighted_median(df: DataFrame, group_col: str,
 
     return (df.select(group_col, value_col, weight_col)
             .groupBy(group_col).applyInPandas(median_of, out_schema))
+
+
+def aggregate_state(df: DataFrame, keys: Sequence[str],
+                    sum_cols: Sequence[str], scale: int = 4) -> DataFrame:
+    """Build mergeable aggregation state for incremental materialized-
+    view maintenance: per key, a row count and exact DECIMAL sums of
+    ``sum_cols``.  Decimal (not double) state is what makes the merge
+    ASSOCIATIVE -- refreshing in any batch order, on any engine, yields
+    the bit-identical view (the dsum rationale, persisted)."""
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    aggs += [F.sum(F.col(c).cast(f"decimal(27,{scale})"))
+             .alias(f"sum_{c}") for c in sum_cols]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def merge_aggregate_state(keys: Sequence[str], *states: DataFrame) -> DataFrame:
+    """Merge aggregation states (incremental view refresh): the new
+    view = old state (+) delta state, one union + one re-aggregate
+    over state-sized (not fact-sized) inputs.  This is the 100-TB
+    refresh pattern: a daily delta folds into a key-sized summary
+    without rescanning history; counts add, decimal sums add
+    exactly."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    sums = [c for c in out.columns if c.startswith("sum_")]
+    return (out.groupBy(*[F.col(k) for k in keys])
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 *[F.sum(c).alias(c) for c in sums]))

@@ -289,3 +289,38 @@ def scd2_user_history(spark, sf):
                            tiebreak_col="event_id")
             .select("user_id", "event_type", "event_id",
                     "valid_from", "valid_to", "is_current"))
+
+
+@register("mv_incremental_refresh", """
+SELECT o_custkey,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+         AS total_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+         / COUNT(*) AS avg_price
+FROM orders
+GROUP BY o_custkey
+""")
+def mv_incremental_refresh(spark, sf):
+    """Incremental materialized-view maintenance: the per-customer
+    order summary is built as mergeable state from a 'history' slice
+    (orders before 1999) and refreshed with the 'new arrivals' delta
+    (1999 onward) -- and the oracle computes the view from scratch
+    over ALL orders.  The hash-match IS the proof that incremental
+    refresh == full recompute, which only holds because the persisted
+    state sums are exact decimals (associative in any batch order).
+    At 100 TB this is the difference between folding a daily delta
+    into a key-sized summary and rescanning years of history."""
+    from .operators.relational import aggregate_state, merge_aggregate_state
+    orders = read_table(spark, sf, "orders")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    hist = aggregate_state(orders.where(F.col("o_orderdate") < cutoff),
+                           ["o_custkey"], ["o_totalprice"])
+    delta = aggregate_state(orders.where(F.col("o_orderdate") >= cutoff),
+                            ["o_custkey"], ["o_totalprice"])
+    merged = merge_aggregate_state(["o_custkey"], hist, delta)
+    return merged.select(
+        "o_custkey", F.col("n_rows").alias("n_orders"),
+        F.col("sum_o_totalprice").cast("double").alias("total_price"),
+        (F.col("sum_o_totalprice").cast("double") / F.col("n_rows"))
+        .alias("avg_price"))

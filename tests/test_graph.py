@@ -365,3 +365,32 @@ def test_random_walks_forced_path_and_dead_end(spark):
     assert got["A"].end_id == "C"
     assert got["B"].path == "B>C" and got["C"].path == "C"
     assert got["D"].path == "D" and got["D"].n_steps == 0
+
+
+def test_link_prediction_scores(spark):
+    """Path graph 1-2-3-4 plus edge 1-3: known common-neighbor /
+    Jaccard / Adamic-Adar values, and the hub cap must prune
+    hub-mediated candidates without touching degrees."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph,
+        link_prediction,
+    )
+    import math
+    verts = spark.createDataFrame([(str(i),) for i in range(1, 5)], "id string")
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("3", "4"), ("1", "3")],
+        "src string, dst string")
+    got = {(r.a, r.b): r for r in link_prediction(Graph(verts, edges)).collect()}
+    # non-adjacent pairs: (1,4) via middle 3; (2,4) via middle 3
+    assert set(got) == {("1", "4"), ("2", "4")}
+    r14 = got[("1", "4")]
+    assert r14.common_neighbors == 1
+    # deg(1)=2, deg(4)=1 -> jaccard = 1/(2+1-1)
+    assert abs(r14.jaccard - 0.5) < 1e-12
+    # middle is 3 with deg 3 -> adamic_adar = 1/ln(3)
+    assert abs(r14.adamic_adar - 1.0 / math.log(3)) < 1e-6
+    # cap below vertex 3's degree: the only remaining wedges run
+    # through vertices 1/2, whose endpoint pairs are already edges --
+    # so no predicted links survive
+    capped = link_prediction(Graph(verts, edges), max_degree=2).collect()
+    assert capped == []

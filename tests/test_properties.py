@@ -180,3 +180,28 @@ def test_funnel_strict_ordering(spark):
     assert out.n_view_click == 2       # users 1 and 2 clicked post-view
     assert out.n_view_click_purchase == 1   # only user 1 in order
     assert abs(out.conversion - 1 / 3) < 1e-12
+
+
+def test_aggregate_state_merge_is_order_and_split_invariant(spark):
+    """Incremental view refresh must equal full recompute for ANY
+    batch split and merge order -- the decimal state's associativity
+    is the whole point."""
+    from graphdb_cia_factbook_spark.operators.relational import (
+        aggregate_state,
+        merge_aggregate_state,
+    )
+    from pyspark.sql import functions as F
+    rows = [(i % 7, float(i) * 1.01 + 0.07) for i in range(500)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    full = aggregate_state(df, ["k"], ["v"])
+    a = aggregate_state(df.where("v < 100"), ["k"], ["v"])
+    b = aggregate_state(df.where("v >= 100 AND v < 300"), ["k"], ["v"])
+    c = aggregate_state(df.where("v >= 300"), ["k"], ["v"])
+    m1 = merge_aggregate_state(["k"], a, b, c)
+    m2 = merge_aggregate_state(["k"], merge_aggregate_state(["k"], c, a), b)
+    def rows_of(s):
+        return sorted((r.k, r.n_rows, str(r.sum_v)) for r in
+                      s.withColumnRenamed("sum_v", "sum_v").collect())
+    assert rows_of(m1) == rows_of(full.withColumn(
+        "n_rows", F.col("n_rows").cast("long")))
+    assert rows_of(m1) == rows_of(m2)
