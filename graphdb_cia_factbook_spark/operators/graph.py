@@ -1011,3 +1011,30 @@ def link_prediction(graph: Graph, max_degree: int | None = None) -> DataFrame:
                         - F.col("common_neighbors")).cast("double"))
                     .alias("jaccard"),
                     F.round("adamic_adar", 8).alias("adamic_adar")))
+
+
+def harmonic_centrality(graph: Graph, sources: list | None = None,
+                        max_hops: int = 30,
+                        directed: bool = True) -> DataFrame:
+    """Harmonic centrality: ``sum(1/dist)/(N-1)`` over reachable
+    vertices -- the closeness variant that stays well-defined on
+    DISCONNECTED graphs (unreachable vertices contribute 0 instead of
+    poisoning the mean; Boldi-Vigna's recommended centrality for web
+    graphs).  Same shared-frontier multi-root BFS kernel as
+    :func:`closeness_centrality`; the 1/dist addends are decimal-cast
+    so the per-root sum is reduction-order-independent."""
+    visited = _multi_root_bfs(graph, sources, max_hops, directed)
+    n_total = graph.vertices.count()
+    stats = (visited.where(F.col("dist") > 0)
+             .groupBy("root")
+             .agg(F.count(F.lit(1)).alias("n_reached"),
+                  F.sum((F.lit(1.0) / F.col("dist").cast("double"))
+                        .cast("decimal(27,12)")).cast("double")
+                  .alias("hsum")))
+    return (graph.vertices.select("id")
+            .join(stats, F.col("id") == F.col("root"), "left")
+            .select("id",
+                    F.coalesce("n_reached", F.lit(0)).alias("n_reached"),
+                    F.round(F.coalesce(F.col("hsum"), F.lit(0.0))
+                            / F.lit(float(n_total - 1)), 8)
+                    .alias("harmonic")))

@@ -1161,3 +1161,49 @@ def g_link_prediction(spark, sf):
               .where(F.col("__r") <= _LP_TOPK).select("src", "dst"))
     from .operators.graph import Graph, link_prediction
     return link_prediction(Graph(g.vertices, strong))
+
+
+@register("g_harmonic", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY root, id
+),
+stats AS (
+  SELECT root, COUNT(*) AS n_reached,
+         CAST(SUM(CAST(1.0 / CAST(dist AS DOUBLE) AS DECIMAL(27,12)))
+              AS DOUBLE) AS hsum
+  FROM mind WHERE dist > 0 GROUP BY root
+)
+SELECT v.id,
+       COALESCE(s.n_reached, 0) AS n_reached,
+       ROUND(COALESCE(s.hsum, 0.0)
+             / CAST((SELECT COUNT(*) - 1 FROM verts) AS DOUBLE), 8)
+         AS harmonic
+FROM verts v LEFT JOIN stats s ON v.id = s.root
+""")
+def g_harmonic(spark, sf):
+    """EXT graph algorithm: harmonic centrality over the top-3-partner
+    digraph -- the disconnection-robust closeness (unreached vertices
+    contribute zero rather than undefined means).  Shares the
+    multi-root BFS closure with g_closeness/g_diameter."""
+    from .operators.graph import Graph, harmonic_centrality
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return harmonic_centrality(Graph(g.vertices, top3))
