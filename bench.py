@@ -46,6 +46,10 @@ HEADLINE = [
     "st_session",            # session windows
     "llm_span_dedup",        # span-level exact dedup (C4 line-dedup pass)
     "ts_ewma",               # sequential-fold exponential smoothing
+    "q9_product_profit",     # fact x 2 dims x orders, two-level group (Q9)
+    "q21_waiting_suppliers", # double-correlated semi+anti joins (Q21)
+    "llm_dsir_weights",      # DSIR importance-resampling selection
+    "g_link_prediction",     # wedge-join link prediction scores
 ]
 
 

@@ -166,3 +166,38 @@ def test_q22_anti_join_and_scalar_broadcast(spark, queries):
     plan = plan_of(queries["q22_dormant_customers"](spark, SF))
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q21_semi_anti_residual_joins(spark, queries):
+    """TPC-H Q21: EXISTS/NOT EXISTS must compile to one LeftSemi and
+    one LeftAnti equi-join (with the suppkey inequality as a residual
+    condition), never a cartesian product."""
+    plan = plan_of(queries["q21_waiting_suppliers"](spark, SF))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark, queries):
+    """TPC-H Q13: the customer-orders join must stay LeftOuter (a
+    plain inner join silently drops zero-order customers) and the
+    priority filter must push to the orders scan."""
+    plan = plan_of(queries["q13_customer_distribution"](spark, SF))
+    assert "LeftOuter" in plan
+    assert "Not(EqualTo(o_orderpriority,5-LOW))" in plan
+
+
+def test_q17_avg_join_back_broadcasts(spark, queries):
+    """TPC-H Q17: the per-part average must join back as a broadcast
+    (part-sized), so the fact table never self-joins through a
+    shuffle."""
+    plan = plan_of(queries["q17_small_quantity_revenue"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_link_prediction_no_cartesian(spark, queries):
+    """Candidate pairs must come from the wedge equi-join on the
+    shared middle vertex, never an all-pairs product."""
+    plan = plan_of(queries["g_link_prediction"](spark, SF))
+    assert "CartesianProduct" not in plan
