@@ -468,3 +468,111 @@ def pca_top_component(emb: DataFrame, iters: int = 8,
             .select((F.col("j") + 1).alias("pos"),
                     rnd(F.col("v")).alias("component"),
                     rnd(F.col("nrm")).alias("eigenvalue")))
+
+
+def sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 distance, sequential-fold accumulation (the same
+    engine-portable fold discipline as :func:`dot`)."""
+    return fold_sum(F.zip_with(
+        a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))))
+
+
+def _subvectors(df: DataFrame, m: int, s: int, id_col: str,
+                vec_col: str) -> DataFrame:
+    """Explode each vector into its ``m`` subvectors of width ``s``:
+    (id, sub, svec)."""
+    parts = F.array(*[
+        F.struct(F.lit(j).alias("sub"),
+                 F.slice(F.col(vec_col), j * s + 1, s).alias("svec"))
+        for j in range(m)])
+    return (df.select(F.col(id_col), F.explode(parts).alias("e"))
+            .select(id_col, F.col("e.sub").alias("sub"),
+                    F.col("e.svec").alias("svec")))
+
+
+def pq_codebooks(corpus: DataFrame, m: int, s: int, k_cent: int,
+                 lloyd_iters: int, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Train the product-quantization codebooks: per subspace,
+    ``k_cent`` centroids seeded from the lowest-id vectors' slices and
+    refined with deterministic Lloyd iterations (squared-L2
+    assignment, centroid_id tiebreak, decimal-exact means -- the
+    per-subspace twin of :func:`lloyd_refine`).  Returns
+    (sub, centroid_id, cent)."""
+    subs = _subvectors(corpus, m, s, id_col, vec_col)
+    cents = (subs.where(F.col(id_col) < k_cent)
+             .select("sub", F.col(id_col).alias("centroid_id"),
+                     F.col("svec").alias("cent")))
+    for _ in range(lloyd_iters):
+        w = Window.partitionBy(id_col, "sub").orderBy(
+            F.asc("__d"), F.asc("centroid_id"))
+        assign = (subs.join(F.broadcast(cents), "sub")
+                  .withColumn("__d", sq_l2(F.col("svec"), F.col("cent")))
+                  .withColumn("__r", F.row_number().over(w))
+                  .where(F.col("__r") == 1))
+        means = (assign.select("sub", "centroid_id",
+                               F.posexplode("svec").alias("pos", "val"))
+                 .groupBy("sub", "centroid_id", "pos")
+                 .agg((F.sum(F.col("val").cast("decimal(27,12)"))
+                       .cast("double") / F.count(F.lit(1))).alias("mv")))
+        cents = (means.groupBy("sub", "centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                     lambda st: st["mv"]).alias("cent"))
+                 .localCheckpoint(eager=False))
+    return cents
+
+
+def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+            m: int = 4, k_cent: int = 8, lloyd_iters: int = 1,
+            dim: int = 64, id_col: str = "vec_id",
+            vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): compress each
+    corpus vector to ``m`` one-byte codes (nearest codebook centroid
+    per subspace) and answer max-inner-product queries from the codes
+    alone via asymmetric distance computation -- the query stays
+    exact, the corpus is quantized, approx_dot(q, v) =
+    sum_j dot(q_j, codebook[j][code_j(v)]).
+
+    This is the index family that makes billion-vector search fit in
+    memory: dim * 4 bytes/vector becomes ``m`` bytes (64x here), and
+    scoring a vector costs ``m`` table lookups instead of ``dim``
+    multiplies.
+
+    Scale shape: codebooks and the per-query lookup tables are
+    (m x k_cent)-sized broadcasts; the corpus is encoded in one
+    broadcast-join pass and scored by an equi-join on
+    (sub, centroid_id) -- nothing vector-sized ever shuffles, and the
+    final top-k goes through :func:`topk_per_query`'s map-side prune.
+    Exactness discipline: the LUT dots are sequential folds, the
+    m-addend score sum is decimal-cast (order-independent), so the
+    generated DuckDB oracle matches bit for bit."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    s = dim // m
+    cents = pq_codebooks(corpus, m, s, k_cent, lloyd_iters,
+                         id_col, vec_col)
+    # encode: nearest centroid per (vector, subspace)
+    w = Window.partitionBy(id_col, "sub").orderBy(
+        F.asc("__d"), F.asc("centroid_id"))
+    codes = (_subvectors(corpus, m, s, id_col, vec_col)
+             .join(F.broadcast(cents), "sub")
+             .withColumn("__d", sq_l2(F.col("svec"), F.col("cent")))
+             .withColumn("__r", F.row_number().over(w))
+             .where(F.col("__r") == 1)
+             .select(F.col(id_col).alias("neighbor_id"), "sub",
+                     "centroid_id"))
+    # per-query LUT: exact query slice dotted with every centroid
+    lut = (_subvectors(queries, m, s, id_col, vec_col)
+           .join(F.broadcast(cents), "sub")
+           .select(F.col(id_col).alias("query_id"), "sub", "centroid_id",
+                   dot(F.col("svec"), F.col("cent")).alias("pdot")))
+    scored = (codes.join(F.broadcast(lut), ["sub", "centroid_id"])
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .groupBy("query_id", "neighbor_id")
+              .agg(F.sum(F.col("pdot").cast("decimal(27,12)"))
+                   .cast("double").alias("adot")))
+    return (topk_per_query(scored, k,
+                           order=[F.desc("adot"), F.asc("neighbor_id")])
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("adot", 6).alias("adot")))

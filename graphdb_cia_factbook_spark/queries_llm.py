@@ -2083,3 +2083,102 @@ def llm_dsir_weights(spark, sf):
     docs = read_parallel(spark, sf, "documents")
     return dsir_weights(docs, F.col("source").isin(*_DSIR_TARGET),
                         n_buckets=_DSIR_BUCKETS)
+
+
+def _sql2_sql(a: str, b: str) -> str:
+    """Sequential-fold squared L2 -- bit-equal to similarity.sq_l2."""
+    d = (f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))")
+    return (f"list_reduce(list_transform(range(1, len({a}) + 1), "
+            f"i -> {d} * {d}), (x, y) -> x + y)")
+
+
+_PQ_M, _PQ_S, _PQ_KC, _PQ_LLOYD, _PQ_QMAX, _PQ_K = 4, 16, 8, 1, 8, 3
+
+
+def _pq_sql() -> str:
+    """Generate the product-quantization oracle mirroring
+    similarity.pq_topk: per-subspace seeded codebooks -> Lloyd
+    refinement (squared-L2 assignment, decimal means) -> code
+    assignment -> per-query LUT dots -> decimal-summed ADC scores ->
+    top-k."""
+    slices = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {j} AS sub, "
+        f"embedding[{j * _PQ_S + 1}:{(j + 1) * _PQ_S}] AS svec "
+        f"FROM embeddings" for j in range(_PQ_M))
+
+    def nearest(cents: str, out: str) -> str:
+        return f"""(
+  SELECT vec_id AS {out}, sub, svec, centroid_id FROM (
+    SELECT s.vec_id, s.sub, s.svec, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.sub
+             ORDER BY {_sql2_sql('s.svec', 'c.cent')} ASC,
+                      c.centroid_id) AS r
+    FROM sub s JOIN {cents} c ON c.sub = s.sub
+  ) WHERE r = 1
+)"""
+
+    parts = [f"""WITH sub AS (
+  {slices}
+),
+cents0 AS (
+  SELECT sub, vec_id AS centroid_id, svec AS cent
+  FROM sub WHERE vec_id < {_PQ_KC}
+)"""]
+    for i in range(_PQ_LLOYD):
+        parts.append(f""",
+a{i} AS {nearest(f'cents{i}', 'vid')},
+m{i} AS (
+  SELECT sub, centroid_id, pos,
+         CAST(SUM(CAST(val AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS mv
+  FROM (SELECT sub, centroid_id, unnest(svec) AS val,
+               generate_subscripts(svec, 1) AS pos FROM a{i})
+  GROUP BY 1, 2, 3
+),
+cents{i + 1} AS (
+  SELECT sub, centroid_id, list(mv ORDER BY pos) AS cent FROM m{i}
+  GROUP BY 1, 2
+)""")
+    fin = f"cents{_PQ_LLOYD}"
+    parts.append(f""",
+codes AS {nearest(fin, 'neighbor_id')},
+lut AS (
+  SELECT q.vec_id AS query_id, q.sub, c.centroid_id,
+         {_dot_sql('q.svec', 'c.cent')} AS pdot
+  FROM sub q JOIN {fin} c ON c.sub = q.sub
+  WHERE q.vec_id < {_PQ_QMAX}
+),
+scored AS (
+  SELECT l.query_id, cd.neighbor_id,
+         CAST(SUM(CAST(l.pdot AS DECIMAL(27,12))) AS DOUBLE) AS adot
+  FROM codes cd
+  JOIN lut l ON l.sub = cd.sub AND l.centroid_id = cd.centroid_id
+  WHERE cd.neighbor_id <> l.query_id
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adot DESC, neighbor_id) AS rank,
+         adot
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(adot, 6) AS adot
+FROM ranked WHERE rank <= {_PQ_K}""")
+    return "".join(parts)
+
+
+@register("llm_ann_pq", _pq_sql())
+def llm_ann_pq(spark, sf):
+    """Product-quantization ANN (Jegou et al. 2011): 64-dim vectors
+    compressed to {m} one-byte codes via per-subspace codebooks, then
+    max-inner-product top-{k} answered from codes + per-query lookup
+    tables (asymmetric distance computation).  The 64x index
+    compression that makes billion-vector search fit in memory; see
+    operators.similarity.pq_topk for the scale shape.""".format(
+        m=_PQ_M, k=_PQ_K)
+    from .operators.similarity import pq_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    return pq_topk(emb, emb.where(F.col("vec_id") < _PQ_QMAX),
+                   k=_PQ_K, m=_PQ_M, k_cent=_PQ_KC,
+                   lloyd_iters=_PQ_LLOYD)

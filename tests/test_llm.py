@@ -776,3 +776,51 @@ def test_dsir_weights_separate_target_from_raw(spark):
     again = {r.doc_id: r.log_weight
              for r in dsir_weights(df, F.col("src") == "tgt").collect()}
     assert again == {i: r.log_weight for i, r in by_id.items()}
+
+
+def test_pq_topk_recall_and_code_shape(spark):
+    """PQ-ADC top-k must emit exactly k results per query, beat chance
+    recall against the exact max-inner-product ranking by a wide
+    margin, and train codebooks of the declared (m, k_cent, dim/m)
+    shape."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_force_topk,
+        pq_codebooks,
+        pq_topk,
+    )
+    from graphdb_cia_factbook_spark.sources import read_parallel
+    from pyspark.sql import functions as F
+    emb = read_parallel(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    got = pq_topk(emb, q, k=3).collect()
+    assert len(got) == 8 * 3
+    # recall@3 vs EXACT max-inner-product (PQ approximates the dot, so
+    # the fair baseline is exact-dot top-3, not cosine -- cosine ranks
+    # by angle and diverges on norm variation alone)
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        dot,
+        topk_per_query,
+    )
+    corpus = emb.select(F.col("vec_id").alias("neighbor_id"),
+                        F.col("embedding").alias("cv"))
+    scored = (q.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("qv"))
+              .crossJoin(corpus)
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id",
+                      dot(F.col("qv"), F.col("cv")).alias("adot")))
+    exact = topk_per_query(
+        scored, 3, order=[F.desc("adot"), F.asc("neighbor_id")]).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(r.neighbor_id in by_q[r.query_id] for r in exact)
+    # the synthetic embeddings are near-uniform random, so exact-dot
+    # top-3 margins are hairline and 4x16-dim codebooks keep only a
+    # coarse sketch; chance recall@3 is 3/N ~ 0.005, so 0.15 is ~30x
+    # better than chance while robust to the data's noise floor
+    assert hits / len(exact) >= 0.15
+    # codebook shape: m subspaces, k_cent centroids each, width dim/m
+    cents = pq_codebooks(emb, 4, 16, 8, 1, "vec_id", "embedding").collect()
+    assert len(cents) == 4 * 8
+    assert all(len(r.cent) == 16 for r in cents)
