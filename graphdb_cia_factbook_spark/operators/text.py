@@ -485,3 +485,58 @@ def bpe_encode(docs: DataFrame, n_merges: int = 5,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_words"),
                  F.sum("n_sym").alias("bpe_tokens")))
+
+
+def count_min_heavy_hitters(df: DataFrame, top_n: int = 20,
+                            depth: int = 3, width: int = 1024,
+                            text_col: str = "text") -> DataFrame:
+    """Heavy-hitter tokens via a count-min sketch (Cormode-
+    Muthukrishnan): ``depth`` md5-salted hash rows x ``width``
+    counters; a token's estimate is the MIN of its ``depth`` bucket
+    counts, which can only OVER-estimate (collisions add, never
+    subtract).
+
+    The sketch is the sublinear-memory answer to "what are the top
+    terms in 100 TB": the counter table is depth x width integers
+    regardless of vocabulary size, it is mergeable across partitions,
+    shards, and days (counter-wise addition), and it never touches a
+    vocabulary-sized shuffle.  Here the exact counts are ALSO computed
+    so the output exposes estimate vs truth (overestimate-only is the
+    testable CMS contract); a pure at-scale run would skip the exact
+    side.
+
+    Determinism: buckets are md5-prefix hashes (engine-portable like
+    every keyed decision in this repo) and every count is an integer,
+    so the whole output is engine-exact."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    exact = tok.groupBy("w").agg(F.count(F.lit(1)).alias("exact_cnt"))
+
+    def bucket(col, row: int):
+        return F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"cms{row}:"), col)), 1, 8), 16, 10)
+            .cast("long"), F.lit(width))
+
+    est = None
+    for r in range(depth):
+        counters = (exact.groupBy(bucket(F.col("w"), r).alias("b"))
+                    .agg(F.sum("exact_cnt").alias(f"c{r}")))
+        joined = exact.select("w", "exact_cnt",
+                              bucket(F.col("w"), r).alias("b")) \
+            if est is None else est.withColumn("b",
+                                               bucket(F.col("w"), r))
+        est = (joined.join(F.broadcast(counters), "b").drop("b"))
+    est = est.withColumn(
+        "cms_estimate",
+        F.least(*[F.col(f"c{r}") for r in range(depth)]))
+    # top-n via sort+limit (TakeOrderedAndProject -- never a global
+    # window over the vocabulary-sized table); the rank window then
+    # runs over top_n rows only
+    top = (est.orderBy(F.desc("exact_cnt"), F.asc("w")).limit(top_n))
+    w_top = Window.orderBy(F.desc("exact_cnt"), F.asc("w"))
+    return (top.withColumn("token_rank", F.row_number().over(w_top))
+            .select(F.col("w").alias("token"), "exact_cnt",
+                    "cms_estimate",
+                    (F.col("cms_estimate") >= F.col("exact_cnt"))
+                    .alias("never_underestimates"),
+                    "token_rank"))

@@ -2182,3 +2182,48 @@ def llm_ann_pq(spark, sf):
     return pq_topk(emb, emb.where(F.col("vec_id") < _PQ_QMAX),
                    k=_PQ_K, m=_PQ_M, k_cent=_PQ_KC,
                    lloyd_iters=_PQ_LLOYD)
+
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_TOPN = 3, 1024, 20
+
+
+def _cms_bucket_sql(col: str, row: int) -> str:
+    return (f"(('0x' || substr(md5('cms{row}:' || {col}), 1, 8))::BIGINT "
+            f"% {_CMS_WIDTH})")
+
+
+@register("llm_cms_heavy_hitters", f"""
+WITH tok AS (SELECT unnest({TOKS}) AS w FROM documents),
+exact AS (SELECT w, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),
+{', '.join(f'''ctr{r} AS (
+  SELECT {_cms_bucket_sql('w', r)} AS b, SUM(exact_cnt) AS c{r}
+  FROM exact GROUP BY 1
+)''' for r in range(_CMS_DEPTH))},
+est AS (
+  SELECT e.w, e.exact_cnt,
+         LEAST({', '.join(f'x{r}.c{r}' for r in range(_CMS_DEPTH))})
+           AS cms_estimate
+  FROM exact e
+  {' '.join(f'JOIN ctr{r} x{r} ON x{r}.b = ' + _cms_bucket_sql('e.w', r)
+            for r in range(_CMS_DEPTH))}
+),
+top AS (
+  SELECT * FROM est
+  ORDER BY exact_cnt DESC, w LIMIT {_CMS_TOPN}
+)
+SELECT w AS token, exact_cnt, cms_estimate,
+       cms_estimate >= exact_cnt AS never_underestimates,
+       ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, w) AS token_rank
+FROM top
+""")
+def llm_cms_heavy_hitters(spark, sf):
+    """Heavy-hitter tokens via a count-min sketch: depth x width
+    integer counters estimate any token's frequency in sublinear
+    memory (mergeable across shards/days; estimates only ever
+    overestimate).  Output exposes estimate vs exact truth for the
+    corpus' top tokens.  See operators.text.count_min_heavy_hitters
+    for the scale shape."""
+    from .operators.text import count_min_heavy_hitters
+    docs = read_parallel(spark, sf, "documents")
+    return count_min_heavy_hitters(docs, top_n=_CMS_TOPN,
+                                   depth=_CMS_DEPTH, width=_CMS_WIDTH)

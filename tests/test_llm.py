@@ -824,3 +824,19 @@ def test_pq_topk_recall_and_code_shape(spark):
     cents = pq_codebooks(emb, 4, 16, 8, 1, "vec_id", "embedding").collect()
     assert len(cents) == 4 * 8
     assert all(len(r.cent) == 16 for r in cents)
+
+
+def test_cms_never_underestimates_and_is_tight_on_heavy_hitters(spark):
+    """The count-min contract: estimate >= exact always; and on a
+    corpus where one token dominates, its estimate is exact unless a
+    collision inflates it (which the width makes unlikely)."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        count_min_heavy_hitters,
+    )
+    rows = [(i, "hot " * 50 + f"rare{i} other{i % 13}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = count_min_heavy_hitters(df, top_n=5, depth=3, width=256).collect()
+    assert all(r.never_underestimates for r in got)
+    top = got[0]
+    assert top.token == "hot" and top.exact_cnt == 5000
+    assert top.cms_estimate >= 5000
