@@ -87,6 +87,10 @@ def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
         assert "BatchEvalPython" not in plan, name
         if not name.startswith("mm_"):
             assert "MapInPandas" not in plan, name
+        # a true cartesian (non-broadcast cross product) is never the
+        # plan you want at 100 TB -- every deliberate cross join in
+        # this repo broadcasts a scalar/dim side (BroadcastNestedLoop)
+        assert "CartesianProduct" not in plan, name
 
 
 def test_approx_sketches_bounded_error(spark):
