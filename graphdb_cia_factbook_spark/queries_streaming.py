@@ -468,3 +468,27 @@ def ts_rolling_distinct(spark, sf):
                .agg(F.countDistinct("user_id").alias("rolling_7d_users")))
     return (dau.join(rolling, dau.day == rolling.anchor)
             .select("day", "dau", "rolling_7d_users"))
+
+
+@register("st_stream_join_outer", """
+WITH l AS (
+  SELECT user_id, event_id AS left_id, CAST(ts AS TIMESTAMP) AS left_ts
+  FROM events WHERE event_type = 'click'
+),
+r AS (
+  SELECT user_id, event_id AS right_id, CAST(ts AS TIMESTAMP) AS right_ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT l.user_id, l.left_id, l.left_ts, r.right_id, r.right_ts,
+       r.right_id IS NULL AS unconverted
+FROM l LEFT JOIN r ON l.user_id = r.user_id
+  AND l.left_ts >= r.right_ts - INTERVAL 30 MINUTE
+  AND l.left_ts < r.right_ts
+""")
+def st_stream_join_outer(spark, sf):
+    """LEFT OUTER stream-stream interval join: clicks that converted
+    AND clicks that did not (null-padded after the watermark passes,
+    on a stream) in one pass -- the funnel-drop-off staple.  Batch
+    twin of streaming.interval_join_outer."""
+    from .streaming import interval_join_outer
+    return interval_join_outer(read_table(spark, sf, "events"))

@@ -166,6 +166,47 @@ def interval_join(events: DataFrame, left_type: str = "click",
                     "right_id", "right_ts"))
 
 
+def interval_join_outer(events: DataFrame, left_type: str = "click",
+                        right_type: str = "purchase",
+                        within: str = "30 minutes",
+                        watermark: str | None = None) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every ``left_type``
+    event emits -- matched rows as soon as the match arrives, and
+    UNMATCHED rows null-padded once the watermark guarantees no
+    qualifying ``right_type`` event can still arrive (Spark holds the
+    left row in state until then; that delayed null emission is the
+    semantic difference from the inner join, and why the outer variant
+    REQUIRES watermarks on a stream).  In batch the same plan is a
+    plain left join, so the batch twin is directly oracle-checkable.
+    The conversion-funnel staple: clicks that did NOT convert within
+    the window, in the same pass as the ones that did.
+
+    Operational caveat: the query's global watermark is the MIN across
+    both withWatermark nodes, so a left row only null-emits once the
+    SLOWER side's event time passes left_ts + within + delay -- the
+    freshest clicks stay pending until more clicks arrive, even if
+    purchases have long moved on (pinned by the streaming test)."""
+    lhs = events.where(F.col("event_type") == left_type)
+    rhs = events.where(F.col("event_type") == right_type)
+    if watermark is not None:
+        lhs = lhs.withWatermark("ts", watermark)
+        rhs = rhs.withWatermark("ts", watermark)
+    lhs = lhs.select(F.col("user_id"),
+                     F.col("event_id").alias("left_id"),
+                     F.col("ts").alias("left_ts"))
+    rhs = rhs.select(F.col("user_id").alias("__ru"),
+                     F.col("event_id").alias("right_id"),
+                     F.col("ts").alias("right_ts"))
+    cond = ((lhs.user_id == rhs.__ru)
+            & (F.col("left_ts") >= F.col("right_ts")
+               - F.expr(f"INTERVAL {within}"))
+            & (F.col("left_ts") < F.col("right_ts")))
+    return (lhs.join(rhs, cond, "left_outer")
+            .select("user_id", "left_id", "left_ts",
+                    "right_id", "right_ts",
+                    F.col("right_id").isNull().alias("unconverted")))
+
+
 def dedup_events(events: DataFrame) -> DataFrame:
     """Streaming dedup on the event key.  On a stream this keys the
     state store by event_id (bound it with a watermark /

@@ -371,3 +371,36 @@ def test_windowed_topk_streaming_foreachbatch(spark, tmp_path,
     for r in emitted:
         assert want[(r.window_start, r.rank)] == (r.event_type,
                                                   r.n_events)
+
+
+def test_stream_outer_interval_join(spark, batch_events):
+    """LEFT OUTER stream-stream interval join: matched rows must equal
+    the batch join exactly; null-padded (unconverted) rows must be a
+    subset of the batch nulls, and every left row old enough that the
+    final watermark proves no match can arrive must have emitted."""
+    from graphdb_cia_factbook_spark.streaming import interval_join_outer
+    sdf = interval_join_outer(stream_events(spark, SF), watermark="1 hour")
+    run_to_memory(sdf, "t_sjoin_outer", "append")
+    cols = ["user_id", "left_id", "left_ts", "right_id", "right_ts"]
+    got = spark.table("t_sjoin_outer")
+    want = interval_join_outer(batch_events)
+    assert rows(got.where("right_id IS NOT NULL"), cols) == \
+        rows(want.where("right_id IS NOT NULL"), cols)
+    got_null = rows(got.where("right_id IS NULL"), cols)
+    want_null = rows(want.where("right_id IS NULL"), cols)
+    assert set(got_null) <= set(want_null)
+    # rows provably unmatched under the final watermark must have
+    # emitted.  The query's global watermark is the MIN across both
+    # withWatermark nodes (each side tracks its own max event time),
+    # and a left row may null-emit only once watermark > left_ts +
+    # within -- so the horizon derives from the SLOWER side's max,
+    # minus delay (1h), the join bound (30m), and a safety margin
+    import datetime
+    max_l = batch_events.where("event_type = 'click'") \
+        .agg(F.max("ts")).first()[0]
+    max_r = batch_events.where("event_type = 'purchase'") \
+        .agg(F.max("ts")).first()[0]
+    horizon = min(max_l, max_r) - datetime.timedelta(hours=1, minutes=45)
+    must_emit = [r for r in want_null if r[2] < horizon]
+    assert set(must_emit) <= set(got_null)
+    assert len(must_emit) > 0 and len(got_null) > 0
