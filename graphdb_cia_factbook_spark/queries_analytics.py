@@ -14,6 +14,7 @@ single final divisions of exact integers.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from .registry import register
@@ -471,3 +472,44 @@ def attribution_last_touch(spark, sf):
         F.when(attributed, F.col("asof_click_id"))
         .alias("attributed_click_id"),
         attributed.alias("attributed"))
+
+
+@register("markov_transitions", """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cnt AS (
+  SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       ROUND(CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE), 8) AS prob
+FROM cnt c JOIN tot t ON t.from_type = c.from_type
+""")
+def markov_transitions(spark, sf):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current) -- the behavioral model
+    behind next-action prediction and anomalous-flow detection.  One
+    key-partitioned window for the successor, |types|^2 count rows,
+    probabilities from exact integer counts (engine-identical).  At
+    100 TB the window is the only event-sized op and it shuffles once
+    on user_id."""
+    ev = read_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lead("event_type").over(w).alias("next_type"))
+    cnt = (seq.where(F.col("next_type").isNotNull())
+           .groupBy(F.col("event_type").alias("from_type"),
+                    F.col("next_type").alias("to_type"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return (cnt.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("n_from").cast("double"), 8)
+                    .alias("prob")))

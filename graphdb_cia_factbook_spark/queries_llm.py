@@ -2227,3 +2227,60 @@ def llm_cms_heavy_hitters(spark, sf):
     docs = read_parallel(spark, sf, "documents")
     return count_min_heavy_hitters(docs, top_n=_CMS_TOPN,
                                    depth=_CMS_DEPTH, width=_CMS_WIDTH)
+
+
+_PMI_MIN_CNT, _PMI_TOPK = 5, 5
+
+
+@register("llm_pmi_keywords", f"""
+WITH tok AS (SELECT source, unnest({TOKS}) AS w FROM documents),
+st AS (SELECT source, w, COUNT(*) AS n_st FROM tok GROUP BY 1, 2),
+s AS (SELECT source, SUM(n_st) AS n_s FROM st GROUP BY 1),
+t AS (SELECT w, SUM(n_st) AS n_t FROM st GROUP BY 1),
+n AS (SELECT SUM(n_st) AS n FROM st),
+scored AS (
+  SELECT st.source, st.w,
+         CAST(st.n_st AS BIGINT) AS n_st,
+         ln((CAST(st.n_st AS DOUBLE) * (SELECT CAST(n AS DOUBLE) FROM n))
+            / (CAST(s.n_s AS DOUBLE) * CAST(t.n_t AS DOUBLE))) AS pmi
+  FROM st JOIN s ON s.source = st.source
+          JOIN t ON t.w = st.w
+  WHERE st.n_st >= {_PMI_MIN_CNT}
+),
+ranked AS (
+  SELECT source, w, n_st, ROUND(pmi, 8) AS pmi,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY pmi DESC, w) AS kw_rank
+  FROM scored
+)
+SELECT source, w AS token, n_st, pmi, kw_rank
+FROM ranked WHERE kw_rank <= {_PMI_TOPK}
+""")
+def llm_pmi_keywords(spark, sf):
+    """Pointwise-mutual-information keywords per source: tokens whose
+    occurrence is most specific to a source (the corpus-analytics twin
+    of TF-IDF when the 'document' is a whole domain).  All inputs to
+    the ln are exact integer counts, so the scores are engine-exact;
+    shuffles are token-sized, the per-source rank partitions by the
+    (small) source key."""
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select("source",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+    st = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_st"))
+    s = st.groupBy("source").agg(F.sum("n_st").alias("n_s"))
+    t = st.groupBy("w").agg(F.sum("n_st").alias("n_t"))
+    n = st.agg(F.sum("n_st").alias("n"))
+    scored = (st.where(F.col("n_st") >= _PMI_MIN_CNT)
+              .join(F.broadcast(s), "source")
+              .join(t, "w")
+              .crossJoin(F.broadcast(n))
+              .select("source", "w", "n_st",
+                      F.log((F.col("n_st").cast("double")
+                             * F.col("n").cast("double"))
+                            / (F.col("n_s").cast("double")
+                               * F.col("n_t").cast("double"))).alias("pmi")))
+    w_rank = Window.partitionBy("source").orderBy(F.desc("pmi"), F.asc("w"))
+    return (scored.withColumn("kw_rank", F.row_number().over(w_rank))
+            .where(F.col("kw_rank") <= _PMI_TOPK)
+            .select("source", F.col("w").alias("token"), "n_st",
+                    F.round("pmi", 8).alias("pmi"), "kw_rank"))
