@@ -988,10 +988,15 @@ def link_prediction(graph: Graph, max_degree: int | None = None) -> DataFrame:
     deg = both.groupBy(F.col("a").alias("id")) \
         .agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     mids = deg if max_degree is None else deg.where(F.col("deg") <= max_degree)
+    # the degree table is vertex-sized: broadcast it only while it
+    # plausibly fits executor memory (same ceiling rule as the rank
+    # loop's vector); past that it equi-joins through the shuffle
+    small_verts = deg.count() <= 10_000_000
+    bc = F.broadcast if small_verts else (lambda df: df)
     # wedges u - m - v with u < v, via the (middle -> endpoint) lists
     e1 = (both.select(F.col("a").alias("m"), F.col("b").alias("u"))
-          .join(F.broadcast(mids.select(F.col("id").alias("m"),
-                                        F.col("deg").alias("mdeg"))), "m"))
+          .join(bc(mids.select(F.col("id").alias("m"),
+                               F.col("deg").alias("mdeg"))), "m"))
     e2 = both.select(F.col("a").alias("m"), F.col("b").alias("v"))
     wedges = (e1.join(e2, "m").where(F.col("u") < F.col("v")))
     pairs = (wedges.groupBy(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -1004,7 +1009,7 @@ def link_prediction(graph: Graph, max_degree: int | None = None) -> DataFrame:
     pairs = pairs.join(ue, ["a", "b"], "left_anti")
     da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
-    return (pairs.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+    return (pairs.join(bc(da), "a").join(bc(db), "b")
             .select("a", "b", "common_neighbors",
                     (F.col("common_neighbors").cast("double")
                      / (F.col("deg_a") + F.col("deg_b")
