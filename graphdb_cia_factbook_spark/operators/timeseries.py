@@ -92,3 +92,43 @@ def resample_ffill(events: DataFrame, bucket: str = "1 hour",
         key_col, "bucket", "n_events",
         F.last("__obs", ignorenulls=True).over(w).alias("value_ffill"),
         F.col("__obs").isNull().alias("is_gap"))
+
+
+def twap(events: DataFrame, key_col: str = "user_id",
+         ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """Time-weighted average value per key (TWAP): each observation
+    holds until the key's next one, so its weight is that holding
+    duration in seconds; the last observation of a key carries no
+    weight (no known holding period -- the standard open-interval
+    convention).
+
+    The irregular-sampling average every metering / pricing / sensor
+    pipeline needs: a plain AVG over-weights bursts of closely-spaced
+    samples.  One lead window per key + one aggregate; weights are
+    exact integer microsecond differences and the weighted sum runs
+    over decimal-cast addends, so the result is engine-exact.  Keys
+    with a single observation yield NULL (zero total duration)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    # exact integer microseconds (unix_micros == DuckDB epoch_us), so
+    # weights carry no float error and the sums are decimal-exact
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = F.lead(mic).over(w) - mic
+    weighted = events.select(
+        key_col, F.col(value_col).alias("__v"), span.alias("__w"))
+    return (weighted.where(F.col("__w").isNotNull())
+            .groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 (F.sum(F.col("__w")).cast("double") / F.lit(1e6))
+                 .alias("total_seconds"),
+                 # value is a 2-decimal quantity: decimal(18,2) * the
+                 # integer micros weight stays EXACT (no double->
+                 # decimal rounding of 16-digit products, which the
+                 # two engines round differently at the last ulp)
+                 # the scaled numerator can exceed 2^53, where the
+                 # engines' decimal->double conversions differ by an
+                 # ulp -- round the quotient to 6dp (the repo-standard
+                 # cross-engine stabilizer for derived ratios)
+                 F.round(F.sum(F.col("__v").cast("decimal(18,2)")
+                               * F.col("__w")).cast("double")
+                         / F.sum(F.col("__w")).cast("double"), 6)
+                 .alias("twap")))

@@ -492,3 +492,27 @@ def st_stream_join_outer(spark, sf):
     twin of streaming.interval_join_outer."""
     from .streaming import interval_join_outer
     return interval_join_outer(read_table(spark, sf, "events"))
+
+
+@register("ts_twap", """
+WITH spans AS (
+  SELECT user_id, value,
+         LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+           OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))
+         - epoch_us(CAST(ts AS TIMESTAMP)) AS w
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_intervals,
+       CAST(SUM(w) AS DOUBLE) / 1e6 AS total_seconds,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * w) AS DOUBLE)
+             / CAST(SUM(w) AS DOUBLE), 6) AS twap
+FROM spans WHERE w IS NOT NULL
+GROUP BY user_id
+""")
+def ts_twap(spark, sf):
+    """Time-weighted average value per user over irregular event
+    samples (each observation weighted by its holding duration) --
+    the metering/pricing average a plain AVG gets wrong on bursty
+    streams.  See operators.timeseries.twap."""
+    from .operators.timeseries import twap
+    return twap(read_table(spark, sf, "events"))
