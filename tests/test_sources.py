@@ -191,3 +191,29 @@ def test_write_clustered_gives_prunable_file_ranges(spark, tmp_path):
            "l_shipdate < TIMESTAMP '1996-02-01'"
     got = spark.read.parquet(path).where(pred).count()
     assert got == li.where(pred).count()
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a filtered dim must inject a dynamic-pruning
+    predicate into the partitioned fact scan (runtime partition
+    elimination -- the star-join scan killer at 100 TB), and the
+    pruned result must equal the statically-filtered one."""
+    import contextlib
+    import io
+    from graphdb_cia_factbook_spark.sources import read_table
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "dpp_fact")
+    li = read_table(spark, SF, "lineitem")
+    li.write.partitionBy("l_returnflag").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("N", "kept"), ("A", "accepted")],
+        "flag string, label string")
+    j = fact.join(dim.where("label = 'returned'"),
+                  fact.l_returnflag == F.col("flag"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruningexpression" in plan.lower()
+    assert j.count() == li.where("l_returnflag = 'R'").count()
