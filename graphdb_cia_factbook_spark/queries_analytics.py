@@ -513,3 +513,66 @@ def markov_transitions(spark, sf):
                     F.round(F.col("n").cast("double")
                             / F.col("n_from").cast("double"), 8)
                     .alias("prob")))
+
+
+@register("ab_test_welch", """
+WITH assigned AS (
+  SELECT event_type, value, user_id % 2 AS variant FROM events
+),
+moments AS (
+  SELECT event_type, variant, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))
+                  * CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s2
+  FROM assigned GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, variant, n,
+         s1 / n AS mean,
+         (s2 - (s1 * s1) / n) / (n - 1) AS var
+  FROM moments
+)
+SELECT a.event_type,
+       a.n AS n_control, b.n AS n_treatment,
+       ROUND(a.mean, 8) AS mean_control,
+       ROUND(b.mean, 8) AS mean_treatment,
+       ROUND((b.mean - a.mean)
+             / sqrt(a.var / a.n + b.var / b.n), 8) AS welch_t
+FROM stats a JOIN stats b ON a.event_type = b.event_type
+WHERE a.variant = 0 AND b.variant = 1
+""")
+def ab_test_welch(spark, sf):
+    """Experiment readout: deterministic 50/50 variant assignment
+    (user_id parity -- the keyed-hash assignment discipline of the
+    sampling module), per-metric means, and Welch's t-statistic for
+    the treatment effect.  Sums and sums-of-squares go through exact
+    decimals, so the derived means/variances/t are engine-identical;
+    one map-side-combined aggregate per (metric, variant), nothing
+    event-sized shuffles."""
+    ev = read_table(spark, sf, "events")
+    dec = F.col("value").cast("decimal(27,4)")
+    moments = (ev.select("event_type", "value",
+                         F.pmod(F.col("user_id"), F.lit(2)).alias("variant"))
+               .groupBy("event_type", "variant")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(dec).cast("double").alias("s1"),
+                    F.sum(dec * dec).cast("double").alias("s2")))
+    stats = moments.select(
+        "event_type", "variant", "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        ((F.col("s2") - (F.col("s1") * F.col("s1")) / F.col("n"))
+         / (F.col("n") - 1)).alias("var"))
+    a = stats.where("variant = 0").select(
+        "event_type", F.col("n").alias("n_control"),
+        F.col("mean").alias("__m0"), F.col("var").alias("__v0"))
+    b = stats.where("variant = 1").select(
+        "event_type", F.col("n").alias("n_treatment"),
+        F.col("mean").alias("__m1"), F.col("var").alias("__v1"))
+    return (a.join(b, "event_type")
+            .select("event_type", "n_control", "n_treatment",
+                    F.round("__m0", 8).alias("mean_control"),
+                    F.round("__m1", 8).alias("mean_treatment"),
+                    F.round((F.col("__m1") - F.col("__m0"))
+                            / F.sqrt(F.col("__v0") / F.col("n_control")
+                                     + F.col("__v1") / F.col("n_treatment")),
+                            8).alias("welch_t")))
