@@ -1043,3 +1043,47 @@ def harmonic_centrality(graph: Graph, sources: list | None = None,
                     F.round(F.coalesce(F.col("hsum"), F.lit(0.0))
                             / F.lit(float(n_total - 1)), 8)
                     .alias("harmonic")))
+
+
+def neighborhood_agg(graph: Graph, feature_cols: list,
+                     features: DataFrame | None = None) -> DataFrame:
+    """One GraphSAGE-style message-passing layer: for every vertex,
+    the mean of its IN-neighbors' feature vector concatenated with its
+    own features -- the DataFrame form of a GNN aggregation step (the
+    embedding-prep sibling of the random-walk corpus: walk-based and
+    aggregation-based graph features from the same edge table).
+
+    ``features`` defaults to :meth:`Graph.degrees`.  Scale shape: one
+    edge-sized equi-join (features broadcast while vertex-sized tables
+    fit, same ceiling rule as the rank loop) + one vertex-keyed mean
+    aggregate.  Means are decimal-exact sums over exact inputs divided
+    by counts -- engine-identical, so a stack of layers stays
+    oracle-checkable."""
+    feats = features if features is not None else graph.degrees()
+    n = feats.count()
+    bc = F.broadcast if n <= 10_000_000 else (lambda df: df)
+    src_feats = feats.select(
+        F.col("id").alias("src"),
+        *[F.col(c).alias(f"__f_{c}") for c in feature_cols])
+    msgs = (graph.edges.select("src", "dst")
+            .join(bc(src_feats), "src"))
+    # decimal(27,4) = dsum's own scale: the degree features ARE
+    # 4-decimal quantities, so the cast recovers them exactly on both
+    # engines (any OTHER scale re-rounds and the engines disagree on
+    # exact .5 ties -- shortest-repr vs exact-binary tie detection)
+    agg = (msgs.groupBy(F.col("dst").alias("id"))
+           .agg(F.count(F.lit(1)).alias("n_in_neighbors"),
+                *[(F.sum(F.col(f"__f_{c}").cast("decimal(27,4)"))
+                   .cast("double") / F.count(F.lit(1)))
+                  .alias(f"nbr_mean_{c}") for c in feature_cols]))
+    return (feats.select("id", *feature_cols)
+            .join(agg, "id", "left")
+            .select("id", *feature_cols,
+                    F.coalesce("n_in_neighbors", F.lit(0))
+                    .alias("n_in_neighbors"),
+                    # NO final round: the decimal-exact sums convert
+                    # and divide identically on both engines, while
+                    # round() itself disagrees on exact .5 boundaries
+                    # (shortest-repr vs exact-binary tie detection)
+                    *[F.coalesce(F.col(f"nbr_mean_{c}"), F.lit(0.0))
+                      .alias(f"nbr_mean_{c}") for c in feature_cols]))

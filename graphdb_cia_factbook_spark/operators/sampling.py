@@ -261,3 +261,57 @@ def dsir_weights(df: DataFrame, target_pred, n_buckets: int = 256,
             .select(id_col, "n_bigrams",
                     F.round("__lw", 6).alias("log_weight"),
                     (F.col("__lw") > 0).alias("selected")))
+
+
+#: Poisson(1) CDF thresholds scaled to 32-bit integers: a uniform
+#: 32-bit hash u maps to weight k where u < threshold[k] first holds
+#: (k = 9 above the last).  Integer comparisons only -- no float CDF
+#: evaluation to drift between engines.
+POISSON1_THRESHOLDS = [1580030168, 3160060337, 3950075421, 4213413783,
+                       4279248373, 4292415291, 4294609777, 4294923276,
+                       4294962463]
+
+
+def poisson_bootstrap_mean_ci(df: DataFrame, value_col: str,
+                              id_col: str, n_replicas: int = 40,
+                              salt: str = "boot") -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` -- THE bootstrap that works at 100 TB: instead of
+    resampling N rows with replacement (impossible to coordinate
+    across a cluster), every row independently enters replica ``b``
+    with Poisson(1) multiplicity, decided by its own keyed hash.  One
+    pass over the data computes all replicas; no global coordination,
+    no RNG state, fully replayable (the same discipline as every other
+    keyed decision in this module).
+
+    Returns one row: the full-data mean, the order-statistic CI from
+    the sorted replica means (2nd and (B-1)th of B -- a ~95% interval
+    at B=40), and the replica count.  Replica means are decimal-exact
+    sums divided once; the CI picks elements of a sorted 40-value
+    array, so the whole output is engine-identical."""
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"),
+                       F.lit(":"), F.col("b").cast("string"))), 1, 8),
+        16, 10).cast("long"))
+    w = F.lit(9)
+    for k in range(len(POISSON1_THRESHOLDS) - 1, -1, -1):
+        w = F.when(u < POISSON1_THRESHOLDS[k], F.lit(k)).otherwise(w)
+    rep = (df.select(id_col, value_col)
+           .withColumn("b", F.explode(F.sequence(
+               F.lit(0), F.lit(n_replicas - 1))))
+           .withColumn("__w", w))
+    means = (rep.groupBy("b")
+             .agg((F.sum((F.col(value_col) * F.col("__w"))
+                         .cast("decimal(27,6)")).cast("double")
+                   / F.sum("__w").cast("double")).alias("m")))
+    overall = df.agg(
+        (F.sum(F.col(value_col).cast("decimal(27,6)")).cast("double")
+         / F.count(value_col)).alias("mean"))
+    lo_i, hi_i = 2, n_replicas - 1
+    return (means.agg(F.array_sort(
+        F.collect_list(F.round("m", 8))).alias("__ms"))
+        .crossJoin(F.broadcast(overall))
+        .select(F.round("mean", 8).alias("mean"),
+                F.element_at("__ms", lo_i).alias("ci_lo"),
+                F.element_at("__ms", hi_i).alias("ci_hi"),
+                F.lit(n_replicas).alias("n_replicas")))

@@ -576,3 +576,50 @@ def ab_test_welch(spark, sf):
                             / F.sqrt(F.col("__v0") / F.col("n_control")
                                      + F.col("__v1") / F.col("n_treatment")),
                             8).alias("welch_t")))
+
+
+from .operators.sampling import POISSON1_THRESHOLDS  # noqa: E402
+
+_BOOT_B = 40
+
+
+def _boot_sql() -> str:
+    u = ("(('0x' || substr(md5('boot' || CAST(event_id AS VARCHAR) "
+         "|| ':' || CAST(b AS VARCHAR)), 1, 8))::BIGINT)")
+    whens = " ".join(f"WHEN {u} < {t} THEN {k}"
+                     for k, t in enumerate(POISSON1_THRESHOLDS))
+    return f"""
+WITH rep AS (
+  SELECT event_id, value, unnest(range(0, {_BOOT_B})) AS b FROM events
+),
+weighted AS (
+  SELECT b, value, CASE {whens} ELSE 9 END AS w FROM rep
+),
+means AS (
+  SELECT b, CAST(SUM(CAST(value * w AS DECIMAL(27,6))) AS DOUBLE)
+            / CAST(SUM(w) AS DOUBLE) AS m
+  FROM weighted GROUP BY b
+),
+sorted AS (SELECT list(ROUND(m, 8) ORDER BY ROUND(m, 8)) AS ms FROM means),
+overall AS (
+  SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+         / COUNT(value) AS mean
+  FROM events
+)
+SELECT ROUND(o.mean, 8) AS mean, s.ms[2] AS ci_lo,
+       s.ms[{_BOOT_B - 1}] AS ci_hi, {_BOOT_B} AS n_replicas
+FROM sorted s, overall o
+"""
+
+
+@register("boot_mean_ci", _boot_sql())
+def boot_mean_ci(spark, sf):
+    """Poisson-bootstrap 95% CI for the mean event value: every row
+    enters each of {B} replicas with hash-decided Poisson(1)
+    multiplicity -- the coordination-free, replayable bootstrap that
+    scales to 100 TB (one pass, no resampling shuffle).  See
+    operators.sampling.poisson_bootstrap_mean_ci.""".format(B=_BOOT_B)
+    from .operators.sampling import poisson_bootstrap_mean_ci
+    ev = read_table(spark, sf, "events")
+    return poisson_bootstrap_mean_ci(ev, "value", "event_id",
+                                     n_replicas=_BOOT_B)

@@ -1207,3 +1207,43 @@ def g_harmonic(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return harmonic_centrality(Graph(g.vertices, top3))
+
+
+@register("g_neighborhood_agg", f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT v.id,
+         COALESCE(o.out_deg, 0) AS out_deg,
+         COALESCE(o.out_amount, 0.0) AS out_amount
+  FROM verts v
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS out_deg,
+                    CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                      AS out_amount
+             FROM edges GROUP BY 1) o ON v.id = o.id
+),
+msgs AS (
+  SELECT e.dst AS id, d.out_deg, d.out_amount
+  FROM edges e JOIN deg d ON d.id = e.src
+),
+agg AS (
+  SELECT id, COUNT(*) AS n_in_neighbors,
+         CAST(SUM(CAST(out_deg AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+           AS m_deg,
+         CAST(SUM(CAST(out_amount AS DECIMAL(27,4))) AS DOUBLE) / COUNT(*)
+           AS m_amt
+  FROM msgs GROUP BY id
+)
+SELECT d.id, d.out_deg, d.out_amount,
+       COALESCE(a.n_in_neighbors, 0) AS n_in_neighbors,
+       COALESCE(a.m_deg, 0.0) AS nbr_mean_out_deg,
+       COALESCE(a.m_amt, 0.0) AS nbr_mean_out_amount
+FROM deg d LEFT JOIN agg a ON a.id = d.id
+""")
+def g_neighborhood_agg(spark, sf):
+    """GraphSAGE-style message passing: each nation's features
+    (out-degree, export volume) averaged over its trade suppliers --
+    one GNN aggregation layer as a DataFrame plan.  See
+    operators.graph.neighborhood_agg."""
+    from .operators.graph import build_trade_graph, neighborhood_agg
+    g = build_trade_graph(spark, sf)
+    return neighborhood_agg(g, ["out_deg", "out_amount"])

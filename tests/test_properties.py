@@ -205,3 +205,21 @@ def test_aggregate_state_merge_is_order_and_split_invariant(spark):
     assert rows_of(m1) == rows_of(full.withColumn(
         "n_rows", F.col("n_rows").cast("long")))
     assert rows_of(m1) == rows_of(m2)
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    """The bootstrap CI must bracket the point estimate, be
+    deterministic across runs, and shrink roughly as 1/sqrt(n)."""
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        poisson_bootstrap_mean_ci,
+    )
+    small = spark.range(200).selectExpr("id", "CAST(id % 17 AS DOUBLE) AS v")
+    big = spark.range(20000).selectExpr("id", "CAST(id % 17 AS DOUBLE) AS v")
+    r_small = poisson_bootstrap_mean_ci(small, "v", "id").first()
+    r_big = poisson_bootstrap_mean_ci(big, "v", "id").first()
+    for r in (r_small, r_big):
+        assert r.ci_lo <= r.mean <= r.ci_hi
+        assert r.ci_lo < r.ci_hi
+    assert (r_big.ci_hi - r_big.ci_lo) < (r_small.ci_hi - r_small.ci_lo)
+    again = poisson_bootstrap_mean_ci(small, "v", "id").first()
+    assert again == r_small
