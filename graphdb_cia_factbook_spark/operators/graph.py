@@ -1087,3 +1087,154 @@ def neighborhood_agg(graph: Graph, feature_cols: list,
                     # (shortest-repr vs exact-binary tie detection)
                     *[F.coalesce(F.col(f"nbr_mean_{c}"), F.lit(0.0))
                       .alias(f"nbr_mean_{c}") for c in feature_cols]))
+
+def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
+                          max_hops: int = 30,
+                          directed: bool = True) -> DataFrame:
+    """Shared-frontier BFS that ALSO counts shortest paths: returns the
+    closure (root, id, dist, npaths) where ``npaths`` is the number of
+    distinct shortest src->dst paths (sigma in Brandes' notation).
+
+    Same superstep shape as :func:`_multi_root_bfs` -- |diameter|
+    rounds, each one frontier join + per-(root, dst) count aggregate +
+    anti-join -- because BFS path counting is level-synchronous: the
+    shortest-path count of a vertex first reached at hop d is the sum
+    of the counts of its hop-(d-1) predecessors, which is exactly the
+    frontier aggregate."""
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.union(graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+
+    roots = graph.vertices.select("id")
+    if sources is not None:
+        roots = roots.where(F.col("id").isin(sources))
+
+    frontier = (roots.select(F.col("id").alias("root"), "id",
+                             F.lit(0).alias("dist"),
+                             F.lit(1).cast("long").alias("npaths"))
+                .localCheckpoint())
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (edges.join(frontier, edges.src == frontier.id)
+               .groupBy("root", F.col("dst").alias("nid"))
+               .agg(F.sum("npaths").alias("npaths"))
+               .withColumnRenamed("nid", "id")
+               .join(visited.select("root", "id"), ["root", "id"],
+                     "left_anti")
+               .withColumn("dist", F.lit(hop))
+               .select("root", "id", "dist", "npaths")
+               .localCheckpoint(eager=False))
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    return visited
+
+
+def betweenness_centrality(graph: Graph, max_hops: int = 30,
+                           directed: bool = True) -> DataFrame:
+    """Exact betweenness centrality via shortest-path counting
+    (Brandes' pair dependencies, expressed as closure joins instead of
+    the sequential dependency accumulation):
+
+    ``bc(v) = sum over (s, t), s != v != t, of
+    sigma(s, v) * sigma(v, t) / sigma(s, t)`` restricted to pairs where
+    ``dist(s, v) + dist(v, t) = dist(s, t)`` (i.e. v lies on a shortest
+    s->t path).  All three sigma factors come from ONE multi-root BFS
+    closure (:func:`_multi_root_bfs_paths`); the restriction is the
+    equi-join condition on distances.
+
+    Determinism: sigma values are exact integers, the per-triple ratio
+    is one IEEE double division, and the per-vertex sum goes through
+    decimal(27,12) so reduction order cannot change it; final round(8).
+
+    Scale posture: exact all-pairs betweenness is O(V * closure) join
+    work -- the per-vertex closure join is for moderate vertex counts
+    (the reference's country graph).  At web scale run the same plan
+    over a root SAMPLE (Brandes-Pich estimation): pass ``sources`` to
+    the closure and divide by the sample fraction; the join shape is
+    unchanged.  Sibling of the GDS centrality family the reference's
+    stack exposes next to pageRank
+    (/root/reference/preprocess_upload_neo4j.py:400-447)."""
+    closure = _multi_root_bfs_paths(graph, None, max_hops, directed)
+    closure = closure.localCheckpoint()  # three consumers below
+    sv = (closure.where(F.col("dist") > 0)
+          .select(F.col("root").alias("s"), F.col("id").alias("v"),
+                  F.col("dist").alias("d1"), F.col("npaths").alias("p1")))
+    vt = (closure.where(F.col("dist") > 0)
+          .select(F.col("root").alias("v2"), F.col("id").alias("t"),
+                  F.col("dist").alias("d2"), F.col("npaths").alias("p2")))
+    st = closure.select(F.col("root").alias("s2"), F.col("id").alias("t2"),
+                        F.col("dist").alias("d"), F.col("npaths").alias("p"))
+    contrib = (sv.join(vt, sv.v == vt.v2)
+               .where(F.col("t") != F.col("s"))
+               .join(st, (F.col("s") == F.col("s2"))
+                     & (F.col("t") == F.col("t2"))
+                     & (F.col("d") == F.col("d1") + F.col("d2")))
+               .groupBy(F.col("v").alias("id"))
+               .agg(F.sum(((F.col("p1") * F.col("p2")).cast("double")
+                           / F.col("p").cast("double"))
+                          .cast("decimal(27,12)"))
+                    .cast("double").alias("bsum")))
+    return (graph.vertices.select("id")
+            .join(contrib, "id", "left")
+            .select("id",
+                    F.round(F.coalesce("bsum", F.lit(0.0)), 8)
+                    .alias("betweenness")))
+
+
+def wl_refinement(graph: Graph, iters: int = 3,
+                  directed: bool = True) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (1-WL): iteratively relabel
+    every vertex with a hash of its own color and the sorted MULTISET
+    of its in-neighbors' colors.  After k rounds two vertices share a
+    color iff their depth-k neighborhood trees are isomorphic -- the
+    standard structural-role / graph-fingerprint primitive (WL kernels,
+    GNN expressiveness baseline).
+
+    Engine-portable hashing: colors are md5 hex strings; the neighbor
+    multiset is the comma-join of the SORTED collected colors, so the
+    signature is reduction-order-independent and identical in any
+    engine with md5 + string sort.  Init color = md5(in_deg|out_deg).
+
+    Scale shape per round: one edge-sized equi-join + one vertex-keyed
+    sort-agg -- the same message-passing superstep as
+    :func:`neighborhood_agg`, k rounds total.  Hub vertices with huge
+    neighbor lists are the skew risk at web scale; cap or sketch the
+    multiset (e.g. per-color counts) if a vertex's list outgrows a
+    task."""
+    edges = graph.edges.select("src", "dst")
+    if not directed:
+        edges = edges.union(graph.edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+
+    outd = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outd"))
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("ind"))
+    colors = (graph.vertices.select("id")
+              .join(ind, "id", "left").join(outd, "id", "left")
+              .select("id", F.md5(F.concat_ws(
+                  "|",
+                  F.coalesce("ind", F.lit(0)).cast("string"),
+                  F.coalesce("outd", F.lit(0)).cast("string")))
+                  .alias("color")))
+    for _ in range(iters):
+        nbr = (edges.join(colors, edges.src == colors.id)
+               .select(F.col("dst").alias("id"),
+                       F.col("color").alias("nc")))
+        sig = (nbr.groupBy("id")
+               .agg(F.array_join(F.array_sort(F.collect_list("nc")), ",")
+                    .alias("sig")))
+        colors = (colors.join(sig, "id", "left")
+                  .select("id", F.md5(F.concat_ws(
+                      "|", "color", F.coalesce("sig", F.lit(""))))
+                      .alias("color"))
+                  .localCheckpoint(eager=False))
+    classes = colors.groupBy("color").agg(
+        F.count(F.lit(1)).alias("class_size"))
+    return (colors.join(classes, "color")
+            .select("id", F.col("color").alias("wl_color"), "class_size"))

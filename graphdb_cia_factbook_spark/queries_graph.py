@@ -1247,3 +1247,152 @@ def g_neighborhood_agg(spark, sf):
     from .operators.graph import build_trade_graph, neighborhood_agg
     g = build_trade_graph(spark, sf)
     return neighborhood_agg(g, ["out_deg", "out_amount"])
+
+
+_TOP3_CTE = """
+top3 AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+)"""
+
+#: level-synchronous path-count CTEs generated up to |V|-1 levels (a
+#: shortest path can never be longer); g_betweenness asserts the vertex
+#: count fits at query time (same guard style as g_kcore).
+_BETW_LEVELS = 25
+
+
+def _betweenness_sql(levels: int) -> str:
+    """Generate the DuckDB twin of betweenness_centrality on the top-3
+    subgraph: recursive reachability gives min distances; shortest-path
+    COUNTS are computed level-synchronously (np_d from np_{d-1} --
+    recursive UNION ALL would enumerate all walks and explode on
+    cycles); the Brandes pair-dependency is the same closure join the
+    Spark operator runs."""
+    parts = [f"WITH RECURSIVE {EDGES_CTE.lstrip()},", _TOP3_CTE.lstrip(),
+             f""",
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < {levels}
+),
+mind AS MATERIALIZED (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY root, id
+),
+np0 AS (SELECT id AS root, id, CAST(1 AS BIGINT) AS npaths FROM verts)"""]
+    for d in range(1, levels + 1):
+        parts.append(f""",
+np{d} AS MATERIALIZED (
+  SELECT r.root, e.dst AS id, SUM(r.npaths) AS npaths
+  FROM np{d - 1} r
+  JOIN top3 e ON e.src = r.id
+  JOIN mind m ON m.root = r.root AND m.id = e.dst AND m.dist = {d}
+  GROUP BY 1, 2
+)""")
+    union = "\n  UNION ALL ".join(
+        f"SELECT root, id, {d} AS dist, npaths FROM np{d}"
+        for d in range(0, levels + 1))
+    parts.append(f""",
+closure AS MATERIALIZED (
+  {union}
+),
+sv AS (SELECT root AS s, id AS v, dist AS d1, npaths AS p1
+       FROM closure WHERE dist > 0),
+vt AS (SELECT root AS vv, id AS t, dist AS d2, npaths AS p2
+       FROM closure WHERE dist > 0),
+bc AS (
+  SELECT sv.v AS id,
+         CAST(SUM(CAST(CAST(sv.p1 * vt.p2 AS DOUBLE)
+                       / CAST(st.npaths AS DOUBLE)
+                       AS DECIMAL(27,12))) AS DOUBLE) AS bsum
+  FROM sv
+  JOIN vt ON vt.vv = sv.v AND vt.t != sv.s
+  JOIN closure st ON st.root = sv.s AND st.id = vt.t
+                 AND st.dist = sv.d1 + vt.d2
+  GROUP BY 1
+)
+SELECT v.id, ROUND(COALESCE(b.bsum, 0.0), 8) AS betweenness
+FROM verts v LEFT JOIN bc b ON v.id = b.id""")
+    return "".join(parts)
+
+
+@register("g_betweenness", _betweenness_sql(_BETW_LEVELS))
+def g_betweenness(spark, sf):
+    """EXT graph algorithm: exact betweenness centrality on the
+    top-3-partner digraph -- which nations sit on the most shortest
+    trade routes (the brokerage sibling of the closeness/harmonic
+    entries; GDS exposes betweenness in the same centrality family the
+    reference's stack uses, preprocess_upload_neo4j.py:400-447).
+    Spark side: one path-counting multi-root BFS + the Brandes
+    pair-dependency as closure joins (operators.graph.
+    betweenness_centrality); oracle: identical math from generated
+    level-synchronous path-count SQL."""
+    from .operators.graph import Graph, betweenness_centrality
+    g = build_trade_graph(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts - 1 <= _BETW_LEVELS, (
+        f"g_betweenness oracle counts paths over {_BETW_LEVELS} levels "
+        f"but the graph has {n_verts} vertices; raise _BETW_LEVELS to "
+        f">= |V| - 1 or the oracle can under-count")
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return betweenness_centrality(Graph(g.vertices, top3))
+
+
+_WL_ITERS = 3
+
+
+def _wl_sql(iters: int) -> str:
+    """Generate the DuckDB twin of wl_refinement on the top-3 subgraph:
+    one CTE per refinement round; the neighbor multiset is
+    string_agg(color ORDER BY color), matching Spark's
+    array_join(array_sort(collect_list))."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+ind AS (SELECT dst AS id, COUNT(*) AS d FROM top3 GROUP BY 1),
+outd AS (SELECT src AS id, COUNT(*) AS d FROM top3 GROUP BY 1),
+c0 AS MATERIALIZED (
+  SELECT v.id,
+         md5(CAST(COALESCE(i.d, 0) AS VARCHAR) || '|' ||
+             CAST(COALESCE(o.d, 0) AS VARCHAR)) AS color
+  FROM verts v
+  LEFT JOIN ind i ON i.id = v.id
+  LEFT JOIN outd o ON o.id = v.id
+)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+c{k} AS MATERIALIZED (
+  SELECT c.id, md5(c.color || '|' || COALESCE(s.sig, '')) AS color
+  FROM c{k - 1} c
+  LEFT JOIN (SELECT e.dst AS id,
+                    string_agg(p.color, ',' ORDER BY p.color) AS sig
+             FROM top3 e JOIN c{k - 1} p ON p.id = e.src
+             GROUP BY e.dst) s ON s.id = c.id
+)""")
+    parts.append(f"""
+SELECT c.id, c.color AS wl_color, cls.class_size
+FROM c{iters} c
+JOIN (SELECT color, COUNT(*) AS class_size
+      FROM c{iters} GROUP BY 1) cls
+  ON cls.color = c.color""")
+    return "".join(parts)
+
+
+@register("g_wl_colors", _wl_sql(_WL_ITERS))
+def g_wl_colors(spark, sf):
+    """EXT graph algorithm: Weisfeiler-Lehman color refinement on the
+    top-3-partner digraph -- structural-role fingerprints (two nations
+    share a color iff their depth-3 trade neighborhoods are
+    isomorphic).  Engine-portable md5 colors; see
+    operators.graph.wl_refinement for the superstep shape."""
+    from .operators.graph import Graph, wl_refinement
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return wl_refinement(Graph(g.vertices, top3), iters=_WL_ITERS)

@@ -394,3 +394,66 @@ def test_link_prediction_scores(spark):
     # so no predicted links survive
     capped = link_prediction(Graph(verts, edges), max_degree=2).collect()
     assert capped == []
+
+
+def test_betweenness_path_graph(spark):
+    """Directed path A->B->C->D: exact betweenness is the number of
+    (s,t) pairs a vertex sits strictly inside: B on A->C, A->D (2);
+    C on A->D, B->D (2); endpoints 0."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, betweenness_centrality)
+    v = spark.createDataFrame([("A",), ("B",), ("C",), ("D",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string")
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(Graph(v, e)).collect()}
+    assert got == {"A": 0.0, "B": 2.0, "C": 2.0, "D": 0.0}
+
+
+def test_betweenness_splits_parallel_shortest_paths(spark):
+    """Diamond A->{B,C}->D: two shortest A->D paths, so B and C each
+    carry sigma ratio 1/2."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, betweenness_centrality)
+    v = spark.createDataFrame([("A",), ("B",), ("C",), ("D",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("A", "C"), ("B", "D"), ("C", "D")],
+        "src string, dst string")
+    got = {r["id"]: r["betweenness"]
+           for r in betweenness_centrality(Graph(v, e)).collect()}
+    assert got == {"A": 0.0, "B": 0.5, "C": 0.5, "D": 0.0}
+
+
+def test_wl_refinement_distinguishes_roles(spark):
+    """Directed 4-cycle + one chord: cycle-only vertices stay
+    symmetric; the chord endpoints get distinct colors.  Also checks
+    class_size bookkeeping."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, wl_refinement)
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D"), ("D", "A"), ("A", "C")],
+        "src string, dst string")
+    rows = wl_refinement(Graph(v, e), iters=3).collect()
+    colors = {r["id"]: r["wl_color"] for r in rows}
+    sizes = {r["id"]: r["class_size"] for r in rows}
+    # A (outdeg 2) and C (indeg 2) are structurally unique
+    assert colors["A"] != colors["C"]
+    assert len({colors["A"], colors["B"], colors["C"], colors["D"]}) >= 3
+    from collections import Counter
+    want_sizes = Counter(colors.values())
+    for vid, c in colors.items():
+        assert sizes[vid] == want_sizes[c]
+
+
+def test_wl_refinement_symmetric_graph_one_class(spark):
+    """Directed 3-cycle: perfectly symmetric, every round must keep
+    all vertices in ONE color class."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, wl_refinement)
+    v = spark.createDataFrame([(x,) for x in "XYZ"], "id string")
+    e = spark.createDataFrame(
+        [("X", "Y"), ("Y", "Z"), ("Z", "X")], "src string, dst string")
+    rows = wl_refinement(Graph(v, e), iters=3).collect()
+    assert len({r["wl_color"] for r in rows}) == 1
+    assert all(r["class_size"] == 3 for r in rows)
