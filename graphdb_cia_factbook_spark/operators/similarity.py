@@ -576,3 +576,104 @@ def pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
                            order=[F.desc("adot"), F.asc("neighbor_id")])
             .select("query_id", "neighbor_id", "rank",
                     F.round("adot", 6).alias("adot")))
+
+
+def rerank_topk(emb: DataFrame, queries: DataFrame, k: int = 3,
+                k_candidates: int = 10, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval: CHEAP candidate generation over the
+    int8-quantized index (:func:`quantized_topk`, ``k_candidates`` per
+    query), then exact full-precision cosine re-ranking of only those
+    candidates down to ``k`` -- the standard recall-recovery pattern
+    every production ANN stack runs (coarse index -> rerank).
+
+    Scale shape: stage 1 streams the 4x-denser quantized index once;
+    stage 2 touches ``Q * k_candidates`` full-precision vectors via an
+    equi-join on neighbor_id (never the corpus again), so the expensive
+    float path is candidate-sized.  Output matches
+    :func:`brute_force_topk` (query_id, neighbor_id, rank, cos)."""
+    cands = quantized_topk(emb, queries, k_candidates, id_col, vec_col) \
+        .select("query_id", "neighbor_id")
+    qv = queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).alias("__qv"))
+    cv = emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__cv"))
+    scored = (cands.join(cv, "neighbor_id")
+              .join(F.broadcast(qv), "query_id")
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "neighbor_id", "rank",
+                    F.round("cos", 6).alias("cos")))
+
+
+def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 3,
+               pool: int = 8, lam: float = 0.7,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k (Carbonell &
+    Goldstein 1998): greedily pick, ``k`` times, the candidate
+    maximizing ``lam * rel(q, d) - (1 - lam) * max_{s in S} sim(d, s)``
+    over the already-selected set S -- relevance-plus-diversity
+    re-ranking for RAG context selection.
+
+    Determinism contract: relevance = the pool's cosine rounded to 6
+    decimals, candidate-candidate sims likewise round-6, so every score
+    is the same IEEE double on any engine; ties break on neighbor_id.
+    MAX over selected sims is reduction-order-free.
+
+    Scale shape: the greedy loop runs over the candidate POOL (top
+    ``pool`` per query from :func:`brute_force_topk`), so each of the
+    k unrolled steps joins Q * pool rows against Q * pool^2 pairwise
+    sims -- all candidate-sized, nothing corpus-sized; the selection
+    argmax is one window per step."""
+    assert k <= pool
+    cand = (brute_force_topk(emb, queries, pool, id_col, vec_col)
+            .select("query_id", "neighbor_id", F.col("cos").alias("rel"))
+            .localCheckpoint())  # consumed by every greedy step
+    cv = emb.select(F.col(id_col).alias("neighbor_id"),
+                    F.col(vec_col).alias("__v"))
+    pa = (cand.select("query_id", F.col("neighbor_id").alias("a"))
+          .join(cv.select(F.col("neighbor_id").alias("a"),
+                          F.col("__v").alias("__va")), "a"))
+    pb = (cand.select("query_id", F.col("neighbor_id").alias("b"))
+          .join(cv.select(F.col("neighbor_id").alias("b"),
+                          F.col("__v").alias("__vb")), "b"))
+    sims = (pa.join(pb, "query_id")
+            .where(F.col("a") != F.col("b"))
+            .select("query_id", "a", "b",
+                    F.round(cosine(F.col("__va"), F.col("__vb")), 6)
+                    .alias("sim"))
+            .localCheckpoint())
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id"))
+    first = (cand.select("query_id", "neighbor_id",
+                         F.col("rel").alias("score"))
+             .withColumn("__r", F.row_number().over(w))
+             .where(F.col("__r") == 1)
+             .select("query_id", "neighbor_id", "score",
+                     F.lit(1).alias("mmr_rank")))
+    selected = first
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"], "left_anti")
+        maxsim = (sims
+                  .join(selected.select(
+                      "query_id", F.col("neighbor_id").alias("b")),
+                      ["query_id", "b"])
+                  .groupBy("query_id", F.col("a").alias("neighbor_id"))
+                  .agg(F.max("sim").alias("maxsim")))
+        pick = (remaining.join(maxsim, ["query_id", "neighbor_id"])
+                .select("query_id", "neighbor_id",
+                        (F.lit(lam) * F.col("rel")
+                         - F.lit(1.0 - lam) * F.col("maxsim"))
+                        .alias("score"))
+                .withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1)
+                .select("query_id", "neighbor_id", "score",
+                        F.lit(step).alias("mmr_rank")))
+        selected = selected.union(pick).localCheckpoint(eager=False)
+    return selected.select("query_id", "neighbor_id", "mmr_rank",
+                           F.round("score", 6).alias("score"))

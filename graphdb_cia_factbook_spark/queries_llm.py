@@ -2284,3 +2284,143 @@ def llm_pmi_keywords(spark, sf):
             .where(F.col("kw_rank") <= _PMI_TOPK)
             .select("source", F.col("w").alias("token"), "n_st",
                     F.round("pmi", 8).alias("pmi"), "kw_rank"))
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval: coarse candidates -> exact rerank; MMR diversity
+# ---------------------------------------------------------------------------
+
+_RERANK_SQL = """
+WITH {{QZ}},
+qscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round({{DOT}}, 6) AS qdot
+  FROM qz c, qz q
+  WHERE q.vec_id < 16 AND c.vec_id <> q.vec_id
+),
+cands AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY qdot DESC, neighbor_id) AS r
+    FROM qscored) WHERE r <= 10
+),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {{COS}} AS cos
+  FROM cands cd
+  JOIN embeddings c ON c.vec_id = cd.neighbor_id
+  JOIN embeddings q ON q.vec_id = cd.query_id
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM rescored) WHERE rank <= 3
+""".replace("{{QZ}}", _QZ_CTE.lstrip()) \
+   .replace("{{DOT}}", _INT8_DOT) \
+   .replace("{{COS}}", _cos_sql("q.embedding", "c.embedding"))
+
+
+@register("llm_ann_rerank", _RERANK_SQL)
+def llm_ann_rerank(spark, sf):
+    """Two-stage ANN: int8-quantized candidate generation (top-10 per
+    query over the 4x-denser integer index) then exact full-precision
+    cosine re-ranking of only those candidates to top-3 -- the
+    coarse-then-rerank pattern that recovers recall without ever
+    re-touching the corpus at full precision.  See
+    operators.similarity.rerank_topk."""
+    from .operators.similarity import rerank_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    return rerank_topk(emb, emb.where(F.col("vec_id") < 16),
+                       k=3, k_candidates=10)
+
+
+_MMR_LAM = 0.7
+_MMR_POOL, _MMR_K = 8, 3
+
+
+def _mmr_sql(lam: float, pool: int, k: int) -> str:
+    """Generate the unrolled greedy MMR oracle: one (maxsim, pick) CTE
+    pair per selection step after the first.  The diversity coefficient
+    interpolates as repr(1.0 - lam) so the SQL literal parses to the
+    IDENTICAL IEEE double the Spark operator computes in Python."""
+    cos = _cos_sql("e1.embedding", "e2.embedding")
+    parts = [f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < {pool}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+pool AS MATERIALIZED (
+  SELECT query_id, neighbor_id, round(cos, 6) AS rel FROM (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id) AS r
+    FROM scored) WHERE r <= {pool}
+),
+sims AS MATERIALIZED (
+  SELECT p1.query_id, p1.neighbor_id AS a, p2.neighbor_id AS b,
+         round({cos}, 6) AS sim
+  FROM pool p1
+  JOIN pool p2 ON p1.query_id = p2.query_id
+              AND p1.neighbor_id <> p2.neighbor_id
+  JOIN embeddings e1 ON e1.vec_id = p1.neighbor_id
+  JOIN embeddings e2 ON e2.vec_id = p2.neighbor_id
+),
+s1 AS (
+  SELECT query_id, neighbor_id, rel AS score, 1 AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, rel,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, neighbor_id) AS r
+    FROM pool) WHERE r = 1
+),
+sel1 AS (SELECT * FROM s1)"""]
+    for step in range(2, k + 1):
+        p = step - 1
+        parts.append(f""",
+m{step} AS (
+  SELECT s.query_id, s.a AS neighbor_id, MAX(s.sim) AS maxsim
+  FROM sims s
+  JOIN sel{p} ON sel{p}.query_id = s.query_id
+             AND sel{p}.neighbor_id = s.b
+  GROUP BY 1, 2
+),
+c{step} AS (
+  SELECT po.query_id, po.neighbor_id,
+         CAST({lam!r} AS DOUBLE) * po.rel
+         - CAST({1.0 - lam!r} AS DOUBLE) * m.maxsim AS score
+  FROM pool po
+  JOIN m{step} m ON m.query_id = po.query_id
+                AND m.neighbor_id = po.neighbor_id
+  LEFT JOIN sel{p} s ON s.query_id = po.query_id
+                    AND s.neighbor_id = po.neighbor_id
+  WHERE s.neighbor_id IS NULL
+),
+s{step} AS (
+  SELECT query_id, neighbor_id, score, {step} AS mmr_rank FROM (
+    SELECT query_id, neighbor_id, score,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS r
+    FROM c{step}) WHERE r = 1
+),
+sel{step} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM s{step})""")
+    parts.append(f"""
+SELECT query_id, neighbor_id, mmr_rank, round(score, 6) AS score
+FROM sel{k}""")
+    return "".join(parts)
+
+
+@register("llm_mmr_rerank", _mmr_sql(_MMR_LAM, _MMR_POOL, _MMR_K))
+def llm_mmr_rerank(spark, sf):
+    """Maximal-marginal-relevance re-ranking for RAG context selection:
+    greedy relevance-minus-redundancy top-3 from an exact top-8
+    candidate pool (lambda = 0.7).  All greedy steps run over the
+    candidate pool only -- nothing corpus-sized after stage 1.  See
+    operators.similarity.mmr_rerank."""
+    from .operators.similarity import mmr_rerank
+    emb = read_parallel(spark, sf, "embeddings")
+    return mmr_rerank(emb, emb.where(F.col("vec_id") < _MMR_POOL),
+                      k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)

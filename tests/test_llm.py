@@ -840,3 +840,39 @@ def test_cms_never_underestimates_and_is_tight_on_heavy_hitters(spark):
     top = got[0]
     assert top.token == "hot" and top.exact_cnt == 5000
     assert top.cms_estimate >= 5000
+
+
+def test_rerank_matches_bruteforce_when_pool_covers(spark):
+    """With k_candidates = corpus size the quantized candidate stage
+    keeps everything, so exact re-ranking must equal brute force."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_force_topk, rerank_topk)
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in rerank_topk(emb, q, k=3, k_candidates=19).collect()}
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in brute_force_topk(emb, q, k=3).collect()}
+    assert got == want
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Query [1,0]; candidates: an exact duplicate pair and one
+    orthogonal vector.  Plain top-2 keeps both duplicates; MMR at
+    lambda = 0.3 must swap the redundant second pick (maxsim = 1.0)
+    for the diverse one."""
+    from graphdb_cia_factbook_spark.operators.similarity import mmr_rerank
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]),       # the query
+         (1, [0.99, 0.01]),     # near-dup of query (rel ~1)
+         (2, [0.99, 0.01]),     # exact duplicate of 1 (redundant)
+         (3, [0.0, 1.0])],      # orthogonal, zero relevance
+        "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") == 0)
+    rows = mmr_rerank(emb, q, k=2, pool=3, lam=0.3).collect()
+    picks = {r["mmr_rank"]: r["neighbor_id"] for r in rows}
+    assert picks[1] == 1          # most relevant first
+    assert picks[2] == 3          # diversity beats the redundant 2
