@@ -540,3 +540,59 @@ def count_min_heavy_hitters(df: DataFrame, top_n: int = 20,
                     (F.col("cms_estimate") >= F.col("exact_cnt"))
                     .alias("never_underestimates"),
                     "token_rank"))
+
+
+def naive_bayes_classify(train: DataFrame, test: DataFrame,
+                         label_col: str = "lang",
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Multinomial naive Bayes text classifier, trained and scored in
+    one DataFrame plan: per-class token counts with Laplace smoothing,
+    ``score(d, c) = ln P(c) + sum over token occurrences of
+    ln((cnt(tok, c) + 1) / (tokens_c + |V|))``, argmax per document.
+
+    Determinism contract: every count is an exact integer, each ln term
+    is one IEEE double on identical integer ratios, per-doc sums go
+    through decimal(27,12) so reduction order can't change them, and
+    the argmax breaks score ties on the class label.
+
+    Scale shape: training is one token-sized shuffle (per-class counts
+    -- at 100 TB the (class, token) likelihood table is
+    vocab x classes, usually broadcastable); scoring is test-tokens x
+    classes rows, one left join against the likelihood table + one
+    doc-keyed sum.  Output: (doc_id, actual, predicted, correct,
+    score)."""
+    toks = tokens(F.col(text_col))
+    tr = train.select(F.col(label_col).alias("lang"),
+                      F.explode(toks).alias("token"))
+    cls = (train.groupBy(F.col(label_col).alias("lang"))
+           .agg(F.count(F.lit(1)).alias("n_docs")))
+    cstat = tr.groupBy("lang").agg(F.count(F.lit(1)).alias("n_tok"))
+    vocab = tr.select("token").distinct().count()
+    total_docs = train.count()
+    lik = tr.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+
+    te = test.select(F.col(id_col), F.col(label_col).alias("actual"),
+                     F.explode(toks).alias("token"))
+    terms = (te.crossJoin(F.broadcast(cstat))
+             .join(lik, ["lang", "token"], "left")
+             .select(id_col, "actual", "lang",
+                     F.log((F.coalesce("cnt", F.lit(0)) + 1)
+                           .cast("double")
+                           / (F.col("n_tok") + F.lit(vocab))
+                           .cast("double"))
+                     .cast("decimal(27,12)").alias("term")))
+    prior = cls.select(
+        "lang", F.log(F.col("n_docs").cast("double")
+                      / F.lit(float(total_docs))).alias("prior"))
+    scored = (terms.groupBy(id_col, "actual", "lang")
+              .agg(F.sum("term").cast("double").alias("ssum"))
+              .join(F.broadcast(prior), "lang")
+              .select(id_col, "actual", "lang",
+                      (F.col("ssum") + F.col("prior")).alias("score")))
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("lang"))
+    return (scored.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select(id_col, "actual", F.col("lang").alias("predicted"),
+                    (F.col("lang") == F.col("actual")).alias("correct"),
+                    F.round("score", 6).alias("score")))

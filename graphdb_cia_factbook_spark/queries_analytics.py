@@ -623,3 +623,46 @@ def boot_mean_ci(spark, sf):
     ev = read_table(spark, sf, "events")
     return poisson_bootstrap_mean_ci(ev, "value", "event_id",
                                      n_replicas=_BOOT_B)
+
+
+@register("dq_benford", """
+WITH d AS (
+  SELECT SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                1, 1) AS digit
+  FROM orders WHERE o_totalprice >= 1
+),
+obs AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT CAST(o.digit AS INT) AS digit, o.n,
+       ROUND(CAST(o.n AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE), 8)
+         AS observed_share,
+       ROUND(ln(1.0 + 1.0 / CAST(o.digit AS DOUBLE)) / ln(10.0), 8)
+         AS benford_share
+FROM obs o
+""")
+def dq_benford(spark, sf):
+    """Benford's-law first-digit audit on order totals: the classic
+    fabricated-data / unit-mixing detector for financial columns.
+    The first significant digit comes from INTEGER string math
+    (floor -> bigint -> first char) -- never from formatting a double,
+    whose text form is engine-specific.  One scan + a 9-row aggregate;
+    the expected share ln(1 + 1/d)/ln(10) is exact-input IEEE math on
+    both engines."""
+    orders = read_table(spark, sf, "orders")
+    d = (orders.where(F.col("o_totalprice") >= 1)
+         .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                             .cast("string"), 1, 1).alias("digit")))
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return (obs.crossJoin(F.broadcast(tot))
+            .select(F.col("digit").cast("int").alias("digit"), "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("t").cast("double"), 8)
+                    .alias("observed_share"),
+                    F.round(F.log(F.lit(1.0)
+                                  + F.lit(1.0)
+                                  / F.col("digit").cast("double"))
+                            / F.log(F.lit(10.0)), 8)
+                    .alias("benford_share")))

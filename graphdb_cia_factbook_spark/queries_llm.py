@@ -2424,3 +2424,54 @@ def llm_mmr_rerank(spark, sf):
     emb = read_parallel(spark, sf, "embeddings")
     return mmr_rerank(emb, emb.where(F.col("vec_id") < _MMR_POOL),
                       k=_MMR_K, pool=_MMR_POOL, lam=_MMR_LAM)
+
+
+@register("llm_naive_bayes", f"""
+WITH train AS (SELECT * FROM documents WHERE doc_id % 10 != 0),
+test AS (SELECT * FROM documents WHERE doc_id % 10 = 0),
+tr_tok AS MATERIALIZED (
+  SELECT lang, unnest({TOKS}) AS token FROM train
+),
+cls AS (SELECT lang, COUNT(*) AS n_docs FROM train GROUP BY 1),
+cstat AS (SELECT lang, COUNT(*) AS n_tok FROM tr_tok GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT token) AS v FROM tr_tok),
+lik AS MATERIALIZED (
+  SELECT lang, token, COUNT(*) AS cnt FROM tr_tok GROUP BY 1, 2
+),
+te_tok AS (
+  SELECT doc_id, lang AS actual, unnest({TOKS}) AS token FROM test
+),
+terms AS (
+  SELECT t.doc_id, t.actual, cs.lang,
+         CAST(ln(CAST(COALESCE(l.cnt, 0) + 1 AS DOUBLE)
+                 / CAST(cs.n_tok + (SELECT v FROM vocab) AS DOUBLE))
+              AS DECIMAL(27,12)) AS term
+  FROM te_tok t
+  CROSS JOIN cstat cs
+  LEFT JOIN lik l ON l.lang = cs.lang AND l.token = t.token
+),
+scored AS (
+  SELECT s.doc_id, s.actual, s.lang,
+         CAST(SUM(s.term) AS DOUBLE)
+         + ln(CAST(c.n_docs AS DOUBLE)
+              / CAST((SELECT SUM(n_docs) FROM cls) AS DOUBLE)) AS score
+  FROM terms s JOIN cls c ON c.lang = s.lang
+  GROUP BY s.doc_id, s.actual, s.lang, c.n_docs
+)
+SELECT doc_id, actual, lang AS predicted,
+       lang = actual AS correct, round(score, 6) AS score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS r
+      FROM scored) WHERE r = 1
+""")
+def llm_naive_bayes(spark, sf):
+    """Multinomial naive Bayes language classifier trained on 90% of
+    the corpus (doc_id % 10 != 0) and scored on the held-out 10%:
+    Laplace-smoothed per-class token likelihoods, decimal-exact log
+    sums, class-label tie-break.  The supervised sibling of the
+    heuristic llm_langid.  See operators.text.naive_bayes_classify."""
+    from .operators.text import naive_bayes_classify
+    docs = read_parallel(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    test = docs.where(F.col("doc_id") % 10 == 0)
+    return naive_bayes_classify(train, test)

@@ -876,3 +876,39 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     picks = {r["mmr_rank"]: r["neighbor_id"] for r in rows}
     assert picks[1] == 1          # most relevant first
     assert picks[2] == 3          # diversity beats the redundant 2
+
+
+def test_naive_bayes_learns_separable_classes(spark):
+    """Two trivially separable vocabularies: the classifier must
+    recover the class of held-out docs perfectly."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        naive_bayes_classify)
+    train = spark.createDataFrame(
+        [(1, "aa bb aa cc", "A"), (2, "aa cc bb", "A"),
+         (3, "xx yy zz xx", "B"), (4, "yy zz yy", "B")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "aa bb", "A"), (11, "zz yy xx", "B")],
+        "doc_id long, text string, lang string")
+    rows = naive_bayes_classify(train, test).collect()
+    assert all(r["correct"] for r in rows)
+    assert {r["doc_id"]: r["predicted"] for r in rows} == {10: "A", 11: "B"}
+
+
+def test_naive_bayes_prior_breaks_unseen_tokens(spark):
+    """A doc of only unseen tokens gets identical likelihoods per
+    class, so the class PRIOR (and then the label tie-break) decides:
+    majority class wins."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        naive_bayes_classify)
+    train = spark.createDataFrame(
+        [(1, "aa", "A"), (2, "bb", "A"), (3, "cc", "B")],
+        "doc_id long, text string, lang string")
+    test = spark.createDataFrame(
+        [(10, "qq rr", "B")], "doc_id long, text string, lang string")
+    rows = naive_bayes_classify(train, test).collect()
+    # same token counts per class (all unseen) but P(A)=2/3 > P(B)=1/3
+    # -- except B's smaller token total gives unseen tokens HIGHER
+    # per-token likelihood; with 2 unseen tokens and vocab 3:
+    # A: ln(2/3) + 2*ln(1/(1+3)); B: ln(1/3) + 2*ln(1/(1+3)) -> A wins
+    assert rows[0]["predicted"] == "A"
