@@ -1238,3 +1238,78 @@ def wl_refinement(graph: Graph, iters: int = 3,
         F.count(F.lit(1)).alias("class_size"))
     return (colors.join(classes, "color")
             .select("id", F.col("color").alias("wl_color"), "class_size"))
+
+
+def node2vec_walks(graph: Graph, length: int = 4,
+                   w_return: int = 1, w_common: int = 4,
+                   w_far: int = 2) -> DataFrame:
+    """node2vec-biased deterministic walks (Grover & Leskovec 2016):
+    the next hop is drawn with INTEGER weights conditioned on the
+    previous vertex t -- ``w_return`` for stepping back to t (1/p),
+    ``w_common`` for a candidate that is also an out-neighbor of t
+    (distance 1), ``w_far`` otherwise (1/q).  Integer weights make the
+    cumulative-range draw exact on any engine: candidate x (in dst
+    order) owns the coin interval [cum - w_x, cum); the coin is
+    ``md5(walk_id:k) mod total_weight`` -- replayable, no seed state,
+    the same md5-coin contract as :func:`random_walks` (which this
+    generalizes: all weights equal = DeepWalk).  The first step (no
+    previous vertex) is uniform.
+
+    Scale shape per step: frontier-edges equi-join, one LEFT join
+    against the edge table to mark distance-1 candidates, two windows
+    over per-walk candidate sets (out-degree-sized).  Dead ends carry
+    their path."""
+    edges = (graph.edges.select("src", "dst").distinct()
+             .localCheckpoint())
+    e_common = edges.select(F.col("src").alias("prev"),
+                            F.col("dst").alias("dst"),
+                            F.lit(1).alias("__c"))
+    walks = (graph.vertices
+             .select(F.col("id").alias("walk_id"),
+                     F.col("id").alias("cur"),
+                     F.lit(None).cast("string").alias("prev"),
+                     F.col("id").alias("path"),
+                     F.lit(0).alias("n_steps")))
+    w_ord = (Window.partitionBy("walk_id").orderBy("dst")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    w_all = Window.partitionBy("walk_id")
+    for step in range(1, length + 1):
+        cand = (walks.join(edges, walks.cur == edges.src)
+                .join(e_common, ["prev", "dst"], "left")
+                .withColumn("wt", F.when(F.col("prev").isNull(), F.lit(1))
+                            .when(F.col("dst") == F.col("prev"),
+                                  F.lit(w_return))
+                            .when(F.col("__c").isNotNull(),
+                                  F.lit(w_common))
+                            .otherwise(F.lit(w_far)).cast("long"))
+                .withColumn("cum", F.sum("wt").over(w_ord))
+                .withColumn("total", F.sum("wt").over(w_all)))
+        # mod guard: total==0 rows divert to `zeroed` below, but the
+        # coin expression still evaluates on them (ANSI mod-by-zero);
+        # mod max(total,1) is safe -- their pick intervals are empty
+        coin = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat(F.col("walk_id"), F.lit(f":{step}"))),
+                1, 7), 16, 10).cast("long"),
+            F.greatest(F.col("total"), F.lit(1)))
+        stepped = (cand.where((F.col("wt") > 0)
+                              & (coin >= F.col("cum") - F.col("wt"))
+                              & (coin < F.col("cum")))
+                   .select("walk_id",
+                           F.col("dst").alias("cur"),
+                           F.col("cur").alias("prev"),
+                           F.concat("path", F.lit(">"), "dst")
+                           .alias("path"),
+                           (F.col("n_steps") + 1).alias("n_steps")))
+        # a walk whose every candidate has weight 0 (e.g. w_return=0 at
+        # a return-only vertex) stops in place, like a dead end
+        zeroed = (cand.where(F.col("total") == 0)
+                  .select("walk_id", "cur", "prev", "path", "n_steps")
+                  .distinct())
+        stuck = (walks.join(edges.select(F.col("src").alias("cur"))
+                            .distinct(), "cur", "left_anti")
+                 .select("walk_id", "cur", "prev", "path", "n_steps"))
+        walks = (stepped.unionByName(stuck).unionByName(zeroed)
+                 .localCheckpoint(eager=False))
+    return walks.select("walk_id", "path",
+                        F.col("cur").alias("end_id"), "n_steps")

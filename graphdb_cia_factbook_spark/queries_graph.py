@@ -1396,3 +1396,81 @@ def g_wl_colors(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return wl_refinement(Graph(g.vertices, top3), iters=_WL_ITERS)
+
+
+_N2V_LEN, _N2V_WR, _N2V_WC, _N2V_WF = 4, 1, 4, 2
+
+
+def _node2vec_sql(length: int, wr: int, wc: int, wf: int) -> str:
+    """Generate the node2vec-walk oracle: per step, the weighted
+    cumulative-range draw as SQL windows -- mirrors
+    operators.graph.node2vec_walks exactly (uniform first step = the
+    prev-IS-NULL weight case)."""
+    parts = [f"""WITH {EDGES_CTE.lstrip()},
+top3 AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+w0 AS (SELECT id AS walk_id, id AS cur, CAST(NULL AS VARCHAR) AS prev,
+              id AS path, 0 AS n_steps
+       FROM verts)"""]
+    for k in range(1, length + 1):
+        prev = f"w{k - 1}"
+        parts.append(f""",
+s{k} AS (
+  SELECT w.walk_id, w.cur, w.prev, w.path, w.n_steps, e.dst,
+         CAST(CASE WHEN w.prev IS NULL THEN 1
+                   WHEN e.dst = w.prev THEN {wr}
+                   WHEN c.prev IS NOT NULL THEN {wc}
+                   ELSE {wf} END AS BIGINT) AS wt
+  FROM {prev} w
+  JOIN top3 e ON e.src = w.cur
+  LEFT JOIN (SELECT DISTINCT src AS prev, dst FROM top3) c
+         ON c.prev = w.prev AND c.dst = e.dst
+),
+t{k} AS (
+  SELECT *, SUM(wt) OVER (PARTITION BY walk_id ORDER BY dst
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+            SUM(wt) OVER (PARTITION BY walk_id) AS total
+  FROM s{k}
+),
+w{k} AS (
+  SELECT t.walk_id, t.dst AS cur, t.cur AS prev,
+         t.path || '>' || t.dst AS path, t.n_steps + 1 AS n_steps
+  FROM t{k} t
+  WHERE t.total > 0
+    AND ('0x' || substr(md5(t.walk_id || ':{k}'), 1, 7))::BIGINT % t.total
+        BETWEEN t.cum - t.wt AND t.cum - 1
+  UNION ALL
+  SELECT w.walk_id, w.cur, w.prev, w.path, w.n_steps FROM {prev} w
+  WHERE NOT EXISTS (SELECT 1 FROM top3 e WHERE e.src = w.cur)
+  UNION ALL
+  SELECT DISTINCT t.walk_id, t.cur, t.prev, t.path, t.n_steps
+  FROM t{k} t WHERE t.total = 0
+)""")
+    parts.append(f"""
+SELECT walk_id, path, cur AS end_id, n_steps FROM w{length}""")
+    return "".join(parts)
+
+
+@register("g_node2vec_walks",
+          _node2vec_sql(_N2V_LEN, _N2V_WR, _N2V_WC, _N2V_WF))
+def g_node2vec_walks(spark, sf):
+    """EXT graph -> training-data op: node2vec-BIASED walks over the
+    top-3-partner digraph (integer 1/p:1:1/q weights 1:4:2 -- mildly
+    BFS-ish), next hop drawn from the md5-coin cumulative-weight range.
+    Generalizes g_random_walks (uniform = all weights equal); the
+    biased corpus is what node2vec actually trains on.  See
+    operators.graph.node2vec_walks."""
+    from .operators.graph import Graph, node2vec_walks
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return node2vec_walks(Graph(g.vertices, top3), length=_N2V_LEN,
+                          w_return=_N2V_WR, w_common=_N2V_WC,
+                          w_far=_N2V_WF)

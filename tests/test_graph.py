@@ -457,3 +457,38 @@ def test_wl_refinement_symmetric_graph_one_class(spark):
     rows = wl_refinement(Graph(v, e), iters=3).collect()
     assert len({r["wl_color"] for r in rows}) == 1
     assert all(r["class_size"] == 3 for r in rows)
+
+
+def test_node2vec_bias_forces_return_or_escape(spark):
+    """A<->B with B->C: from B (prev=A) the candidates are A (return)
+    and C (far).  w_far=0 forces the return; w_return=0 forces the
+    escape -- pinning the weighted-interval draw exactly."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, node2vec_walks)
+    v = spark.createDataFrame([("A",), ("B",), ("C",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A"), ("B", "C")], "src string, dst string")
+    g = Graph(v, e)
+    ret = {r["walk_id"]: r["path"]
+           for r in node2vec_walks(g, length=2, w_return=1, w_common=0,
+                                   w_far=0).collect()}
+    assert ret["A"] == "A>B>A"
+    esc = {r["walk_id"]: r["path"]
+           for r in node2vec_walks(g, length=2, w_return=0, w_common=0,
+                                   w_far=1).collect()}
+    assert esc["A"] == "A>B>C"
+
+
+def test_node2vec_zero_total_walk_stops_in_place(spark):
+    """A<->B only: from B every candidate is a return; with w_return=0
+    the total weight is 0 and the walk must stop (not vanish)."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, node2vec_walks)
+    v = spark.createDataFrame([("A",), ("B",)], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "A")], "src string, dst string")
+    rows = {r["walk_id"]: r for r in node2vec_walks(
+        Graph(v, e), length=3, w_return=0, w_common=0,
+        w_far=1).collect()}
+    assert set(rows) == {"A", "B"}
+    assert rows["A"]["path"] == "A>B" and rows["A"]["n_steps"] == 1
