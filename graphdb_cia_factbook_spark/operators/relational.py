@@ -388,3 +388,37 @@ def merge_aggregate_state(keys: Sequence[str], *states: DataFrame) -> DataFrame:
     return (out.groupBy(*[F.col(k) for k in keys])
             .agg(F.sum("n_rows").alias("n_rows"),
                  *[F.sum(c).alias(c) for c in sums]))
+
+
+def ancestor_closure(parents: DataFrame, node_col: str = "node",
+                     parent_col: str = "parent",
+                     max_rounds: int = 20) -> DataFrame:
+    """Transitive ancestor closure of a parent-pointer hierarchy by
+    POINTER DOUBLING: each round composes the closure with itself, so
+    round k covers ancestor paths up to length 2^k -- log(depth)
+    supersteps instead of depth sequential self-joins (a 30-level BOM
+    closes in 5 rounds; the pattern that makes recursive-CTE work
+    feasible on a cluster).  Converges when a round adds no rows.
+
+    Output: (node, anc, dist) with the MIN path length per pair (on a
+    tree paths are unique; min makes DAGs well-defined).  Scale shape:
+    each round is one closure self-join + one (node, anc) min-agg;
+    closure size is nodes x depth."""
+    clo = (parents.select(F.col(node_col).alias("node"),
+                          F.col(parent_col).alias("anc"),
+                          F.lit(1).alias("dist"))
+           .distinct().localCheckpoint())
+    for _ in range(max_rounds):
+        a, b = clo.alias("a"), clo.alias("b")
+        nxt = (a.join(b, F.col("a.anc") == F.col("b.node"))
+               .select(F.col("a.node").alias("node"),
+                       F.col("b.anc").alias("anc"),
+                       (F.col("a.dist") + F.col("b.dist")).alias("dist")))
+        merged = (clo.union(nxt)
+                  .groupBy("node", "anc")
+                  .agg(F.min("dist").alias("dist"))
+                  .localCheckpoint())
+        if merged.count() == clo.count():
+            return merged
+        clo = merged
+    return clo

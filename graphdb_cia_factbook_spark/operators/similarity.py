@@ -677,3 +677,32 @@ def mmr_rerank(emb: DataFrame, queries: DataFrame, k: int = 3,
         selected = selected.union(pick).localCheckpoint(eager=False)
     return selected.select("query_id", "neighbor_id", "mmr_rank",
                            F.round("score", 6).alias("score"))
+
+
+def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 3,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    top-k most-similar corpus vectors with a DIFFERENT label -- the
+    near-miss negatives that make embedding/contrastive training
+    converge (random negatives are trivially easy).
+
+    Same scale shape as :func:`brute_force_topk` (broadcast anchors,
+    corpus streams once, two-phase top-k); swap the scoring stage for
+    :func:`lsh_topk`/:func:`ivf_topk` buckets at billion-vector scale
+    -- the label filter composes with any of them."""
+    a = anchors.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"),
+                       F.col(label_col).alias("anchor_label"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("__cv"),
+                   F.col(label_col).alias("neg_label"))
+    scored = (c.crossJoin(F.broadcast(a))
+              .where((F.col("neighbor_id") != F.col("query_id"))
+                     & (F.col("neg_label") != F.col("anchor_label")))
+              .select("query_id", "anchor_label", "neighbor_id",
+                      "neg_label",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    return (topk_per_query(scored, k)
+            .select("query_id", "anchor_label", "neighbor_id",
+                    "neg_label", "rank", F.round("cos", 6).alias("cos")))

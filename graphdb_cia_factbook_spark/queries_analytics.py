@@ -666,3 +666,45 @@ def dq_benford(spark, sf):
                                   / F.col("digit").cast("double"))
                             / F.log(F.lit(10.0)), 8)
                     .alias("benford_share")))
+
+
+@register("hier_subtree_rollup", """
+WITH RECURSIVE par AS (
+  SELECT c_custkey AS node, c_custkey // 10 AS parent
+  FROM customer WHERE c_custkey >= 10
+),
+anc(node, anc, dist) AS (
+  SELECT node, parent, 1 FROM par
+  UNION ALL
+  SELECT a.node, p.parent, a.dist + 1
+  FROM anc a JOIN par p ON p.node = a.anc
+)
+SELECT a.anc AS ancestor,
+       COUNT(*) AS n_descendants,
+       MAX(a.dist) AS max_depth,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,4))) AS DOUBLE)
+         AS subtree_bal
+FROM anc a JOIN customer c ON c.c_custkey = a.node
+GROUP BY 1
+""")
+def hier_subtree_rollup(spark, sf):
+    """Hierarchy subtree rollup: the decimal-digit parent chain
+    (parent = custkey DIV 10) forms a synthetic org-chart/BOM tree;
+    every ancestor aggregates its FULL descendant subtree (count, max
+    depth, decimal-exact balance total).  Spark computes the ancestor
+    closure by pointer DOUBLING (log-depth supersteps,
+    operators.relational.ancestor_closure); the oracle is the classic
+    WITH RECURSIVE -- same closure, sequential semantics."""
+    from .operators.relational import ancestor_closure, dsum
+    customer = read_table(spark, sf, "customer")
+    par = (customer.where(F.col("c_custkey") >= 10)
+           .select(F.col("c_custkey").alias("node"),
+                   F.floor(F.col("c_custkey") / 10).cast("long")
+                   .alias("parent")))
+    clo = ancestor_closure(par)
+    return (clo.join(customer.select(F.col("c_custkey").alias("node"),
+                                     "c_acctbal"), "node")
+            .groupBy(F.col("anc").alias("ancestor"))
+            .agg(F.count(F.lit(1)).alias("n_descendants"),
+                 F.max("dist").alias("max_depth"),
+                 dsum(F.col("c_acctbal")).alias("subtree_bal")))

@@ -2475,3 +2475,30 @@ def llm_naive_bayes(spark, sf):
     train = docs.where(F.col("doc_id") % 10 != 0)
     test = docs.where(F.col("doc_id") % 10 == 0)
     return naive_bayes_classify(train, test)
+
+
+@register("llm_hard_negatives", f"""
+WITH a AS (SELECT vec_id AS query_id, embedding AS qv,
+                  label AS anchor_label
+           FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT a.query_id, a.anchor_label, c.vec_id AS neighbor_id,
+         c.label AS neg_label,
+         {_cos_sql('a.qv', 'c.embedding')} AS cos
+  FROM embeddings c, a
+  WHERE c.vec_id <> a.query_id AND c.label <> a.anchor_label
+)
+SELECT query_id, anchor_label, neighbor_id, neg_label, rank,
+       round(cos, 6) AS cos
+FROM (SELECT query_id, anchor_label, neighbor_id, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+""")
+def llm_hard_negatives(spark, sf):
+    """Contrastive hard-negative mining: per anchor, the 3 most-similar
+    vectors with a DIFFERENT label -- near-miss negatives for
+    embedding training.  See operators.similarity.hard_negatives."""
+    from .operators.similarity import hard_negatives
+    emb = read_parallel(spark, sf, "embeddings")
+    return hard_negatives(emb, emb.where(F.col("vec_id") < 16), k=3)

@@ -912,3 +912,19 @@ def test_naive_bayes_prior_breaks_unseen_tokens(spark):
     # per-token likelihood; with 2 unseen tokens and vocab 3:
     # A: ln(2/3) + 2*ln(1/(1+3)); B: ln(1/3) + 2*ln(1/(1+3)) -> A wins
     assert rows[0]["predicted"] == "A"
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        hard_negatives)
+    rows = ([(0, [1.0, 0.0], 7),
+             (1, [0.99, 0.01], 7),   # nearest overall but SAME label
+             (2, [0.9, 0.1], 9),     # nearest different-label
+             (3, [0.0, 1.0], 9)])
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    got = hard_negatives(emb, emb.where(F.col("vec_id") == 0),
+                         k=2).collect()
+    assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] \
+        == [2, 3]
+    assert all(r["neg_label"] != r["anchor_label"] for r in got)

@@ -223,3 +223,17 @@ def test_poisson_bootstrap_ci_brackets_mean(spark):
     assert (r_big.ci_hi - r_big.ci_lo) < (r_small.ci_hi - r_small.ci_lo)
     again = poisson_bootstrap_mean_ci(small, "v", "id").first()
     assert again == r_small
+
+
+def test_ancestor_closure_pointer_doubling(spark):
+    """Chain 1->2->3->4 plus a branch 5->2: closure must contain every
+    (node, ancestor) pair with exact path lengths, in log-depth
+    rounds."""
+    from graphdb_cia_factbook_spark.operators.relational import (
+        ancestor_closure)
+    par = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 2)], "node long, parent long")
+    got = {(r["node"], r["anc"]): r["dist"]
+           for r in ancestor_closure(par).collect()}
+    assert got == {(2, 1): 1, (3, 2): 1, (4, 3): 1, (5, 2): 1,
+                   (3, 1): 2, (4, 2): 2, (5, 1): 2, (4, 1): 3}
