@@ -315,3 +315,37 @@ def poisson_bootstrap_mean_ci(df: DataFrame, value_col: str,
                 F.element_at("__ms", lo_i).alias("ci_lo"),
                 F.element_at("__ms", hi_i).alias("ci_hi"),
                 F.lit(n_replicas).alias("n_replicas")))
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    key_col: str = "doc_id",
+                    salt: str = "ws") -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    A-ES): each row draws a deterministic uniform u from its keyed md5
+    hash and gets priority ``ln(u) / w``; the global top-k priorities
+    are the sample -- each row's inclusion probability is proportional
+    to its weight, with zero coordination (the distributed-sampling
+    result the keyed-coin family extends to weights).
+
+    Determinism: u = (52-bit md5 slice + 1) / (2^52 + 1) -- an exact
+    double in (0, 1], identical on any engine; ln and the division are
+    single IEEE ops; ties break on the key.  Replayable and auditable
+    like every sampler here (same rationale as stratified_sample).
+
+    Scale shape: priority is computed inside the scan's codegen; the
+    top-k is sort+limit (TakeOrderedAndProject -- map-side k survivors
+    per partition, never a global sort).  Weights must be > 0
+    (enforced by filter; zero-weight rows can never be sampled)."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{salt}"))),
+        1, 13), 16, 10).cast("double") + 1.0) / float((1 << 52) + 1)
+    pri = F.log(h) / F.col(weight_col).cast("double")
+    ranked = (df.where(F.col(weight_col) > 0)
+              .select(key_col, F.col(weight_col).alias("weight"),
+                      pri.alias("priority"))
+              .orderBy(F.desc("priority"), F.asc(key_col)).limit(k))
+    w = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    return (ranked.withColumn("sample_rank", F.row_number().over(w))
+            .select(key_col, "weight",
+                    F.round("priority", 10).alias("priority"),
+                    "sample_rank"))

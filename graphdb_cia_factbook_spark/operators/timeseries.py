@@ -132,3 +132,55 @@ def twap(events: DataFrame, key_col: str = "user_id",
                                * F.col("__w")).cast("double")
                          / F.sum(F.col("__w")).cast("double"), 6)
                  .alias("twap")))
+
+
+def holt_linear(events: DataFrame, key_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                alpha: float = 0.5, beta: float = 0.3) -> DataFrame:
+    """Holt's linear (double exponential) smoothing per key: level AND
+    trend state, the one-step-ahead forecaster for trending series
+    (:func:`ewma` is the no-trend special case).
+
+    ``l_2 = x_2, b_2 = x_2 - x_1`` (``l_1 = x_1, b_1 = 0`` for a
+    singleton series), then for each subsequent observation
+    ``l_t = alpha x_t + (1-alpha)(l + b);  b_t = beta (l_t - l) +
+    (1-beta) b``.  The state rides the fold as a 2-element double
+    array, so the whole recursion is STILL one collect_list + one
+    ``F.aggregate`` per key (identical scale shape and bit-equality
+    contract as :func:`ewma` -- DuckDB list_reduce executes the same
+    operation chain, with the (1-alpha)/(1-beta) coefficients
+    interpolated as repr() so both engines parse the identical IEEE
+    double).  Output: (key, n_obs, level, trend, forecast_1 =
+    level + trend)."""
+    pair = F.struct(F.col(ts_col).alias("t"),
+                    F.col(value_col).cast("double").alias("v"))
+    per_key = (events.groupBy(key_col)
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(pair)),
+                   lambda s: s["v"]).alias("__vals"),
+                   F.count(F.lit(1)).alias("n_obs")))
+    vals = F.col("__vals")
+    init = F.array(
+        F.when(F.size(vals) >= 2, F.element_at(vals, 2))
+        .otherwise(F.element_at(vals, 1)),
+        F.when(F.size(vals) >= 2,
+               F.element_at(vals, 2) - F.element_at(vals, 1))
+        .otherwise(F.lit(0.0)))
+    rest = F.slice(vals, 3, F.greatest(F.size(vals) - 2, F.lit(0)))
+    a, b1 = alpha, beta
+    ca, cb = 1.0 - alpha, 1.0 - beta
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(ca) * (F.element_at(acc, 1)
+                                            + F.element_at(acc, 2))
+        new_b = (F.lit(b1) * (new_l - F.element_at(acc, 1))
+                 + F.lit(cb) * F.element_at(acc, 2))
+        return F.array(new_l, new_b)
+
+    folded = F.aggregate(rest, init, step)
+    return per_key.select(
+        key_col, "n_obs",
+        F.element_at(folded, 1).alias("level"),
+        F.element_at(folded, 2).alias("trend"),
+        (F.element_at(folded, 1) + F.element_at(folded, 2))
+        .alias("forecast_1"))

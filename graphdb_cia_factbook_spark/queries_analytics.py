@@ -708,3 +708,113 @@ def hier_subtree_rollup(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_descendants"),
                  F.max("dist").alias("max_depth"),
                  dsum(F.col("c_acctbal")).alias("subtree_bal")))
+
+
+@register("anomaly_mad", """
+WITH med AS (
+  SELECT event_type, quantile_cont(CAST(value AS DOUBLE), 0.5) AS med
+  FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, CAST(e.value AS DOUBLE) AS v, m.med,
+         abs(CAST(e.value AS DOUBLE) - m.med) AS d
+  FROM events e JOIN med m ON m.event_type = e.event_type
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT d.event_type, COUNT(*) AS n,
+       round(d.med, 6) AS median, round(m.mad, 6) AS mad,
+       COUNT(*) FILTER (WHERE d.d > 3 * m.mad) AS n_outliers
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+GROUP BY d.event_type, d.med, m.mad
+""")
+def anomaly_mad(spark, sf):
+    """Median-absolute-deviation outlier audit per event type: the
+    robust sibling of anomaly_zscore (one wild value cannot drag the
+    threshold the way it drags a mean/stddev).  Two exact-median passes
+    (value, then |value - median|) + one filtered count; the unrounded
+    median/MAD drive the 3-MAD comparison on both engines, rounding is
+    display-only.  At 100 TB swap the exact medians for
+    approx_percentile -- the join/filter shape is unchanged."""
+    events = read_table(spark, sf, "events")
+    v = F.col("value").cast("double")
+    med = (events.groupBy("event_type")
+           .agg(F.percentile(v, F.lit(0.5)).alias("med")))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .select("event_type", v.alias("v"), "med",
+                   F.abs(v - F.col("med")).alias("d")))
+    mad = (dev.groupBy("event_type")
+           .agg(F.percentile("d", F.lit(0.5)).alias("mad")))
+    return (dev.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type", "med", "mad")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(F.when(F.col("d") > 3 * F.col("mad"),
+                                F.lit(1))).alias("n_outliers"))
+            .select("event_type", "n",
+                    F.round("med", 6).alias("median"),
+                    F.round("mad", 6).alias("mad"), "n_outliers"))
+
+
+@register("copurchase_rules", """
+WITH brands AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM brands),
+sup AS (SELECT p_brand, COUNT(*) AS n_b FROM brands GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS antecedent, b.p_brand AS consequent,
+         COUNT(*) AS n_ab
+  FROM brands a JOIN brands b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand != b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 50
+)
+SELECT p.antecedent, p.consequent, p.n_ab,
+       round(CAST(p.n_ab AS DOUBLE) / CAST(sa.n_b AS DOUBLE), 8)
+         AS confidence,
+       round((CAST(p.n_ab AS DOUBLE) / CAST(sa.n_b AS DOUBLE))
+             / (CAST(sb.n_b AS DOUBLE) / CAST((SELECT n FROM tot)
+                                              AS DOUBLE)), 8) AS lift
+FROM pairs p
+JOIN sup sa ON sa.p_brand = p.antecedent
+JOIN sup sb ON sb.p_brand = p.consequent
+""")
+def copurchase_rules(spark, sf):
+    """Association rules over the market-basket pairs: DIRECTED
+    (antecedent -> consequent) support counts with confidence
+    (n_ab / n_a) and lift (confidence / consequent base rate) -- the
+    scoring pass that turns copurchase_pairs counts into ranked
+    recommendations.  All ratios are single IEEE divisions of exact
+    integers.  Same bounded pair-space shape as copurchase_pairs; the
+    support/total sides are brand-cardinality aggregates, broadcast
+    back."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_partkey")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    brands = (li.join(F.broadcast(part),
+                      li.l_partkey == part.p_partkey)
+              .select("l_orderkey", "p_brand").distinct()
+              .localCheckpoint())  # three consumers below
+    tot = brands.select("l_orderkey").distinct().count()
+    sup = brands.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = brands.select("l_orderkey", F.col("p_brand").alias("antecedent"))
+    b = brands.select("l_orderkey", F.col("p_brand").alias("consequent"))
+    pairs = (a.join(b, (a.l_orderkey == b.l_orderkey)
+                    & (F.col("antecedent") != F.col("consequent")))
+             .groupBy("antecedent", "consequent")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .where(F.col("n_ab") >= 50))
+    sa = sup.select(F.col("p_brand").alias("antecedent"),
+                    F.col("n_b").alias("__na"))
+    sb = sup.select(F.col("p_brand").alias("consequent"),
+                    F.col("n_b").alias("__nb"))
+    conf = F.col("n_ab").cast("double") / F.col("__na").cast("double")
+    return (pairs.join(F.broadcast(sa), "antecedent")
+            .join(F.broadcast(sb), "consequent")
+            .select("antecedent", "consequent", "n_ab",
+                    F.round(conf, 8).alias("confidence"),
+                    F.round(conf / (F.col("__nb").cast("double")
+                                    / F.lit(float(tot))), 8)
+                    .alias("lift")))

@@ -2502,3 +2502,29 @@ def llm_hard_negatives(spark, sf):
     from .operators.similarity import hard_negatives
     emb = read_parallel(spark, sf, "embeddings")
     return hard_negatives(emb, emb.where(F.col("vec_id") < 16), k=3)
+
+
+@register("llm_weighted_sample", f"""
+WITH pri AS (
+  SELECT doc_id, n_chars AS weight,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':ws'), 1, 13))
+             ::BIGINT + 1.0) / {float((1 << 52) + 1)!r})
+         / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents WHERE n_chars > 0
+)
+SELECT doc_id, weight, round(priority, 10) AS priority, sample_rank
+FROM (SELECT doc_id, weight, priority,
+             ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id)
+               AS sample_rank
+      FROM pri)
+WHERE sample_rank <= 20
+""")
+def llm_weighted_sample(spark, sf):
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    top-20 docs by ln(u)/weight priority with length as the weight --
+    longer documents proportionally likelier, fully replayable (keyed
+    md5 uniform, no seed state).  See
+    operators.sampling.weighted_sample."""
+    from .operators.sampling import weighted_sample
+    docs = read_parallel(spark, sf, "documents")
+    return weighted_sample(docs, "n_chars", k=20)

@@ -516,3 +516,52 @@ def ts_twap(spark, sf):
     streams.  See operators.timeseries.twap."""
     from .operators.timeseries import twap
     return twap(read_table(spark, sf, "events"))
+
+
+_HOLT_A, _HOLT_B = 0.5, 0.3
+
+
+def _holt_sql(a: float, b: float) -> str:
+    """DuckDB twin of holt_linear.  v1.0 list_reduce has no initial
+    accumulator, so the init state [l1, b1] rides as the FIRST element
+    of a list of 2-arrays (list_reduce seeds from element one); the
+    (1-alpha)/(1-beta) coefficients interpolate as repr() so both
+    engines parse the identical IEEE double."""
+    ca, cb = 1.0 - a, 1.0 - b
+    new_l = f"{a!r} * x[1] + {ca!r} * (acc[1] + acc[2])"
+    return f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_obs,
+         list_reduce(
+           list_concat(
+             [[CASE WHEN len(vals) >= 2 THEN vals[2] ELSE vals[1] END,
+               CASE WHEN len(vals) >= 2 THEN vals[2] - vals[1]
+                    ELSE 0.0 END]],
+             list_transform(vals[3:], x -> [x, 0.0])),
+           (acc, x) -> [
+             {new_l},
+             {b!r} * (({new_l}) - acc[1]) + {cb!r} * acc[2]
+           ]) AS st
+  FROM ordered
+)
+SELECT user_id, n_obs, st[1] AS level, st[2] AS trend,
+       st[1] + st[2] AS forecast_1
+FROM folded"""
+
+
+@register("ts_holt_linear", _holt_sql(_HOLT_A, _HOLT_B))
+def ts_holt_linear(spark, sf):
+    """Holt's linear (level + trend) smoothing per user: the
+    one-step-ahead forecaster for trending series; the 2-state fold
+    runs as one collect_list + one F.aggregate per key, same shape and
+    bit-equality contract as ts_ewma.  See
+    operators.timeseries.holt_linear."""
+    from .operators.timeseries import holt_linear
+    return holt_linear(read_table(spark, sf, "events"),
+                       alpha=_HOLT_A, beta=_HOLT_B)

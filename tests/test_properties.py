@@ -237,3 +237,35 @@ def test_ancestor_closure_pointer_doubling(spark):
            for r in ancestor_closure(par).collect()}
     assert got == {(2, 1): 1, (3, 2): 1, (4, 3): 1, (5, 2): 1,
                    (3, 1): 2, (4, 2): 2, (5, 1): 2, (4, 1): 3}
+
+
+def test_holt_linear_tracks_perfect_trend(spark):
+    """On an exactly linear series level+trend must forecast the next
+    point exactly (the recurrence is exact for linear data)."""
+    from datetime import datetime
+    from graphdb_cia_factbook_spark.operators.timeseries import (
+        holt_linear)
+    rows = [(1, datetime(2026, 1, 1, h), 10.0 + 2.0 * h)
+            for h in range(6)]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                               "value double")
+    r = holt_linear(ev, alpha=0.5, beta=0.3).collect()[0]
+    assert abs(r["trend"] - 2.0) < 1e-9
+    assert abs(r["forecast_1"] - 22.0) < 1e-9
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """Expected inclusion scales with weight: rows with 100x weight
+    must dominate a k=25 sample from 50/50 heavy/light."""
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        weighted_sample)
+    rows = ([(i, 1000) for i in range(50)]          # heavy
+            + [(i, 10) for i in range(50, 100)])    # light
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(df, "w", k=25, key_col="doc_id").collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    assert heavy >= 20
+    assert len(got) == 25
+    # deterministic: same call, same sample
+    again = weighted_sample(df, "w", k=25, key_col="doc_id").collect()
+    assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
