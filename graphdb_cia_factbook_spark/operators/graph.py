@@ -1313,3 +1313,62 @@ def node2vec_walks(graph: Graph, length: int = 4,
                  .localCheckpoint(eager=False))
     return walks.select("walk_id", "path",
                         F.col("cur").alias("end_id"), "n_steps")
+
+
+def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
+                max_rounds: int = 20) -> DataFrame:
+    """Minimum spanning forest by Boruvka supersteps -- THE
+    log-round-parallel MST algorithm (each round every component picks
+    its minimum outgoing edge; components at least halve per round, so
+    a 1e9-vertex graph closes in ~30 rounds of edge-sized joins).
+
+    ``uedges`` is the undirected edge list (a < b) with an integer
+    ``w`` column of DISTINCT weights (callers rank (amount, a, b) to
+    break ties -- distinct weights make the MSF unique, which is what
+    lets the oracle verify via the cut/cycle property instead of
+    replaying rounds).  Output: the forest edges (a, b, w).
+
+    Per round: one component-label join over the live edges, one
+    per-component MIN(struct) aggregate (map-side combinable), and a
+    component-graph contraction via :func:`connected_components` on
+    the picked edges (component-count-sized, shrinking
+    geometrically)."""
+    edges = uedges.select("a", "b", "w").localCheckpoint()
+    comp = vertices.select("id", F.col("id").alias("component")) \
+        .localCheckpoint()
+    mst = None
+    for _ in range(max_rounds):
+        ca = comp.select(F.col("id").alias("a"),
+                         F.col("component").alias("__ca"))
+        cb = comp.select(F.col("id").alias("b"),
+                         F.col("component").alias("__cb"))
+        live = (edges.join(ca, "a").join(cb, "b")
+                .where(F.col("__ca") != F.col("__cb"))
+                .localCheckpoint())
+        if live.isEmpty():
+            break
+        pick_struct = F.struct("w", "a", "b")
+        cand = (live.select(F.col("__ca").alias("c"), pick_struct
+                            .alias("e"))
+                .union(live.select(F.col("__cb").alias("c"),
+                                   pick_struct.alias("e"))))
+        picked = (cand.groupBy("c").agg(F.min("e").alias("e"))
+                  .select("e.a", "e.b", "e.w").distinct()
+                  .localCheckpoint())
+        mst = picked if mst is None else mst.union(picked).distinct() \
+            .localCheckpoint()
+        # contract: components of the picked COMPONENT graph become
+        # the new labels (component-count-sized, not vertex-sized)
+        cpair = (picked.join(ca, "a").join(cb, "b")
+                 .select(F.col("__ca").alias("src"),
+                         F.col("__cb").alias("dst")))
+        cverts = comp.select(F.col("component").alias("id")).distinct()
+        relab = (connected_components(Graph(cverts, cpair))
+                 .select(F.col("id").alias("component"),
+                         F.col("component").alias("__new")))
+        comp = (comp.join(relab, "component")
+                .select("id", F.col("__new").alias("component"))
+                .localCheckpoint())
+    if mst is None:
+        return uedges.select("a", "b", "w").limit(0)
+    return mst

@@ -1474,3 +1474,65 @@ def g_node2vec_walks(spark, sf):
     return node2vec_walks(Graph(g.vertices, top3), length=_N2V_LEN,
                           w_return=_N2V_WR, w_common=_N2V_WC,
                           w_far=_N2V_WF)
+
+
+@register("g_mst", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+t3 AS (
+  SELECT src, dst, amount FROM (
+    SELECT src, dst, amount,
+           ROW_NUMBER() OVER (PARTITION BY src
+                              ORDER BY amount DESC, dst) AS rn
+    FROM edges
+  ) WHERE rn <= 3
+),
+ue AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(amount) AS am
+  FROM t3 GROUP BY 1, 2
+),
+uw AS MATERIALIZED (
+  SELECT a, b, ROW_NUMBER() OVER (ORDER BY am DESC, a, b) AS w
+  FROM ue
+),
+sym AS (
+  SELECT a, b, w FROM uw UNION ALL SELECT b AS a, a AS b, w FROM uw
+),
+reach(a, b, bw) AS (
+  SELECT a, b, w FROM sym
+  UNION
+  SELECT r.a, e.b, GREATEST(r.bw, e.w)
+  FROM reach r JOIN sym e ON e.a = r.b
+  WHERE e.b != r.a
+),
+minimax AS (
+  SELECT a, b, MIN(bw) AS bw FROM reach GROUP BY 1, 2
+)
+SELECT u.a, u.b, u.w
+FROM uw u JOIN minimax m ON m.a = u.a AND m.b = u.b
+WHERE m.bw = u.w
+""")
+def g_mst(spark, sf):
+    """Minimum spanning forest of the undirected top-3-partner trade
+    graph by BORUVKA supersteps (components halve per round --
+    log-round parallel, the MST algorithm that works at cluster
+    scale).  Edge weights are the (amount DESC, a, b) rank, so weights
+    are DISTINCT integers and the forest is unique -- which lets the
+    oracle verify via the cycle property (edge is in the MSF iff no
+    alternative path has a smaller bottleneck weight; minimax closure
+    as a recursive CTE) instead of replaying rounds.  See
+    operators.graph.boruvka_mst."""
+    from .operators.graph import boruvka_mst
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    t3 = (g.edges.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= 3).select("src", "dst", "amount"))
+    ue = (t3.groupBy(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .agg(F.max("amount").alias("am")))
+    # global rank window: edge-count-sized (the collapsed nation graph),
+    # never fact-sized -- same posture as the other top3 projections
+    uw = (ue.withColumn("w", F.row_number().over(
+        Window.orderBy(F.desc("am"), F.asc("a"), F.asc("b"))))
+          .select("a", "b", "w"))
+    return boruvka_mst(g.vertices.select("id"), uw)

@@ -492,3 +492,26 @@ def test_node2vec_zero_total_walk_stops_in_place(spark):
         w_far=1).collect()}
     assert set(rows) == {"A", "B"}
     assert rows["A"]["path"] == "A>B" and rows["A"]["n_steps"] == 1
+
+
+def test_boruvka_mst_known_graph(spark):
+    """Cycle + chord graph: MST excludes exactly the heaviest cycle
+    edges; a disconnected extra pair yields a forest."""
+    from graphdb_cia_factbook_spark.operators.graph import boruvka_mst
+    v = spark.createDataFrame([(x,) for x in "ABCDEF"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B", 1), ("B", "C", 2), ("C", "D", 3), ("D", "E", 4),
+         ("A", "C", 5), ("B", "D", 6), ("E", "F", 7), ("A", "E", 8)],
+        "a string, b string, w long")
+    got = sorted((r.a, r.b, r.w) for r in boruvka_mst(v, e).collect())
+    assert got == [("A", "B", 1), ("B", "C", 2), ("C", "D", 3),
+                   ("D", "E", 4), ("E", "F", 7)]
+
+
+def test_boruvka_mst_forest_on_disconnected(spark):
+    from graphdb_cia_factbook_spark.operators.graph import boruvka_mst
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B", 2), ("C", "D", 1)], "a string, b string, w long")
+    got = sorted((r.a, r.b, r.w) for r in boruvka_mst(v, e).collect())
+    assert got == [("A", "B", 2), ("C", "D", 1)]
