@@ -1372,3 +1372,52 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
     if mst is None:
         return uedges.select("a", "b", "w").limit(0)
     return mst
+
+
+def maximal_independent_set(graph: Graph,
+                            max_rounds: int = 100) -> DataFrame:
+    """Maximal independent set by Luby-style rounds with DETERMINISTIC
+    md5 priorities: an undecided vertex enters the MIS when its
+    (md5(id), id) priority beats every undecided neighbor's; its
+    neighbors drop out; repeat until no vertex is undecided.  The
+    md5 priority plays the role of Luby's random draw -- expected
+    O(log V) rounds on real graphs -- while staying replayable and
+    engine-exact (at worst the global minimum enters each round, so
+    |V| rounds bound termination).
+
+    Per round: one edge-sized join against the undecided set, one
+    per-vertex MIN(struct) aggregate, one anti-join.  Output:
+    (id, in_mis)."""
+    sym = undirected_edges(graph.edges)
+    sym = (sym.union(sym.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    u = (graph.vertices.select("id", F.md5("id").alias("pri"))
+         .localCheckpoint())
+    mis = None
+    for _ in range(max_rounds):
+        if u.isEmpty():
+            break
+        und_dst = u.select(F.col("id").alias("b"),
+                           F.col("pri").alias("__np"))
+        nmin = (sym.join(und_dst, "b")
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.min(F.struct(F.col("__np").alias("p"),
+                                    F.col("b").alias("i"))).alias("nm")))
+        enter = (u.join(nmin, "id", "left")
+                 .where(F.col("nm").isNull()
+                        | (F.struct(F.col("pri").alias("p"),
+                                    F.col("id").alias("i"))
+                           < F.col("nm")))
+                 .select("id").localCheckpoint())
+        out = (sym.join(enter.select(F.col("id").alias("a")), "a")
+               .select(F.col("b").alias("id")).distinct())
+        mis = enter if mis is None else mis.union(enter)
+        u = (u.join(enter.union(out).distinct(), "id", "left_anti")
+             .localCheckpoint())
+    mis = (mis.localCheckpoint() if mis is not None
+           else graph.vertices.select("id").limit(0))
+    return (graph.vertices.select("id")
+            .join(mis.select(F.col("id").alias("m")),
+                  F.col("id") == F.col("m"), "left")
+            .select("id", F.col("m").isNotNull().alias("in_mis")))

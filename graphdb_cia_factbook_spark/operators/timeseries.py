@@ -184,3 +184,58 @@ def holt_linear(events: DataFrame, key_col: str = "user_id",
         F.element_at(folded, 2).alias("trend"),
         (F.element_at(folded, 1) + F.element_at(folded, 2))
         .alias("forecast_1"))
+
+
+def cusum(events: DataFrame, key_col: str = "user_id",
+          ts_col: str = "ts", value_col: str = "value",
+          drift: float = 0.5, threshold: float = 5.0) -> DataFrame:
+    """One-sided CUSUM change-point detection per key:
+    ``s_t = max(0, s_{t-1} + (x_t - mean_key) / sd_key - drift)`` over
+    the time-ordered series; an alarm fires whenever s crosses
+    ``threshold`` (s then resets -- the standard repeated-alarm form).
+    The sequential detector a metrics pipeline runs after resampling.
+
+    One aggregate pass computes decimal-exact moments (s1, s2 -- the
+    ab_test_welch discipline, so mean and sd are engine-identical
+    doubles, never a float-accumulated stddev) ALONGSIDE the value
+    list; the same collect_list + F.aggregate fold as
+    :func:`ewma`/:func:`holt_linear` then runs the detector -- the
+    state [s, n_alarms, max_s] rides as a 3-element double array.
+    Keys with sd = 0 report no alarms (flat series cannot drift).
+    Output: (key, n_obs, mean, max_cusum, n_alarms)."""
+    pair = F.struct(F.col(ts_col).alias("t"),
+                    F.col(value_col).cast("double").alias("v"))
+    dec = F.col(value_col).cast("decimal(27,4)")
+    per_key = (events.groupBy(key_col)
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(pair)),
+                   lambda s: s["v"]).alias("__vals"),
+                   F.count(F.lit(1)).alias("n_obs"),
+                   F.sum(dec).cast("double").alias("__s1"),
+                   F.sum(dec * dec).cast("double").alias("__s2")))
+    n = F.col("n_obs").cast("double")
+    mean = F.col("__s1") / n
+    var = (F.col("__s2") - (F.col("__s1") * F.col("__s1")) / n) / (n - 1)
+    sd = F.sqrt(var)
+
+    def step(acc, x):
+        z = (x - mean) / sd - F.lit(drift)
+        s_new = F.greatest(F.lit(0.0), F.element_at(acc, 1) + z)
+        alarm = s_new > F.lit(threshold)
+        return F.array(
+            F.when(alarm, F.lit(0.0)).otherwise(s_new),
+            F.element_at(acc, 2) + F.when(alarm, F.lit(1.0))
+            .otherwise(F.lit(0.0)),
+            F.greatest(F.element_at(acc, 3), s_new))
+
+    folded = F.aggregate(F.col("__vals"),
+                         F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+                         step)
+    return per_key.select(
+        key_col, "n_obs", F.round(mean, 8).alias("mean"),
+        F.when(sd.isNull() | (sd <= 0), F.lit(0.0))
+        .otherwise(F.round(F.element_at(folded, 3), 8))
+        .alias("max_cusum"),
+        F.when(sd.isNull() | (sd <= 0), F.lit(0))
+        .otherwise(F.element_at(folded, 2).cast("long"))
+        .alias("n_alarms"))

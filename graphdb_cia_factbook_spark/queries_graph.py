@@ -1536,3 +1536,62 @@ def g_mst(spark, sf):
         Window.orderBy(F.desc("am"), F.asc("a"), F.asc("b"))))
           .select("a", "b", "w"))
     return boruvka_mst(g.vertices.select("id"), uw)
+
+
+_MIS_ROUNDS = 25
+
+
+def _mis_sql(rounds: int) -> str:
+    """Generate the Luby-MIS oracle: per round, the enter/eliminate
+    pair as NOT EXISTS CTEs over the shrinking undecided set --
+    mirrors operators.graph.maximal_independent_set (each round at
+    least the global minimum priority enters, so |V| rounds always
+    converge; g_mis asserts the vertex count fits)."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM top3 WHERE src != dst),
+sym AS (SELECT a, b FROM ue UNION SELECT b AS a, a AS b FROM ue),
+u0 AS (SELECT id, md5(id) AS pri FROM verts)"""]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+m{k} AS MATERIALIZED (
+  SELECT u.id FROM u{p} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym e JOIN u{p} n ON n.id = e.b
+    WHERE e.a = u.id
+      AND (n.pri < u.pri OR (n.pri = u.pri AND n.id < u.id)))
+),
+u{k} AS MATERIALIZED (
+  SELECT u.id, u.pri FROM u{p} u
+  WHERE u.id NOT IN (SELECT id FROM m{k})
+    AND NOT EXISTS (SELECT 1 FROM sym e JOIN m{k} m ON m.id = e.a
+                    WHERE e.b = u.id)
+)""")
+    union = "\n  UNION ALL ".join(f"SELECT id FROM m{k}"
+                                  for k in range(1, rounds + 1))
+    parts.append(f""",
+mis AS (
+  {union}
+)
+SELECT v.id, m.id IS NOT NULL AS in_mis
+FROM verts v LEFT JOIN mis m ON m.id = v.id""")
+    return "".join(parts)
+
+
+@register("g_mis", _mis_sql(_MIS_ROUNDS))
+def g_mis(spark, sf):
+    """Maximal independent set on the undirected top-3-partner graph
+    (Luby rounds, deterministic md5 priorities) -- the parallel
+    symmetry-breaking primitive under distributed coloring/scheduling.
+    See operators.graph.maximal_independent_set."""
+    from .operators.graph import Graph, maximal_independent_set
+    g = build_trade_graph(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts <= _MIS_ROUNDS, (
+        f"g_mis oracle runs {_MIS_ROUNDS} rounds but the graph has "
+        f"{n_verts} vertices; raise _MIS_ROUNDS to >= |V|")
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return maximal_independent_set(Graph(g.vertices, top3))

@@ -565,3 +565,86 @@ def ts_holt_linear(spark, sf):
     from .operators.timeseries import holt_linear
     return holt_linear(read_table(spark, sf, "events"),
                        alpha=_HOLT_A, beta=_HOLT_B)
+
+
+_CUSUM_DRIFT, _CUSUM_TH = 0.5, 5.0
+
+
+@register("ts_cusum", f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+         COUNT(*) AS n_obs,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))
+                  * CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s2
+  FROM events GROUP BY user_id
+),
+stats AS (
+  SELECT user_id, vals, n_obs,
+         s1 / n_obs AS mean,
+         sqrt((s2 - (s1 * s1) / n_obs) / (n_obs - 1)) AS sd
+  FROM ordered
+),
+folded AS (
+  SELECT user_id, n_obs, mean, sd,
+         list_reduce(
+           list_concat([[0.0, 0.0, 0.0]],
+                       list_transform(vals, x -> [x, 0.0, 0.0])),
+           (acc, x) -> [
+             CASE WHEN greatest(0.0, acc[1] + (x[1] - mean) / sd
+                                - {_CUSUM_DRIFT!r}) > {_CUSUM_TH!r}
+                  THEN 0.0
+                  ELSE greatest(0.0, acc[1] + (x[1] - mean) / sd
+                                - {_CUSUM_DRIFT!r}) END,
+             acc[2] + CASE WHEN greatest(0.0, acc[1]
+                                         + (x[1] - mean) / sd
+                                         - {_CUSUM_DRIFT!r})
+                                > {_CUSUM_TH!r}
+                           THEN 1.0 ELSE 0.0 END,
+             greatest(acc[3],
+                      greatest(0.0, acc[1] + (x[1] - mean) / sd
+                               - {_CUSUM_DRIFT!r}))
+           ]) AS st
+  FROM stats
+)
+SELECT user_id, n_obs, ROUND(mean, 8) AS mean,
+       CASE WHEN sd IS NULL OR sd <= 0 THEN 0.0
+            ELSE ROUND(st[3], 8) END AS max_cusum,
+       CASE WHEN sd IS NULL OR sd <= 0 THEN 0
+            ELSE CAST(st[2] AS BIGINT) END AS n_alarms
+FROM folded
+""")
+def ts_cusum(spark, sf):
+    """CUSUM change-point detection per user (standardized one-sided
+    detector, drift 0.5, threshold 5): decimal-exact moments feed a
+    3-state sequential fold -- alarms count level shifts in the value
+    stream.  See operators.timeseries.cusum."""
+    from .operators.timeseries import cusum
+    return cusum(read_table(spark, sf, "events"),
+                 drift=_CUSUM_DRIFT, threshold=_CUSUM_TH)
+
+
+@register("ts_rolling_median", """
+SELECT user_id, event_id,
+       ROUND(CAST(quantile_cont(CAST(value AS DOUBLE), 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE), 8)
+         AS rolling_median
+FROM events
+""")
+def ts_rolling_median(spark, sf):
+    """Rolling 5-observation median per user: the robust smoother
+    (one wild sample cannot move it, unlike a moving average) -- a
+    single window stage, interpolated percentile over a bounded ROWS
+    frame, ordered by the unique (ts, event_id) so frames are
+    engine-identical."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.percentile(F.col("value").cast("double"),
+                             F.lit(0.5)).over(w), 8)
+        .alias("rolling_median"))

@@ -515,3 +515,21 @@ def test_boruvka_mst_forest_on_disconnected(spark):
         [("A", "B", 2), ("C", "D", 1)], "a string, b string, w long")
     got = sorted((r.a, r.b, r.w) for r in boruvka_mst(v, e).collect())
     assert got == [("A", "B", 2), ("C", "D", 1)]
+
+
+def test_mis_independent_and_maximal(spark):
+    """Path graph: the result must be an independent set and maximal
+    (every excluded vertex has an MIS neighbor)."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, maximal_independent_set)
+    v = spark.createDataFrame([(x,) for x in "ABCDEF"], "id string")
+    edges = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("E", "F")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    rows = maximal_independent_set(Graph(v, e)).collect()
+    mis = {r["id"] for r in rows if r["in_mis"]}
+    assert not any(a in mis and b in mis for a, b in edges)
+    for r in rows:
+        if not r["in_mis"]:
+            x = r["id"]
+            assert any((a == x and b in mis) or (b == x and a in mis)
+                       for a, b in edges)

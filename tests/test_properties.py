@@ -269,3 +269,21 @@ def test_weighted_sample_favors_heavy_rows(spark):
     # deterministic: same call, same sample
     again = weighted_sample(df, "w", k=25, key_col="doc_id").collect()
     assert {r["doc_id"] for r in got} == {r["doc_id"] for r in again}
+
+
+def test_cusum_detects_level_shift(spark):
+    """A series that jumps +10 sd halfway must alarm; a flat series
+    must report zero alarms and zero max_cusum."""
+    from datetime import datetime
+    from graphdb_cia_factbook_spark.operators.timeseries import cusum
+    rows = ([(1, datetime(2026, 1, 1, h), 0.0 + (h % 2) * 0.1)
+             for h in range(10)]
+            + [(1, datetime(2026, 1, 2, h), 50.0 + (h % 2) * 0.1)
+               for h in range(10)]
+            + [(2, datetime(2026, 1, 1, h), 7.0) for h in range(5)])
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    got = {r["user_id"]: r for r in
+           cusum(ev, drift=0.5, threshold=3.0).collect()}
+    assert got[1]["n_alarms"] >= 1
+    assert got[2]["n_alarms"] == 0 and got[2]["max_cusum"] == 0.0
