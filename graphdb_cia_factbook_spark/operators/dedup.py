@@ -493,3 +493,50 @@ def prefix_filter_pairs(df: DataFrame, threshold: float = 0.5,
             .select("id_a", "id_b").distinct())
     return (pair_jaccard(cand, sh, id_col)
             .where(F.col("jaccard") >= threshold))
+
+
+def block_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", block_chars: int = 32,
+                      min_shared: int = 2,
+                      max_block_df: int = 1000) -> DataFrame:
+    """CDC-style fixed-block near-duplicate pairs: each document splits
+    into consecutive ``block_chars``-character blocks, each block
+    hashes to md5, and documents sharing >= ``min_shared`` distinct
+    block hashes pair up -- the fixed-size-chunking dedup pass storage
+    systems run on binary payloads, here over the text column (the
+    oracle engine can only md5 VARCHAR; on real media swap
+    substring-over-binary in, the plan shape is identical).
+
+    ``max_block_df`` is the standard hot-key guard (same pattern as
+    ngram_jaccard_dedup): block hashes whose document frequency
+    exceeds it never generate candidates, so one boilerplate block
+    cannot materialize a quadratic pair space.  Everything is pure
+    Catalyst -- no Python, one block-keyed shuffle, pair space bounded
+    by df_cap^2 per block hash."""
+    n_blocks = F.floor(F.length(F.col(text_col)) / block_chars)
+    hashed = (df.select(F.col(id_col), F.col(text_col),
+                        n_blocks.alias("__nb"))
+              # guard: Spark sequence(0, -1) would count DOWN; docs
+              # shorter than one block contribute nothing (DuckDB
+              # range(0, 0) is empty by construction)
+              .where(F.col("__nb") >= 1)
+              .select(F.col(id_col), F.col(text_col),
+                      F.explode(F.sequence(F.lit(0), F.col("__nb") - 1))
+                      .alias("__i"))
+              .select(F.col(id_col),
+                      F.md5(F.substring(F.col(text_col),
+                                        (F.col("__i") * block_chars + 1)
+                                        .cast("int"), block_chars))
+                      .alias("bh"))
+              .distinct())
+    df_cap = (hashed.groupBy("bh")
+              .agg(F.count(F.lit(1)).alias("__df"))
+              .where(F.col("__df") <= max_block_df))
+    rare = hashed.join(df_cap.select("bh"), "bh")
+    a = rare.select(F.col("bh"), F.col(id_col).alias("id_a"))
+    b = rare.select(F.col("bh"), F.col(id_col).alias("id_b"))
+    return (a.join(b, "bh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_blocks"))
+            .where(F.col("n_shared_blocks") >= min_shared))

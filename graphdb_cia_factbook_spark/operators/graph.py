@@ -1421,3 +1421,39 @@ def maximal_independent_set(graph: Graph,
             .join(mis.select(F.col("id").alias("m")),
                   F.col("id") == F.col("m"), "left")
             .select("id", F.col("m").isNotNull().alias("in_mis")))
+
+
+def eigenvector_centrality(graph: Graph, max_iter: int = 15) -> DataFrame:
+    """Eigenvector centrality by power iteration on the RAW adjacency
+    (x' = A^T x): the prestige measure where a link from a well-linked
+    nation counts more -- completing the centrality family next to
+    PageRank (stochastic matrix + teleport) and HITS (bipartite
+    hub/authority).
+
+    Determinism/scale contract: each superstep is one edge-sized join
+    + per-vertex decimal-exact sum; the iterate is re-scaled by its
+    MAX component (an order-independent reduction -- no float-sum
+    normalization inside the loop), keeping values in [0, 1] with no
+    overflow for any iteration count; one L2 normalization at the END
+    over decimal-exact squares.  Output: (id, eigenvector) rounded
+    to 8."""
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    x = graph.vertices.select("id", F.lit(1.0).alias("x"))
+    for _ in range(max_iter):
+        y = (edges.join(x.withColumnRenamed("id", "src"), "src")
+             .groupBy(F.col("dst").alias("id"))
+             .agg(F.sum(F.col("x").cast("decimal(27,12)"))
+                  .cast("double").alias("y")))
+        y = (graph.vertices.select("id")
+             .join(y, "id", "left")
+             .select("id", F.coalesce("y", F.lit(0.0)).alias("y")))
+        m = y.agg(F.max("y").alias("m"))
+        x = (y.crossJoin(F.broadcast(m))
+             .select("id", (F.col("y") / F.col("m")).alias("x"))
+             .localCheckpoint(eager=False))
+    norm = x.agg(F.sqrt(F.sum((F.col("x") * F.col("x"))
+                              .cast("decimal(27,12)")).cast("double"))
+                 .alias("n"))
+    return (x.crossJoin(F.broadcast(norm))
+            .select("id", F.round(F.col("x") / F.col("n"), 8)
+                    .alias("eigenvector")))

@@ -706,3 +706,35 @@ def hard_negatives(emb: DataFrame, anchors: DataFrame, k: int = 3,
     return (topk_per_query(scored, k)
             .select("query_id", "anchor_label", "neighbor_id",
                     "neg_label", "rank", F.round("cos", 6).alias("cos")))
+
+
+def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Binary-code similarity search: vectors collapse to their SIGN
+    BITS (1 bit/dimension -- a 32x denser index than float32) and
+    neighbors rank by Hamming distance, the integer proxy for angular
+    distance (P[sign mismatch] = angle/pi per dimension).  The
+    memory-extreme sibling of :func:`quantized_topk`; production
+    stacks use exactly this as the first of the code->int8->float
+    re-ranking ladder (:func:`rerank_topk`).
+
+    The distance is an exact integer fold (zip_with + aggregate) --
+    order-free, bit-portable; broadcast queries, corpus streams once,
+    two-phase top-k.  Ties break on neighbor_id."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("__qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("__cv"))
+    mism = F.zip_with(
+        F.col("__qv"), F.col("__cv"),
+        lambda a, b: F.when((a >= 0) != (b >= 0), F.lit(1))
+        .otherwise(F.lit(0)).cast("long"))
+    ham = F.aggregate(mism, F.lit(0).cast("long"),
+                      lambda acc, x: acc + x)
+    scored = (c.crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "neighbor_id", ham.alias("hamming")))
+    return (topk_per_query(scored, k,
+                           order=[F.asc("hamming"), F.asc("neighbor_id")])
+            .select("query_id", "neighbor_id", "rank", "hamming"))

@@ -1595,3 +1595,45 @@ def g_mis(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return maximal_independent_set(Graph(g.vertices, top3))
+
+
+_EIG_ITERS = 15
+
+
+def _eigenvector_sql(iters: int) -> str:
+    """Generate the eigenvector-centrality oracle: the identical
+    max-rescaled power iteration, one CTE pair per superstep."""
+    parts = [f"WITH {EDGES_CTE},", """
+x0 AS (SELECT id, 1.0::DOUBLE AS x FROM verts)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+y{k} AS MATERIALIZED (
+  SELECT v.id,
+         COALESCE(CAST((SELECT SUM(CAST(x.x AS DECIMAL(27,12)))
+                        FROM edges e JOIN x{p} x ON x.id = e.src
+                        WHERE e.dst = v.id) AS DOUBLE), 0.0) AS y
+  FROM verts v
+),
+x{k} AS MATERIALIZED (
+  SELECT id, y / (SELECT MAX(y) FROM y{k}) AS x FROM y{k}
+)""")
+    parts.append(f"""
+SELECT id,
+       ROUND(x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(27,12)))
+                                   AS DOUBLE)) FROM x{iters}), 8)
+         AS eigenvector
+FROM x{iters}""")
+    return "".join(parts)
+
+
+@register("g_eigenvector", _eigenvector_sql(_EIG_ITERS))
+def g_eigenvector(spark, sf):
+    """Eigenvector centrality of the trade digraph (raw-adjacency
+    power iteration, max-rescaled in-loop, L2-normalized at the end)
+    -- the prestige member of the centrality family (PageRank = its
+    stochastic+teleport variant, GDS exposes both).  See
+    operators.graph.eigenvector_centrality."""
+    from .operators.graph import eigenvector_centrality
+    g = build_trade_graph(spark, sf)
+    return eigenvector_centrality(g, max_iter=_EIG_ITERS)

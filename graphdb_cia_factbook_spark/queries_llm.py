@@ -2528,3 +2528,64 @@ def llm_weighted_sample(spark, sf):
     from .operators.sampling import weighted_sample
     docs = read_parallel(spark, sf, "documents")
     return weighted_sample(docs, "n_chars", k=20)
+
+
+@register("llm_ann_hamming", """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 16),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> CASE WHEN (q.qv[i] >= 0) != (c.embedding[i] >= 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, rank, hamming
+FROM (SELECT query_id, neighbor_id, hamming,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY hamming, neighbor_id) AS rank
+      FROM scored) WHERE rank <= 3
+""")
+def llm_ann_hamming(spark, sf):
+    """Binary sign-code ANN: 1-bit-per-dimension index, exact integer
+    Hamming ranking -- the 32x-memory-reduction end of the
+    quantization ladder (rerank with llm_ann_rerank to recover
+    precision).  See operators.similarity.hamming_topk."""
+    from .operators.similarity import hamming_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    return hamming_topk(emb, emb.where(F.col("vec_id") < 16), k=3)
+
+
+_BLK, _BLK_MIN, _BLK_DF = 32, 2, 1000
+
+
+@register("llm_block_dedup", f"""
+WITH blk AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, i * {_BLK} + 1, {_BLK})) AS bh
+  FROM documents,
+       unnest(range(0, CAST(floor(length(text) / {_BLK}) AS BIGINT)))
+         AS u(i)
+),
+rare AS (
+  SELECT b.doc_id, b.bh FROM blk b
+  JOIN (SELECT bh FROM blk GROUP BY bh
+        HAVING COUNT(*) <= {_BLK_DF}) r ON r.bh = b.bh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       COUNT(*) AS n_shared_blocks
+FROM rare a JOIN rare b ON a.bh = b.bh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING COUNT(*) >= {_BLK_MIN}
+""")
+def llm_block_dedup(spark, sf):
+    """CDC-style fixed-block dedup: documents sharing >= {m}
+    {b}-char block hashes -- the fixed-size-chunking pass storage/
+    backup systems run, with the standard hot-block df cap so
+    boilerplate blocks never go quadratic.  See
+    operators.dedup.block_dedup_pairs.""" \
+        .replace("{m}", str(_BLK_MIN)).replace("{b}", str(_BLK))
+    from .operators.dedup import block_dedup_pairs
+    docs = read_parallel(spark, sf, "documents")
+    return block_dedup_pairs(docs, block_chars=_BLK,
+                             min_shared=_BLK_MIN, max_block_df=_BLK_DF)

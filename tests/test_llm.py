@@ -928,3 +928,35 @@ def test_hard_negatives_excludes_same_label(spark):
     assert [r["neighbor_id"] for r in sorted(got, key=lambda r: r["rank"])] \
         == [2, 3]
     assert all(r["neg_label"] != r["anchor_label"] for r in got)
+
+
+def test_hamming_topk_orders_by_sign_agreement(spark):
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        hamming_topk)
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]),
+         (1, [0.5, 2.0, 0.1, 3.0]),    # 0 mismatches
+         (2, [-1.0, 1.0, 1.0, 1.0]),   # 1 mismatch
+         (3, [-1.0, -1.0, -1.0, -1.0])],  # 4 mismatches
+        "vec_id long, embedding array<float>")
+    got = [(r["neighbor_id"], r["hamming"]) for r in
+           hamming_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+           .orderBy("rank").collect()]
+    assert got == [(1, 0), (2, 1), (3, 4)]
+
+
+def test_block_dedup_finds_shared_runs_and_caps_hot_blocks(spark):
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        block_dedup_pairs)
+    shared = "x" * 32 + "y" * 32           # 2 DISTINCT 32-char blocks
+    boiler = "b" * 64
+    rows = ([(1, shared + "unique-one-tail-" + "q" * 32),
+             (2, shared + "unique-two-tail-" + "r" * 32),
+             (3, "totally different " + "z" * 64)]
+            + [(10 + i, boiler + f"doc{i}") for i in range(20)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["n_shared_blocks"]
+             for r in block_dedup_pairs(df, max_block_df=5).collect()}
+    assert pairs.get((1, 2)) == 2          # the two shared blocks
+    # boilerplate block df=20 > cap=5: no pair among docs 10..29
+    assert not any(a >= 10 and b >= 10 for a, b in pairs)
