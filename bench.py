@@ -50,6 +50,10 @@ HEADLINE = [
     "q21_waiting_suppliers", # double-correlated semi+anti joins (Q21)
     "llm_dsir_weights",      # DSIR importance-resampling selection
     "g_link_prediction",     # wedge-join link prediction scores
+    "g_mst",                 # Boruvka minimum spanning forest
+    "llm_mmr_rerank",        # greedy MMR diversified re-rank
+    "hier_subtree_rollup",   # pointer-doubling recursive hierarchy
+    "ts_cusum",              # sequential CUSUM change detection
 ]
 
 

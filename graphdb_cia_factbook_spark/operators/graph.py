@@ -1457,3 +1457,44 @@ def eigenvector_centrality(graph: Graph, max_iter: int = 15) -> DataFrame:
     return (x.crossJoin(F.broadcast(norm))
             .select("id", F.round(F.col("x") / F.col("n"), 8)
                     .alias("eigenvector")))
+
+
+def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
+    """k-truss decomposition: iteratively peel every edge supported by
+    fewer than k-2 triangles until fixpoint -- the EDGE-cohesion
+    sibling of :func:`k_core` (a k-truss is the maximal subgraph where
+    every edge closes >= k-2 triangles; the standard community-core
+    extractor in graph mining).
+
+    Per round: one wedge self-join of the symmetrized edge list (the
+    same bounded shape as :func:`triangle_count` -- at web scale order
+    by degree so wedges enumerate from the low-degree endpoint) + one
+    per-edge count + a filter; at least one edge drops per active
+    round, so |E| rounds bound termination (real graphs: a handful).
+    Output: every original undirected edge with ``in_truss``."""
+    ue = (undirected_edges(graph.edges).select("a", "b")
+          .distinct().localCheckpoint())
+    cur = ue
+    for _ in range(max_iter):
+        sym = cur.union(cur.select(F.col("b").alias("a"),
+                                   F.col("a").alias("b")))
+        x = sym.select(F.col("a").alias("wa"), F.col("b").alias("wc"))
+        y = sym.select(F.col("a").alias("wb"), F.col("b").alias("wc"))
+        wedges = (x.join(y, "wc")
+                  .where(F.col("wa") < F.col("wb"))
+                  .groupBy(F.col("wa").alias("a"),
+                           F.col("wb").alias("b"))
+                  .agg(F.count(F.lit(1)).alias("sup")))
+        kept = (cur.join(wedges, ["a", "b"], "left")
+                .where(F.coalesce("sup", F.lit(0)) >= k - 2)
+                .select("a", "b").localCheckpoint())
+        if kept.count() == cur.count():
+            cur = kept
+            break
+        cur = kept
+    return (ue.join(cur.select("a", "b",
+                               F.lit(True).alias("in_truss")),
+                    ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("in_truss", F.lit(False))
+                    .alias("in_truss")))

@@ -818,3 +818,151 @@ def copurchase_rules(spark, sf):
                     F.round(conf / (F.col("__nb").cast("double")
                                     / F.lit(float(tot))), 8)
                     .alias("lift")))
+
+
+@register("dq_psi", """
+WITH assigned AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         event_id % 2 AS half
+  FROM events
+),
+rng AS (
+  SELECT event_type, MIN(v) AS lo, MAX(v) AS hi
+  FROM assigned GROUP BY 1
+),
+bucketed AS (
+  SELECT a.event_type, a.half,
+         LEAST(9, CAST(floor((a.v - r.lo) / (r.hi - r.lo) * 10)
+                       AS INTEGER)) AS bucket
+  FROM assigned a JOIN rng r ON r.event_type = a.event_type
+  WHERE r.hi > r.lo
+),
+counts AS (
+  SELECT event_type, bucket,
+         COUNT(*) FILTER (WHERE half = 0) AS n0,
+         COUNT(*) FILTER (WHERE half = 1) AS n1
+  FROM bucketed GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(n0) AS t0, SUM(n1) AS t1
+  FROM counts GROUP BY 1
+)
+SELECT c.event_type,
+       ROUND(CAST(SUM(CAST(
+         (CAST(c.n0 AS DOUBLE) / t.t0 - CAST(c.n1 AS DOUBLE) / t.t1)
+         * ln((CAST(c.n0 AS DOUBLE) / t.t0)
+              / (CAST(c.n1 AS DOUBLE) / t.t1))
+         AS DECIMAL(27,12))) AS DOUBLE), 8) AS psi,
+       COUNT(*) AS n_buckets_used,
+       CAST(10 - COUNT(*) AS INTEGER) AS n_buckets_degenerate
+FROM counts c JOIN tot t ON t.event_type = c.event_type
+WHERE c.n0 > 0 AND c.n1 > 0
+GROUP BY c.event_type
+""")
+def dq_psi(spark, sf):
+    """Population-stability-index drift audit per metric: the two
+    deterministic halves (event_id parity -- the ab_test assignment
+    discipline) are bucketed into 10 equal-width bins over the
+    metric's global range, and PSI = sum (p0 - p1) ln(p0/p1) scores
+    the distribution shift (rule of thumb: > 0.2 = action).  Buckets
+    empty on either side are excluded and counted -- the standard
+    degenerate-bin convention.  One scan + bucket-sized aggregates;
+    decimal-exact PSI sum."""
+    ev = read_table(spark, sf, "events")
+    v = F.col("value").cast("double")
+    assigned = ev.select("event_type", v.alias("v"),
+                         F.pmod(F.col("event_id"), F.lit(2)).alias("half"))
+    rng = (assigned.groupBy("event_type")
+           .agg(F.min("v").alias("lo"), F.max("v").alias("hi")))
+    bucketed = (assigned.join(F.broadcast(rng), "event_type")
+                .where(F.col("hi") > F.col("lo"))
+                .select("event_type", "half",
+                        F.least(F.lit(9),
+                                F.floor((F.col("v") - F.col("lo"))
+                                        / (F.col("hi") - F.col("lo"))
+                                        * 10).cast("int"))
+                        .alias("bucket")))
+    counts = (bucketed.groupBy("event_type", "bucket")
+              .agg(F.count(F.when(F.col("half") == 0, 1)).alias("n0"),
+                   F.count(F.when(F.col("half") == 1, 1)).alias("n1")))
+    tot = (counts.groupBy("event_type")
+           .agg(F.sum("n0").alias("t0"), F.sum("n1").alias("t1")))
+    p0 = F.col("n0").cast("double") / F.col("t0")
+    p1 = F.col("n1").cast("double") / F.col("t1")
+    return (counts.join(F.broadcast(tot), "event_type")
+            .where((F.col("n0") > 0) & (F.col("n1") > 0))
+            .groupBy("event_type")
+            .agg(F.round(F.sum(((p0 - p1) * F.log(p0 / p1))
+                               .cast("decimal(27,12)")).cast("double"), 8)
+                 .alias("psi"),
+                 F.count(F.lit(1)).alias("n_buckets_used"),
+                 (F.lit(10) - F.count(F.lit(1))).cast("int")
+                 .alias("n_buckets_degenerate")))
+
+
+@register("rec_item_cosine", """
+WITH brands AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+sup AS (SELECT p_brand, COUNT(*) AS n_b FROM brands GROUP BY 1),
+pairs AS (
+  SELECT a.p_brand AS item_a, b.p_brand AS item_b, COUNT(*) AS n_ab
+  FROM brands a JOIN brands b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand != b.p_brand
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT p.item_a, p.item_b, p.n_ab,
+         CAST(p.n_ab AS DOUBLE)
+         / sqrt(CAST(sa.n_b AS DOUBLE) * CAST(sb.n_b AS DOUBLE))
+           AS cos_sim
+  FROM pairs p
+  JOIN sup sa ON sa.p_brand = p.item_a
+  JOIN sup sb ON sb.p_brand = p.item_b
+)
+SELECT item_a, item_b, n_ab, round(cos_sim, 8) AS cos_sim, sim_rank
+FROM (SELECT item_a, item_b, n_ab, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY item_a
+                                ORDER BY cos_sim DESC, item_b)
+               AS sim_rank
+      FROM scored)
+WHERE sim_rank <= 5
+""")
+def rec_item_cosine(spark, sf):
+    """Item-item collaborative filtering: cosine similarity over
+    order-occurrence sets (n_ab / sqrt(n_a n_b)) with the top-5
+    neighbors per brand -- the classic Amazon-style item-to-item
+    recommender scoring, computed from the same bounded basket-pair
+    space as copurchase_pairs (exact integer counts, one IEEE
+    division)."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_partkey")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    brands = (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+              .select("l_orderkey", "p_brand").distinct()
+              .localCheckpoint())
+    sup = brands.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n_b"))
+    a = brands.select("l_orderkey", F.col("p_brand").alias("item_a"))
+    b = brands.select("l_orderkey", F.col("p_brand").alias("item_b"))
+    pairs = (a.join(b, (a.l_orderkey == b.l_orderkey)
+                    & (F.col("item_a") != F.col("item_b")))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("n_ab")))
+    sa = sup.select(F.col("p_brand").alias("item_a"),
+                    F.col("n_b").alias("__na"))
+    sb = sup.select(F.col("p_brand").alias("item_b"),
+                    F.col("n_b").alias("__nb"))
+    scored = (pairs.join(F.broadcast(sa), "item_a")
+              .join(F.broadcast(sb), "item_b")
+              .select("item_a", "item_b", "n_ab",
+                      (F.col("n_ab").cast("double")
+                       / F.sqrt(F.col("__na").cast("double")
+                                * F.col("__nb").cast("double")))
+                      .alias("cos_sim")))
+    w = Window.partitionBy("item_a").orderBy(F.desc("cos_sim"),
+                                             F.asc("item_b"))
+    return (scored.withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= 5)
+            .select("item_a", "item_b", "n_ab",
+                    F.round("cos_sim", 8).alias("cos_sim"), "sim_rank"))

@@ -1637,3 +1637,55 @@ def g_eigenvector(spark, sf):
     from .operators.graph import eigenvector_centrality
     g = build_trade_graph(spark, sf)
     return eigenvector_centrality(g, max_iter=_EIG_ITERS)
+
+
+_TRUSS_K, _TRUSS_ROUNDS = 4, 75
+
+
+def _ktruss_sql(k: int, rounds: int) -> str:
+    """Generate the k-truss peel oracle: per round, wedge-join support
+    + filter (mirrors operators.graph.k_truss).  At least one edge
+    drops per active round, so rounds >= |undirected edges| always
+    reach the fixpoint (g_ktruss asserts the edge count fits);
+    post-fixpoint rounds are no-ops."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+e0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+)"""]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f""",
+sym{p} AS (SELECT a, b FROM e{p} UNION ALL SELECT b AS a, a AS b
+           FROM e{p}),
+e{r} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{p} e
+  LEFT JOIN (SELECT x.a AS wa, y.a AS wb, COUNT(*) AS sup
+             FROM sym{p} x JOIN sym{p} y
+               ON x.b = y.b AND x.a < y.a
+             GROUP BY 1, 2) t ON t.wa = e.a AND t.wb = e.b
+  WHERE COALESCE(t.sup, 0) >= {k - 2}
+)""")
+    parts.append(f"""
+SELECT e.a, e.b, t.a IS NOT NULL AS in_truss
+FROM e0 e LEFT JOIN e{rounds} t ON t.a = e.a AND t.b = e.b""")
+    return "".join(parts)
+
+
+@register("g_ktruss", _ktruss_sql(_TRUSS_K, _TRUSS_ROUNDS))
+def g_ktruss(spark, sf):
+    """4-truss of the undirected top-3-partner graph: every surviving
+    edge closes >= 2 triangles -- the edge-cohesion community core
+    (the edge sibling of g_kcore).  See operators.graph.k_truss."""
+    from .operators.graph import Graph, k_truss
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    n_ue = (top3.where(F.col("src") != F.col("dst"))
+            .select(F.least("src", "dst"), F.greatest("src", "dst"))
+            .distinct().count())
+    assert n_ue <= _TRUSS_ROUNDS, (
+        f"g_ktruss oracle peels {_TRUSS_ROUNDS} rounds but the graph "
+        f"has {n_ue} undirected edges; raise _TRUSS_ROUNDS")
+    return k_truss(Graph(g.vertices, top3), k=_TRUSS_K)

@@ -533,3 +533,21 @@ def test_mis_independent_and_maximal(spark):
             x = r["id"]
             assert any((a == x and b in mis) or (b == x and a in mis)
                        for a, b in edges)
+
+
+def test_ktruss_k4_keeps_clique_drops_pendant_triangle(spark):
+    """K4 + pendant triangle: K4 edges (2 triangles each) survive the
+    4-truss; pendant-triangle edges (1 triangle) peel away -- and the
+    D-E/D-F/E-F removal must CASCADE (after E-F peels, nothing
+    rescues the others)."""
+    from graphdb_cia_factbook_spark.operators.graph import Graph, k_truss
+    v = spark.createDataFrame([(x,) for x in "ABCDEF"], "id string")
+    edges = [("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("B", "D"),
+             ("C", "D"), ("D", "E"), ("D", "F"), ("E", "F")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {(r["a"], r["b"]): r["in_truss"]
+           for r in k_truss(Graph(v, e), k=4).collect()}
+    in_t = {p for p, t in got.items() if t}
+    assert in_t == {("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"),
+                    ("B", "D"), ("C", "D")}
+    assert len(got) == 9
