@@ -1498,3 +1498,42 @@ def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
             .select("a", "b",
                     F.coalesce("in_truss", F.lit(False))
                     .alias("in_truss")))
+
+
+def partition_modularity(ue: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity of a given vertex partition on an undirected
+    graph: per community ``q_c = e_c / m - (k_c / 2m)^2`` (internal
+    edge share minus the random-graph expectation); the sum over
+    communities is the partition's Q -- the metric that scores any
+    community detector (LPA here; Louvain et al. optimize exactly
+    this).
+
+    ``ue`` is the undirected edge list (a < b, deduped), ``labels`` is
+    (id, community).  All counts are exact integers, the two
+    divisions/square are single IEEE ops.  Scale shape: one edge-sized
+    double label join + community-sized aggregates."""
+    ue = ue.select("a", "b").localCheckpoint()
+    m = ue.count()
+    bi = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = bi.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("k"))
+    la = labels.select(F.col("id").alias("a"),
+                       F.col("community").alias("__ca"))
+    lb = labels.select(F.col("id").alias("b"),
+                       F.col("community").alias("__cb"))
+    internal = (ue.join(la, "a").join(lb, "b")
+                .where(F.col("__ca") == F.col("__cb"))
+                .groupBy(F.col("__ca").alias("community"))
+                .agg(F.count(F.lit(1)).alias("e_c")))
+    degsum = (labels.join(deg, "id", "left")
+              .groupBy("community")
+              .agg(F.count(F.lit(1)).alias("n_nodes"),
+                   F.sum(F.coalesce("k", F.lit(0))).alias("k_c")))
+    frac = F.col("k_c").cast("double") / F.lit(2.0 * m)
+    return (degsum.join(internal, "community", "left")
+            .select("community", "n_nodes",
+                    F.coalesce("e_c", F.lit(0)).alias("internal_edges"),
+                    F.col("k_c").alias("degree_sum"),
+                    F.round(F.coalesce("e_c", F.lit(0)).cast("double")
+                            / F.lit(float(m)) - frac * frac, 8)
+                    .alias("q_contrib")))

@@ -738,3 +738,36 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
     return (topk_per_query(scored, k,
                            order=[F.asc("hamming"), F.asc("neighbor_id")])
             .select("query_id", "neighbor_id", "rank", "hamming"))
+
+
+def rrf_fuse(rankings: list, k: int = 3, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al.): combine any number of
+    (query_id, neighbor_id, rank) tables into one consensus ranking by
+    ``score = sum over rankers of 1 / (c + rank)`` -- the
+    standard zero-training way to merge heterogeneous retrievers
+    (dense + sparse, cosine + Hamming, BM25 + ANN...).
+
+    A missing candidate contributes nothing from that ranker (full
+    outer join).  Scores are tiny fixed sums of single IEEE divisions
+    -- engine-exact; ties break on neighbor_id.  Scale shape:
+    candidate-sized joins only (each input is already a top-k)."""
+    assert rankings
+    fused = None
+    for i, r in enumerate(rankings):
+        t = r.select("query_id", "neighbor_id",
+                     (F.lit(1.0) / (F.lit(float(c)) + F.col("rank")))
+                     .alias(f"__s{i}"))
+        fused = t if fused is None else fused.join(
+            t, ["query_id", "neighbor_id"], "full_outer")
+    score = None
+    for i in range(len(rankings)):
+        term = F.coalesce(F.col(f"__s{i}"), F.lit(0.0))
+        score = term if score is None else score + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("neighbor_id"))
+    return (fused.select("query_id", "neighbor_id",
+                         score.alias("rrf_score"))
+            .withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= k)
+            .select("query_id", "neighbor_id", "fused_rank",
+                    F.round("rrf_score", 10).alias("rrf_score")))

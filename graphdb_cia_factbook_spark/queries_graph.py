@@ -1689,3 +1689,53 @@ def g_ktruss(spark, sf):
         f"g_ktruss oracle peels {_TRUSS_ROUNDS} rounds but the graph "
         f"has {n_ue} undirected edges; raise _TRUSS_ROUNDS")
     return k_truss(Graph(g.vertices, top3), k=_TRUSS_K)
+
+
+def _modularity_sql(lpa_iters: int) -> str:
+    """Reuse the generated LPA chain, then score the partition:
+    per-community Newman modularity contribution."""
+    base = _lpa_sql(lpa_iters)
+    tail = f"\nSELECT id, label AS community FROM l{lpa_iters}"
+    assert base.endswith(tail)
+    return base[:-len(tail)] + f""",
+labels AS (SELECT id, label AS community FROM l{lpa_iters}),
+deg AS (SELECT a AS id, COUNT(*) AS k FROM bi GROUP BY 1),
+mm AS (SELECT COUNT(*) AS m FROM ue),
+internal AS (
+  SELECT l1.community, COUNT(*) AS e_c
+  FROM ue e
+  JOIN labels l1 ON l1.id = e.a
+  JOIN labels l2 ON l2.id = e.b AND l2.community = l1.community
+  GROUP BY 1
+),
+degsum AS (
+  SELECT l.community, COUNT(*) AS n_nodes,
+         SUM(COALESCE(d.k, 0)) AS k_c
+  FROM labels l LEFT JOIN deg d ON d.id = l.id GROUP BY 1
+)
+SELECT ds.community, ds.n_nodes,
+       COALESCE(i.e_c, 0) AS internal_edges,
+       ds.k_c AS degree_sum,
+       ROUND(CAST(COALESCE(i.e_c, 0) AS DOUBLE)
+             / CAST((SELECT m FROM mm) AS DOUBLE)
+             - (CAST(ds.k_c AS DOUBLE)
+                / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE)))
+               * (CAST(ds.k_c AS DOUBLE)
+                  / (2.0 * CAST((SELECT m FROM mm) AS DOUBLE))), 8)
+         AS q_contrib
+FROM degsum ds LEFT JOIN internal i ON i.community = ds.community"""
+
+
+@register("g_modularity", _modularity_sql(_LPA_ITERS))
+def g_modularity(spark, sf):
+    """Newman modularity of the LPA partition on the undirected
+    top-3-partner graph: per-community internal-edge share minus the
+    configuration-model expectation -- the score Louvain-family
+    detectors optimize, here auditing the g_label_propagation
+    communities.  See operators.graph.partition_modularity."""
+    from .operators.graph import (Graph, label_propagation,
+                                  partition_modularity, undirected_edges)
+    g, top3 = _top3_cost(spark, sf)
+    graph = Graph(g.vertices, top3.select("src", "dst"))
+    labels = label_propagation(graph, max_iter=_LPA_ITERS)
+    return partition_modularity(undirected_edges(graph.edges), labels)

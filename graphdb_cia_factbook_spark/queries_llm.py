@@ -2589,3 +2589,62 @@ def llm_block_dedup(spark, sf):
     docs = read_parallel(spark, sf, "documents")
     return block_dedup_pairs(docs, block_chars=_BLK,
                              min_shared=_BLK_MIN, max_block_df=_BLK_DF)
+
+
+@register("llm_rank_fusion", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 16),
+cos_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+cos_rank AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cos_scored QUALIFY rank <= 10
+),
+ham_scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+              i -> CASE WHEN (q.qv[i] >= 0) != (c.embedding[i] >= 0)
+                        THEN 1 ELSE 0 END)) AS BIGINT) AS hamming
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ham_rank AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY hamming, neighbor_id) AS rank
+  FROM ham_scored QUALIFY rank <= 10
+),
+fused AS (
+  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         COALESCE(a.neighbor_id, b.neighbor_id) AS neighbor_id,
+         COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + a.rank),
+                  0.0)
+         + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + b.rank),
+                    0.0) AS rrf_score
+  FROM cos_rank a
+  FULL OUTER JOIN ham_rank b
+    ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+)
+SELECT query_id, neighbor_id, fused_rank, round(rrf_score, 10)
+         AS rrf_score
+FROM (SELECT query_id, neighbor_id, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, neighbor_id)
+               AS fused_rank
+      FROM fused) WHERE fused_rank <= 3
+""")
+def llm_rank_fusion(spark, sf):
+    """Reciprocal-rank fusion of two retrievers -- exact cosine top-10
+    and binary Hamming top-10 -- into one consensus top-3 (the
+    zero-training dense+binary ensemble every hybrid-search stack
+    runs).  See operators.similarity.rrf_fuse."""
+    from .operators.similarity import (brute_force_topk, hamming_topk,
+                                       rrf_fuse)
+    emb = read_parallel(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    return rrf_fuse([brute_force_topk(emb, q, k=10),
+                     hamming_topk(emb, q, k=10)], k=3)

@@ -960,3 +960,22 @@ def test_block_dedup_finds_shared_runs_and_caps_hot_blocks(spark):
     assert pairs.get((1, 2)) == 2          # the two shared blocks
     # boilerplate block df=20 > cap=5: no pair among docs 10..29
     assert not any(a >= 10 and b >= 10 for a, b in pairs)
+
+
+def test_rrf_fusion_rewards_cross_ranker_consensus(spark):
+    """A candidate ranked moderately by BOTH rankers must beat one
+    ranked first by a single ranker: 2/(60+2) > 1/(60+1)."""
+    from graphdb_cia_factbook_spark.operators.similarity import rrf_fuse
+    r1 = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (0, 30, 3)],
+        "query_id long, neighbor_id long, rank long")
+    r2 = spark.createDataFrame(
+        [(0, 40, 1), (0, 20, 2), (0, 10, 9)],
+        "query_id long, neighbor_id long, rank long")
+    got = [(r["neighbor_id"], r["fused_rank"]) for r in
+           rrf_fuse([r1, r2], k=4).orderBy("fused_rank").collect()]
+    # 20: 1/62+1/62 = .03226 beats 10: 1/61+1/69 = .03089 and the
+    # single-ranker firsts 40: 1/61 = .01639
+    assert got[0] == (20, 1)
+    assert got[1] == (10, 2)
+    assert {n for n, _ in got} == {10, 20, 30, 40}
