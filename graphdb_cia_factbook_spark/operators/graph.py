@@ -1537,3 +1537,33 @@ def partition_modularity(ue: DataFrame, labels: DataFrame) -> DataFrame:
                     F.round(F.coalesce("e_c", F.lit(0)).cast("double")
                             / F.lit(float(m)) - frac * frac, 8)
                     .alias("q_contrib")))
+
+
+def katz_centrality(graph: Graph, alpha: float = 0.1,
+                    beta: float = 1.0, max_iter: int = 15) -> DataFrame:
+    """Katz centrality: ``x = sum_k alpha^k (A^T)^k 1`` -- every walk
+    into a vertex counts, damped by length (the centrality that, unlike
+    eigenvector, gives isolated/low-in-degree vertices a floor via the
+    constant beta term).  Iterated as ``x' = alpha A^T x + beta``,
+    which converges for alpha < 1/lambda_max (out-degrees bound
+    lambda; callers keep alpha small).
+
+    Same superstep shape and determinism contract as
+    :func:`eigenvector_centrality`: one edge join + decimal-exact
+    per-vertex sum per iteration, scalar arithmetic in IEEE doubles;
+    values stay O(beta / (1 - alpha * deg)) -- no rescale needed.
+    Output: (id, katz) rounded to 8."""
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    x = graph.vertices.select("id", F.lit(beta).alias("x"))
+    for _ in range(max_iter):
+        y = (edges.join(x.withColumnRenamed("id", "src"), "src")
+             .groupBy(F.col("dst").alias("id"))
+             .agg(F.sum(F.col("x").cast("decimal(27,12)"))
+                  .cast("double").alias("y")))
+        x = (graph.vertices.select("id")
+             .join(y, "id", "left")
+             .select("id", (F.lit(alpha)
+                            * F.coalesce("y", F.lit(0.0))
+                            + F.lit(beta)).alias("x"))
+             .localCheckpoint(eager=False))
+    return x.select("id", F.round("x", 8).alias("katz"))

@@ -1739,3 +1739,39 @@ def g_modularity(spark, sf):
     graph = Graph(g.vertices, top3.select("src", "dst"))
     labels = label_propagation(graph, max_iter=_LPA_ITERS)
     return partition_modularity(undirected_edges(graph.edges), labels)
+
+
+_KATZ_A, _KATZ_B, _KATZ_ITERS = 0.02, 1.0, 15
+
+
+def _katz_sql(alpha: float, beta: float, iters: int) -> str:
+    """Generate the Katz oracle: x' = alpha A^T x + beta per
+    superstep, decimal-exact sums, coefficients as repr()."""
+    parts = [f"WITH {EDGES_CTE},", f"""
+x0 AS (SELECT id, CAST({beta!r} AS DOUBLE) AS x FROM verts)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+x{k} AS MATERIALIZED (
+  SELECT v.id,
+         CAST({alpha!r} AS DOUBLE)
+         * COALESCE(CAST((SELECT SUM(CAST(x.x AS DECIMAL(27,12)))
+                          FROM edges e JOIN x{k - 1} x ON x.id = e.src
+                          WHERE e.dst = v.id) AS DOUBLE), 0.0)
+         + CAST({beta!r} AS DOUBLE) AS x
+  FROM verts v
+)""")
+    parts.append(f"\nSELECT id, ROUND(x, 8) AS katz FROM x{iters}")
+    return "".join(parts)
+
+
+@register("g_katz", _katz_sql(_KATZ_A, _KATZ_B, _KATZ_ITERS))
+def g_katz(spark, sf):
+    """Katz centrality of the trade digraph (alpha = 0.02 -- under
+    1/max-degree so the walk series converges; beta = 1): every
+    incoming walk counts, damped by length.  Completes the centrality
+    family next to eigenvector (no floor) and PageRank (stochastic).
+    See operators.graph.katz_centrality."""
+    from .operators.graph import katz_centrality
+    g = build_trade_graph(spark, sf)
+    return katz_centrality(g, alpha=_KATZ_A, beta=_KATZ_B,
+                           max_iter=_KATZ_ITERS)

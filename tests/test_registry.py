@@ -29,3 +29,18 @@ def test_priority_names_all_registered():
     names = set(registry.queries())
     unknown = [n for n in registry._GATE_PRIORITY if n not in names]
     assert not unknown, unknown
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE query must exist in the registry --
+    a rename or removal must fail fast here, not in the driver's
+    bench run."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py")
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from graphdb_cia_factbook_spark import registry
+    qs = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
