@@ -140,3 +140,25 @@ def canonicalize_country(col: Column) -> Column:
         out = (F.when(col == raw, F.lit(fixed)) if out is None
                else out.when(col == raw, F.lit(fixed)))
     return out.otherwise(col)
+
+
+def zvalue(a, b, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative integer
+    columns: bit i of ``a`` lands at position 2i, bit i of ``b`` at
+    2i+1.  Sorting or range-partitioning by the z-value co-clusters
+    BOTH dimensions, so min/max footer skipping prunes 2-D predicates
+    -- the multi-dimensional upgrade of ``sources.write_clustered``
+    (Delta/Iceberg OPTIMIZE ZORDER runs exactly this).  Pure integer
+    shift/mask expressions -- engine-exact, codegen-friendly."""
+    from pyspark.sql import functions as F
+    za = a.cast("long")
+    zb = b.cast("long")
+    out = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        out = (out
+               .bitwiseOR(F.shiftleft(
+                   F.shiftright(za, i).bitwiseAND(one), 2 * i))
+               .bitwiseOR(F.shiftleft(
+                   F.shiftright(zb, i).bitwiseAND(one), 2 * i + 1)))
+    return out

@@ -343,3 +343,21 @@ def w7_first_last_frame(spark, sf):
         "event_id", "user_id",
         F.first("value").over(w).alias("first_in_hour"),
         F.last("value").over(w).alias("last_in_hour"))
+
+
+@register("f_zorder", """
+SELECT c_custkey, c_nationkey,
+       CAST((((c_custkey >> 0) & 1) << 0) | (((c_nationkey >> 0) & 1) << 1) | (((c_custkey >> 1) & 1) << 2) | (((c_nationkey >> 1) & 1) << 3) | (((c_custkey >> 2) & 1) << 4) | (((c_nationkey >> 2) & 1) << 5) | (((c_custkey >> 3) & 1) << 6) | (((c_nationkey >> 3) & 1) << 7) | (((c_custkey >> 4) & 1) << 8) | (((c_nationkey >> 4) & 1) << 9) | (((c_custkey >> 5) & 1) << 10) | (((c_nationkey >> 5) & 1) << 11) | (((c_custkey >> 6) & 1) << 12) | (((c_nationkey >> 6) & 1) << 13) | (((c_custkey >> 7) & 1) << 14) | (((c_nationkey >> 7) & 1) << 15) | (((c_custkey >> 8) & 1) << 16) | (((c_nationkey >> 8) & 1) << 17) | (((c_custkey >> 9) & 1) << 18) | (((c_nationkey >> 9) & 1) << 19) | (((c_custkey >> 10) & 1) << 20) | (((c_nationkey >> 10) & 1) << 21) | (((c_custkey >> 11) & 1) << 22) | (((c_nationkey >> 11) & 1) << 23) | (((c_custkey >> 12) & 1) << 24) | (((c_nationkey >> 12) & 1) << 25) | (((c_custkey >> 13) & 1) << 26) | (((c_nationkey >> 13) & 1) << 27) | (((c_custkey >> 14) & 1) << 28) | (((c_nationkey >> 14) & 1) << 29) | (((c_custkey >> 15) & 1) << 30) | (((c_nationkey >> 15) & 1) << 31) AS BIGINT) AS zval
+FROM customer
+""")
+def f_zorder(spark, sf):
+    """Z-order (Morton) clustering key over (custkey, nationkey):
+    the 2-D data-layout key under OPTIMIZE ZORDER -- sort/range-write
+    by zval and min-max footer skipping prunes BOTH dimensions.  Pure
+    integer shift/mask codegen; see functions.zvalue and the
+    write_clustered sink it feeds."""
+    from .functions import zvalue
+    customer = read_table(spark, sf, "customer")
+    return customer.select(
+        "c_custkey", "c_nationkey",
+        zvalue(F.col("c_custkey"), F.col("c_nationkey")).alias("zval"))

@@ -75,3 +75,16 @@ def test_canonicalize(spark):
     assert run_one(spark, canonicalize_country, "Korea, South") == "South Korea"
     assert run_one(spark, canonicalize_country, "Untied States") == "United States"
     assert run_one(spark, canonicalize_country, "France") == "France"
+
+
+def test_zvalue_interleaves_bits(spark):
+    """z(0b11, 0b00) = 0b0101 = 5; z(0b00, 0b11) = 0b1010 = 10;
+    z(1,1) = 3; adjacency: sorting by z groups small (a,b) together."""
+    from pyspark.sql import functions as F
+    from graphdb_cia_factbook_spark.functions import zvalue
+    df = spark.createDataFrame(
+        [(3, 0), (0, 3), (1, 1), (0, 0)], "a long, b long")
+    got = {(r["a"], r["b"]): r["z"] for r in
+           df.select("a", "b", zvalue(F.col("a"), F.col("b"))
+                     .alias("z")).collect()}
+    assert got == {(3, 0): 5, (0, 3): 10, (1, 1): 3, (0, 0): 0}
