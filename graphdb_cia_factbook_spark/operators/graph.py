@@ -1567,3 +1567,51 @@ def katz_centrality(graph: Graph, alpha: float = 0.1,
                             + F.lit(beta)).alias("x"))
              .localCheckpoint(eager=False))
     return x.select("id", F.round("x", 8).alias("katz"))
+
+
+def simrank(graph: Graph, c: float = 0.8, max_iter: int = 5,
+            topk: int = 3) -> DataFrame:
+    """SimRank vertex similarity (Jeh & Widom 2002): two vertices are
+    similar when their IN-neighbors are similar --
+    ``s(a, b) = C / (|I(a)||I(b)|) * sum s(i, j)`` over in-neighbor
+    pairs, ``s(a, a) = 1``.  The link-structure analog of the
+    embedding-cosine operators: "similar trade profiles" without any
+    feature vectors.
+
+    Iterated on the SPARSE nonzero pair table (pairs only exist when
+    their in-neighborhoods connect -- never a dense V^2 materialize
+    unless the graph forces it).  Each superstep: two edge joins +
+    one pair-keyed decimal-exact sum.  Output: top-``topk`` similar
+    partners per vertex (a != b), score rounded to 8."""
+    edges = graph.edges.select("src", "dst").distinct().localCheckpoint()
+    ind = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).alias("ind"))
+    diag = graph.vertices.select(F.col("id").alias("a"),
+                                 F.col("id").alias("b"),
+                                 F.lit(1.0).alias("s"))
+    s = diag
+    e1 = edges.select(F.col("src").alias("i"), F.col("dst").alias("a"))
+    e2 = edges.select(F.col("src").alias("j"), F.col("dst").alias("b"))
+    ia = ind.select(F.col("id").alias("a"), F.col("ind").alias("__na"))
+    ib = ind.select(F.col("id").alias("b"), F.col("ind").alias("__nb"))
+    for _ in range(max_iter):
+        contrib = (s.withColumnRenamed("a", "i")
+                   .withColumnRenamed("b", "j")
+                   .join(e1, "i").join(e2, "j")
+                   .groupBy("a", "b")
+                   .agg(F.sum(F.col("s").cast("decimal(27,12)"))
+                        .cast("double").alias("__sum")))
+        offdiag = (contrib.where(F.col("a") != F.col("b"))
+                   .join(F.broadcast(ia), "a")
+                   .join(F.broadcast(ib), "b")
+                   .select("a", "b",
+                           (F.lit(c) * F.col("__sum")
+                            / (F.col("__na") * F.col("__nb"))
+                            .cast("double")).alias("s")))
+        s = diag.unionByName(offdiag).localCheckpoint(eager=False)
+    w = Window.partitionBy("a").orderBy(F.desc("s"), F.asc("b"))
+    return (s.where(F.col("a") != F.col("b"))
+            .withColumn("sim_rank", F.row_number().over(w))
+            .where(F.col("sim_rank") <= topk)
+            .select("a", "b", F.round("s", 8).alias("simrank"),
+                    "sim_rank"))

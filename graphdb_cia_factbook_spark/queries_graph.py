@@ -1775,3 +1775,59 @@ def g_katz(spark, sf):
     g = build_trade_graph(spark, sf)
     return katz_centrality(g, alpha=_KATZ_A, beta=_KATZ_B,
                            max_iter=_KATZ_ITERS)
+
+
+_SR_C, _SR_ITERS, _SR_TOPK = 0.8, 5, 3
+
+
+def _simrank_sql(c: float, iters: int, topk: int) -> str:
+    """Generate the SimRank oracle on the top-3 subgraph: per
+    superstep, the sparse pair recurrence as one CTE (decimal-exact
+    sums, C as repr, diagonal pinned to 1)."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+ind AS (SELECT dst AS id, COUNT(*) AS n FROM top3 GROUP BY 1),
+s0 AS (SELECT id AS a, id AS b, 1.0::DOUBLE AS s FROM verts)"""]
+    for k in range(1, iters + 1):
+        p = k - 1
+        parts.append(f""",
+s{k} AS MATERIALIZED (
+  SELECT id AS a, id AS b, 1.0::DOUBLE AS s FROM verts
+  UNION ALL
+  SELECT t.a, t.b,
+         CAST({c!r} AS DOUBLE) * t.ssum
+         / CAST(ia.n * ib.n AS DOUBLE) AS s
+  FROM (SELECT e1.dst AS a, e2.dst AS b,
+               CAST(SUM(CAST(s.s AS DECIMAL(27,12))) AS DOUBLE) AS ssum
+        FROM s{p} s
+        JOIN top3 e1 ON e1.src = s.a
+        JOIN top3 e2 ON e2.src = s.b
+        WHERE TRUE
+        GROUP BY 1, 2) t
+  JOIN ind ia ON ia.id = t.a
+  JOIN ind ib ON ib.id = t.b
+  WHERE t.a != t.b
+)""")
+    parts.append(f"""
+SELECT a, b, ROUND(s, 8) AS simrank, sim_rank
+FROM (SELECT a, b, s,
+             ROW_NUMBER() OVER (PARTITION BY a
+                                ORDER BY s DESC, b) AS sim_rank
+      FROM s{iters} WHERE a != b)
+WHERE sim_rank <= {topk}""")
+    return "".join(parts)
+
+
+@register("g_simrank", _simrank_sql(_SR_C, _SR_ITERS, _SR_TOPK))
+def g_simrank(spark, sf):
+    """SimRank structural similarity on the top-3-partner digraph
+    (C = 0.8, 5 supersteps): nations are similar when the same
+    partners export to them -- link-based similarity with no feature
+    vectors, the graph sibling of the embedding-cosine family.  See
+    operators.graph.simrank."""
+    from .operators.graph import Graph, simrank
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return simrank(Graph(g.vertices, top3), c=_SR_C,
+                   max_iter=_SR_ITERS, topk=_SR_TOPK)

@@ -551,3 +551,16 @@ def test_ktruss_k4_keeps_clique_drops_pendant_triangle(spark):
     assert in_t == {("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"),
                     ("B", "D"), ("C", "D")}
     assert len(got) == 9
+
+
+def test_simrank_identical_in_neighbors(spark):
+    """X->A, X->B: A and B share their single in-neighbor, so
+    s(A,B) = C * s(X,X) / (1*1) = C after one iteration (stable
+    thereafter)."""
+    from graphdb_cia_factbook_spark.operators.graph import Graph, simrank
+    v = spark.createDataFrame([("X",), ("A",), ("B",)], "id string")
+    e = spark.createDataFrame(
+        [("X", "A"), ("X", "B")], "src string, dst string")
+    got = {(r["a"], r["b"]): r["simrank"]
+           for r in simrank(Graph(v, e), c=0.8, max_iter=3).collect()}
+    assert got[("A", "B")] == 0.8 and got[("B", "A")] == 0.8
