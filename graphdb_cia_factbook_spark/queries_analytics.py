@@ -966,3 +966,72 @@ def rec_item_cosine(spark, sf):
             .where(F.col("sim_rank") <= 5)
             .select("item_a", "item_b", "n_ab",
                     F.round("cos_sim", 8).alias("cos_sim"), "sim_rank"))
+
+
+@register("ml_auc", """
+WITH scored AS (
+  SELECT CAST(value AS DOUBLE) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+ranked AS (
+  SELECT y,
+         -- midrank: ties share the average of their rank range,
+         -- the exact Mann-Whitney convention
+         (CAST(MIN(rn) OVER (PARTITION BY score) AS DOUBLE)
+          + CAST(MAX(rn) OVER (PARTITION BY score) AS DOUBLE)) / 2.0
+           AS midrank
+  FROM (SELECT y, score,
+               ROW_NUMBER() OVER (ORDER BY score, y) AS rn
+        FROM scored)
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN y = 1 THEN CAST(midrank AS DECIMAL(27,4))
+                       ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
+           AS rank_sum,
+         SUM(y) AS n_pos,
+         COUNT(*) - SUM(y) AS n_neg
+  FROM ranked
+)
+SELECT n_pos, n_neg,
+       ROUND((rank_sum
+              - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0)
+                / 2.0)
+             / (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)), 8)
+         AS auc
+FROM agg
+""")
+def ml_auc(spark, sf):
+    """Exact ROC-AUC via the Mann-Whitney rank statistic: does the
+    metric value separate purchase events from the rest?  Midranks
+    handle score ties exactly (average of the tie range -- the U-test
+    convention), the rank sum is decimal-exact, and the final formula
+    is two IEEE ops -- no curve sampling, no sort on the driver.  The
+    ranking sorts once globally; at 100 TB swap the global window for
+    a two-phase rank (per-partition + offsets) -- the statistic is
+    unchanged.  Completes the classifier-evaluation family next to
+    llm_knn_confusion."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    scored = ev.select(
+        F.col("value").cast("double").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"))
+    rn = F.row_number().over(W.orderBy("score", "y"))
+    ranked = scored.select("y", "score", rn.alias("rn"))
+    wsc = W.partitionBy("score")
+    mid = ((F.min("rn").over(wsc).cast("double")
+            + F.max("rn").over(wsc).cast("double")) / 2.0)
+    ranked = ranked.select("y", mid.alias("midrank"))
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y") == 1,
+                     F.col("midrank").cast("decimal(27,4)"))
+              .otherwise(F.lit(0.0).cast("decimal(27,4)")))
+        .cast("double").alias("rank_sum"),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"))
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos", "n_neg",
+        F.round((F.col("rank_sum") - np_ * (np_ + 1.0) / 2.0)
+                / (np_ * nn), 8).alias("auc"))

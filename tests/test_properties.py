@@ -287,3 +287,32 @@ def test_cusum_detects_level_shift(spark):
            cusum(ev, drift=0.5, threshold=3.0).collect()}
     assert got[1]["n_alarms"] >= 1
     assert got[2]["n_alarms"] == 0 and got[2]["max_cusum"] == 0.0
+
+
+def test_auc_known_separations(spark):
+    """Perfect separation -> 1.0; perfect inversion -> 0.0; all-tied
+    scores -> 0.5 via midranks."""
+    from graphdb_cia_factbook_spark.registry import queries
+    import duckdb
+    # reuse the registered builder through a synthetic events frame is
+    # awkward -- test the rank math directly instead
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def auc(rows):
+        df = spark.createDataFrame(rows, "score double, y int")
+        rn = F.row_number().over(W.orderBy("score", "y"))
+        r = df.select("y", "score", rn.alias("rn"))
+        wsc = W.partitionBy("score")
+        mid = ((F.min("rn").over(wsc).cast("double")
+                + F.max("rn").over(wsc).cast("double")) / 2.0)
+        r = r.select("y", mid.alias("m"))
+        a = r.agg(F.sum(F.when(F.col("y") == 1, F.col("m"))
+                        .otherwise(F.lit(0.0))).alias("rs"),
+                  F.sum("y").alias("p"),
+                  (F.count(F.lit(1)) - F.sum("y")).alias("n")).first()
+        return (a["rs"] - a["p"] * (a["p"] + 1) / 2) / (a["p"] * a["n"])
+
+    assert auc([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]) == 1.0
+    assert auc([(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)]) == 0.0
+    assert auc([(5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)]) == 0.5
