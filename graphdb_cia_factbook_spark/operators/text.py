@@ -596,3 +596,36 @@ def naive_bayes_classify(train: DataFrame, test: DataFrame,
             .select(id_col, "actual", F.col("lang").alias("predicted"),
                     (F.col("lang") == F.col("actual")).alias("correct"),
                     F.round("score", 6).alias("score")))
+
+
+#: demo blocklist for the safety-filter pass -- deterministic lowercase
+#: terms; a production list is a config input, the plan is identical
+BLOCKLIST_TERMS = ("error", "crash", "fatal", "exploit")
+
+
+def blocklist_filter(docs: DataFrame, terms=BLOCKLIST_TERMS,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Blocklist safety filter: per document, which blocklist terms
+    appear (as word-boundary matches on the lowercased text), how many
+    total hits, and the keep/drop decision -- the deterministic
+    wordlist pass every curation pipeline runs before model-based
+    toxicity scoring (which needs an inference service; this is the
+    scan-side prefilter that cuts its traffic).
+
+    One regexp per term inside codegen (term lists are config-sized);
+    hits counted with regexp_count so repeated occurrences weigh in.
+    Output: (doc_id, matched_terms csv, n_hits, keep)."""
+    lowered = F.lower(F.col(text_col))
+    hit_cols = [F.regexp_count(lowered, F.lit(rf"\b{t}\b")).alias(f"__h_{t}")
+                for t in terms]
+    hits = docs.select(F.col(id_col), *hit_cols)
+    total = None
+    for t in terms:
+        c = F.col(f"__h_{t}")
+        total = c if total is None else total + c
+    matched = F.concat_ws(",", F.array_compact(F.array(
+        *[F.when(F.col(f"__h_{t}") > 0, F.lit(t)) for t in terms])))
+    return hits.select(
+        id_col, matched.alias("matched_terms"),
+        total.alias("n_hits"), (total == 0).alias("keep"))

@@ -2648,3 +2648,99 @@ def llm_rank_fusion(spark, sf):
     q = emb.where(F.col("vec_id") < 16)
     return rrf_fuse([brute_force_topk(emb, q, k=10),
                      hamming_topk(emb, q, k=10)], k=3)
+
+
+_MRL_DIMS = 16
+
+
+@register("llm_mrl_recall", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+           FROM embeddings WHERE vec_id < 16),
+full_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'c.embedding')} DESC,
+                      c.vec_id) AS rank
+    FROM embeddings c, q WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 3
+),
+trunc_rank AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_cos_sql(f'q.qv[1:{_MRL_DIMS}]',
+                                f'c.embedding[1:{_MRL_DIMS}]')} DESC,
+                      c.vec_id) AS rank
+    FROM embeddings c, q WHERE c.vec_id <> q.query_id
+  ) WHERE rank <= 3
+)
+SELECT f.query_id,
+       COUNT(t.neighbor_id) AS n_overlap,
+       ROUND(CAST(COUNT(t.neighbor_id) AS DOUBLE) / 3.0, 8) AS recall
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+""")
+def llm_mrl_recall(spark, sf):
+    """Matryoshka-dimension evaluation: top-3 recall of the FIRST-16-
+    dimension truncated embedding against the full 64-d ranking -- the
+    measurement behind MRL-style 'truncate the index, keep the
+    recall' deployments (4x memory cut if recall holds).  Two
+    broadcast-NL rankings + one candidate-sized join; prefix slicing
+    is zero-copy column math on both engines."""
+    from .operators.similarity import brute_force_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 16)
+    full = (brute_force_topk(emb, q, k=3)
+            .select("query_id", "neighbor_id"))
+    tr = F.slice(F.col("embedding"), 1, _MRL_DIMS)
+    temb = emb.select("vec_id", tr.alias("embedding"))
+    trunc = (brute_force_topk(temb, temb.where(F.col("vec_id") < 16), k=3)
+             .select("query_id",
+                     F.col("neighbor_id").alias("__tn")))
+    return (full.join(trunc,
+                      (full.query_id == trunc.query_id)
+                      & (F.col("neighbor_id") == F.col("__tn")),
+                      "left")
+            .drop(trunc.query_id)
+            .groupBy("query_id")
+            .agg(F.count("__tn").alias("n_overlap"),
+                 F.round(F.count("__tn").cast("double") / 3.0, 8)
+                 .alias("recall")))
+
+
+from .operators.text import BLOCKLIST_TERMS  # noqa: E402
+
+_BL_SQL_HITS = " + ".join(
+    f"len(regexp_extract_all(lower(text), '\\b{t}\\b'))"
+    for t in BLOCKLIST_TERMS)
+_BL_SQL_MATCHED = ", ".join(
+    f"CASE WHEN len(regexp_extract_all(lower(text), '\\b{t}\\b')) > 0 "
+    f"THEN '{t}' ELSE NULL END"
+    for t in BLOCKLIST_TERMS)
+
+
+@register("llm_blocklist_filter", f"""
+SELECT doc_id,
+       COALESCE(array_to_string(list_filter([{_BL_SQL_MATCHED}],
+                                   x -> x IS NOT NULL), ','), '')
+         AS matched_terms,
+       CAST({_BL_SQL_HITS} AS BIGINT) AS n_hits,
+       ({_BL_SQL_HITS}) = 0 AS keep
+FROM documents
+""")
+def llm_blocklist_filter(spark, sf):
+    """Blocklist safety prefilter: word-boundary term hits per doc,
+    total count, keep/drop -- the deterministic scan-side pass before
+    any model-based toxicity scorer.  See
+    operators.text.blocklist_filter."""
+    from .operators.text import blocklist_filter
+    docs = read_parallel(spark, sf, "documents")
+    out = blocklist_filter(docs)
+    return out.select("doc_id", "matched_terms",
+                      F.col("n_hits").cast("long").alias("n_hits"),
+                      "keep")

@@ -979,3 +979,19 @@ def test_rrf_fusion_rewards_cross_ranker_consensus(spark):
     assert got[0] == (20, 1)
     assert got[1] == (10, 2)
     assert {n for n, _ in got} == {10, 20, 30, 40}
+
+
+def test_blocklist_filter_word_boundaries(spark):
+    """'error' must hit as a word, not inside 'terrorize'; multiple
+    hits count; clean docs keep."""
+    from graphdb_cia_factbook_spark.operators.text import blocklist_filter
+    df = spark.createDataFrame(
+        [(1, "a fatal error and another error"),
+         (2, "they terrorize nobody"),          # substring only
+         (3, "perfectly clean text")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in blocklist_filter(df).collect()}
+    assert got[1]["n_hits"] == 3 and not got[1]["keep"]
+    assert got[1]["matched_terms"] == "error,fatal"
+    assert got[2]["n_hits"] == 0 and got[2]["keep"]
+    assert got[3]["keep"] and got[3]["matched_terms"] == ""
