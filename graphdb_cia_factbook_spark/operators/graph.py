@@ -1615,3 +1615,53 @@ def simrank(graph: Graph, c: float = 0.8, max_iter: int = 5,
             .where(F.col("sim_rank") <= topk)
             .select("a", "b", F.round("s", 8).alias("simrank"),
                     "sim_rank"))
+
+
+def attention_agg(graph: Graph, feature_cols: list,
+                  features: DataFrame | None = None,
+                  score_col: str = "amount") -> DataFrame:
+    """GAT-style attention aggregation: each vertex averages its
+    IN-neighbors' features weighted by a SOFTMAX over edge scores --
+    the attention sibling of the mean-pool :func:`neighborhood_agg`
+    (one graph-attention layer as a DataFrame plan).
+
+    Numerically-stable softmax done the engine-exact way: scores pass
+    through ln, the per-vertex MAX (an order-free reduction) is
+    subtracted before exp, and both the exp-sum and the weighted
+    feature sums go through decimal(27,12) -- so the attention weights
+    and the output are bit-identical on any engine/partitioning.
+    Scale shape: one edge join + two vertex-keyed aggregates (the max
+    pass and the weighted sum), features broadcast under the usual
+    vertex ceiling."""
+    feats = features if features is not None else graph.degrees()
+    n = feats.count()
+    bc = F.broadcast if n <= 10_000_000 else (lambda df: df)
+    src_feats = feats.select(
+        F.col("id").alias("src"),
+        *[F.col(c).alias(f"__f_{c}") for c in feature_cols])
+    msgs = (graph.edges.select("src", "dst", score_col)
+            .join(bc(src_feats), "src")
+            .withColumn("__e", F.log(F.col(score_col).cast("double"))))
+    mx = (msgs.groupBy("dst")
+          .agg(F.max("__e").alias("__mx")))
+    msgs = (msgs.join(mx, "dst")
+            .withColumn("__w", F.exp(F.col("__e") - F.col("__mx"))))
+    agg = (msgs.groupBy(F.col("dst").alias("id"))
+           .agg(F.sum(F.col("__w").cast("decimal(27,12)"))
+                .cast("double").alias("__z"),
+                *[F.sum((F.col("__w") * F.col(f"__f_{c}"))
+                        .cast("decimal(27,12)")).cast("double")
+                  .alias(f"__ws_{c}") for c in feature_cols],
+                F.count(F.lit(1)).alias("n_in_neighbors")))
+    return (feats.select("id", *feature_cols)
+            .join(agg, "id", "left")
+            .select("id", *feature_cols,
+                    F.coalesce("n_in_neighbors", F.lit(0))
+                    .alias("n_in_neighbors"),
+                    # round 4, not 8: exp/ln can differ by 1 ulp
+                    # across libms, and on ~1e8-magnitude features a
+                    # 1e-8 quantum sits BELOW the double ulp -- 1e-4
+                    # absorbs it with ~1e4 margin
+                    *[F.round(F.coalesce(
+                        F.col(f"__ws_{c}") / F.col("__z"), F.lit(0.0)), 4)
+                      .alias(f"attn_{c}") for c in feature_cols]))

@@ -1035,3 +1035,34 @@ def ml_auc(spark, sf):
         "n_pos", "n_neg",
         F.round((F.col("rank_sum") - np_ * (np_ + 1.0) / 2.0)
                 / (np_ * nn), 8).alias("auc"))
+
+
+@register("dq_k_anonymity", """
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT COUNT(*) AS n_groups,
+       MIN(group_size) AS min_group_size,
+       COUNT(*) FILTER (WHERE group_size < 5) AS n_violating_groups,
+       CAST(SUM(CASE WHEN group_size < 5 THEN group_size ELSE 0 END)
+            AS BIGINT) AS n_reidentifiable_rows
+FROM groups
+""")
+def dq_k_anonymity(spark, sf):
+    """k-anonymity audit (k = 5) over the (nation, market-segment)
+    quasi-identifier: how many equivalence classes fall below k, and
+    how many rows they expose -- the release-gate check before any
+    record-level data sharing.  One group-sized aggregate; at 100 TB
+    the quasi-identifier grid stays dimension-sized."""
+    customer = read_table(spark, sf, "customer")
+    groups = (customer.groupBy("c_nationkey", "c_mktsegment")
+              .agg(F.count(F.lit(1)).alias("group_size")))
+    viol = F.when(F.col("group_size") < 5, F.col("group_size")) \
+        .otherwise(F.lit(0))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("group_size").alias("min_group_size"),
+        F.count(F.when(F.col("group_size") < 5, 1))
+        .alias("n_violating_groups"),
+        F.sum(viol).cast("long").alias("n_reidentifiable_rows"))

@@ -1831,3 +1831,53 @@ def g_simrank(spark, sf):
             .where(F.col("rn") <= 3).select("src", "dst"))
     return simrank(Graph(g.vertices, top3), c=_SR_C,
                    max_iter=_SR_ITERS, topk=_SR_TOPK)
+
+
+@register("g_attention_agg", f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT v.id,
+         COALESCE(o.out_deg, 0) AS out_deg,
+         COALESCE(o.out_amount, 0.0) AS out_amount
+  FROM verts v
+  LEFT JOIN (SELECT src AS id, COUNT(*) AS out_deg,
+                    CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                      AS out_amount
+             FROM edges GROUP BY 1) o ON v.id = o.id
+),
+msgs AS (
+  SELECT e.dst AS id, ln(CAST(e.amount AS DOUBLE)) AS ev,
+         d.out_deg, d.out_amount
+  FROM edges e JOIN deg d ON d.id = e.src
+),
+mx AS (SELECT id, MAX(ev) AS mx FROM msgs GROUP BY 1),
+wts AS (
+  SELECT m.id, exp(m.ev - x.mx) AS w, m.out_deg, m.out_amount
+  FROM msgs m JOIN mx x ON x.id = m.id
+),
+agg AS (
+  SELECT id,
+         CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) AS z,
+         CAST(SUM(CAST(w * out_deg AS DECIMAL(27,12))) AS DOUBLE)
+           AS ws_deg,
+         CAST(SUM(CAST(w * out_amount AS DECIMAL(27,12))) AS DOUBLE)
+           AS ws_amt,
+         COUNT(*) AS n_in
+  FROM wts GROUP BY 1
+)
+SELECT d.id, d.out_deg, d.out_amount,
+       COALESCE(a.n_in, 0) AS n_in_neighbors,
+       ROUND(COALESCE(a.ws_deg / a.z, 0.0), 4) AS attn_out_deg,
+       ROUND(COALESCE(a.ws_amt / a.z, 0.0), 4) AS attn_out_amount
+FROM deg d LEFT JOIN agg a ON a.id = d.id
+""")
+def g_attention_agg(spark, sf):
+    """GAT-style attention layer: in-neighbor features averaged under
+    a softmax over ln(edge amount) -- bigger trade routes attend
+    harder.  Stable softmax via the order-free per-vertex max;
+    decimal-exact weight and feature sums.  The attention sibling of
+    g_neighborhood_agg (mean-pool GraphSAGE).  See
+    operators.graph.attention_agg."""
+    from .operators.graph import attention_agg, build_trade_graph
+    g = build_trade_graph(spark, sf)
+    return attention_agg(g, ["out_deg", "out_amount"])

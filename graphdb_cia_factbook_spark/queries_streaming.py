@@ -648,3 +648,44 @@ def ts_rolling_median(spark, sf):
         F.round(F.percentile(F.col("value").cast("double"),
                              F.lit(0.5)).over(w), 8)
         .alias("rolling_median"))
+
+
+@register("ts_seasonal_index", """
+WITH hourly AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(SUM(CAST(n AS DECIMAL(27,4))) AS DOUBLE) AS tn,
+         CAST(SUM(CAST(s AS DECIMAL(27,4))) AS DOUBLE) AS ts
+  FROM hourly GROUP BY 1
+)
+SELECT h.event_type, CAST(h.hod AS INTEGER) AS hour_of_day, h.n,
+       ROUND((h.s / h.n) / (o.ts / o.tn), 8) AS seasonal_index
+FROM hourly h JOIN overall o ON o.event_type = h.event_type
+""")
+def ts_seasonal_index(spark, sf):
+    """Hour-of-day seasonal index per metric: hourly mean value over
+    the overall mean -- the multiplicative seasonal profile that
+    deseasonalizes a series before trend fitting (agg_trend_slope) or
+    CUSUM.  Decimal-exact sums; two dimension-sized aggregates."""
+    ev = read_table(spark, sf, "events")
+    from .operators.relational import dsum
+    hourly = (ev.groupBy("event_type",
+                         F.hour(F.col("ts").cast("timestamp"))
+                         .alias("hour_of_day"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   dsum(F.col("value")).alias("s")))
+    overall = (hourly.groupBy("event_type")
+               .agg(dsum(F.col("n").cast("double")).alias("tn"),
+                    dsum(F.col("s")).alias("ts")))
+    return (hourly.join(F.broadcast(overall), "event_type")
+            .select("event_type",
+                    F.col("hour_of_day").cast("int").alias("hour_of_day"),
+                    "n",
+                    F.round((F.col("s") / F.col("n"))
+                            / (F.col("ts") / F.col("tn")), 8)
+                    .alias("seasonal_index")))
