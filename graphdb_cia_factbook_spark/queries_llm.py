@@ -2744,3 +2744,233 @@ def llm_blocklist_filter(spark, sf):
     return out.select("doc_id", "matched_terms",
                       F.col("n_hits").cast("long").alias("n_hits"),
                       "keep")
+
+
+_OOV_V = 1000
+
+
+@register("llm_oov_rate", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM (
+    SELECT w, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS r
+    FROM tok GROUP BY w
+  ) WHERE r <= {_OOV_V}
+)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov,
+       ROUND(CAST(COUNT(*) FILTER (WHERE v.w IS NULL) AS DOUBLE)
+             / COUNT(*), 8) AS oov_rate
+FROM tok t LEFT JOIN vocab v ON v.w = t.w
+GROUP BY t.doc_id
+""")
+def llm_oov_rate(spark, sf):
+    """Out-of-vocabulary rate per document against the corpus top-1000
+    token vocabulary -- the tokenizer-coverage metric that predicts
+    fertility blow-ups before training.  Vocabulary is a
+    TakeOrdered-sized top-k broadcast back over one token-keyed
+    join."""
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    vocab = (tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.desc("c"), F.asc("w")).limit(_OOV_V)
+             .withColumn("__r", F.row_number().over(w_rank))
+             .where(F.col("__r") <= _OOV_V)
+             .select("w", F.lit(1).alias("__in")))
+    return (tok.join(F.broadcast(vocab), "w", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.count(F.when(F.col("__in").isNull(), 1))
+                 .alias("n_oov"),
+                 F.round(F.count(F.when(F.col("__in").isNull(), 1))
+                         .cast("double") / F.count(F.lit(1)), 8)
+                 .alias("oov_rate")))
+
+
+@register("llm_dataset_card", f"""
+WITH fp AS (
+  SELECT source, {NORM_MD5} AS f FROM documents
+),
+dups AS (
+  SELECT source, COUNT(*) AS n_docs,
+         COUNT(DISTINCT f) AS n_unique
+  FROM fp GROUP BY 1
+),
+stats AS (
+  SELECT source,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE)
+           / COUNT(*) AS mean_chars,
+         MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+  FROM documents GROUP BY 1
+)
+SELECT s.source, d.n_docs, s.n_langs,
+       ROUND(s.mean_chars, 8) AS mean_chars,
+       s.min_chars, s.max_chars,
+       ROUND(1.0 - CAST(d.n_unique AS DOUBLE) / d.n_docs, 8)
+         AS exact_dup_rate
+FROM stats s JOIN dups d ON d.source = s.source
+""")
+def llm_dataset_card(spark, sf):
+    """Dataset-card panel per source: volume, language mix, length
+    stats, exact-duplicate rate (normalized-md5 fingerprints) -- the
+    one-row-per-source summary a data card / mixture decision starts
+    from.  Two source-sized aggregates; the fingerprint pass reuses
+    text.fingerprint."""
+    from .operators.text import fingerprint
+    docs = read_parallel(spark, sf, "documents")
+    from .operators.relational import dsum
+    fp = docs.select("source", fingerprint(F.col("text")).alias("f"))
+    dups = (fp.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("f").alias("n_unique")))
+    stats = (docs.groupBy("source")
+             .agg(F.countDistinct("lang").alias("n_langs"),
+                  (dsum(F.col("n_chars").cast("double"))
+                   / F.count(F.lit(1))).alias("mean_chars"),
+                  F.min("n_chars").alias("min_chars"),
+                  F.max("n_chars").alias("max_chars")))
+    return (stats.join(dups, "source")
+            .select("source", "n_docs", "n_langs",
+                    F.round("mean_chars", 8).alias("mean_chars"),
+                    "min_chars", "max_chars",
+                    F.round(F.lit(1.0) - F.col("n_unique").cast("double")
+                            / F.col("n_docs"), 8).alias("exact_dup_rate")))
+
+
+_SEMDECON_NBITS, _SEMDECON_TAU = 6, 0.4
+
+
+@register("llm_semantic_decontaminate", f"""
+WITH bench AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding', _SEMDECON_NBITS)} AS bucket
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+train AS (
+  SELECT vec_id, embedding,
+         {_bucket_sql('embedding', _SEMDECON_NBITS)} AS bucket
+  FROM embeddings WHERE vec_id % 50 != 0
+),
+hits AS (
+  SELECT t.vec_id, b.vec_id AS bench_id,
+         {_cos_sql('t.embedding', 'b.embedding')} AS cos
+  FROM train t JOIN bench b ON b.bucket = t.bucket
+  WHERE {_cos_sql('t.embedding', 'b.embedding')} >= {_SEMDECON_TAU!r}
+),
+best AS (
+  SELECT vec_id, bench_id, cos FROM (
+    SELECT vec_id, bench_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, bench_id) AS r
+    FROM hits) WHERE r = 1
+)
+SELECT t.vec_id,
+       b.bench_id AS nearest_bench_id,
+       b.bench_id IS NOT NULL AS contaminated,
+       COALESCE(ROUND(b.cos, 6), 0.0) AS bench_cos
+FROM train t LEFT JOIN best b ON b.vec_id = t.vec_id
+""")
+def llm_semantic_decontaminate(spark, sf):
+    """SEMANTIC benchmark decontamination: flag train vectors whose
+    cosine to any held-out benchmark vector (every 50th) clears the
+    threshold -- catches paraphrased contamination that shingle
+    overlap (llm_decontaminate) cannot see.  Sign-LSH buckets bound
+    the candidate join (never train x bench); the benchmark side is
+    broadcast-sized by construction."""
+    from .operators.similarity import cosine, sign_signature
+    emb = read_parallel(spark, sf, "embeddings")
+    bench = (emb.where(F.col("vec_id") % 50 == 0)
+             .select(F.col("vec_id").alias("bench_id"),
+                     F.col("embedding").alias("__bv"),
+                     sign_signature(F.col("embedding"),
+                                    _SEMDECON_NBITS).alias("bucket")))
+    train = (emb.where(F.col("vec_id") % 50 != 0)
+             .select("vec_id", "embedding",
+                     sign_signature(F.col("embedding"),
+                                    _SEMDECON_NBITS).alias("bucket")))
+    hits = (train.join(F.broadcast(bench), "bucket")
+            .withColumn("cos", cosine(F.col("embedding"), F.col("__bv")))
+            .where(F.col("cos") >= _SEMDECON_TAU))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"),
+                                             F.asc("bench_id"))
+    best = (hits.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("vec_id", "bench_id", "cos"))
+    return (train.select("vec_id")
+            .join(best, "vec_id", "left")
+            .select("vec_id",
+                    F.col("bench_id").alias("nearest_bench_id"),
+                    F.col("bench_id").isNotNull().alias("contaminated"),
+                    F.coalesce(F.round("cos", 6), F.lit(0.0))
+                    .alias("bench_cos")))
+
+
+_LM_CTX, _LM_TOPK, _LM_K = 50, 3, 0.5
+
+
+@register("llm_bigram_lm", f"""
+WITH tok AS (
+  SELECT doc_id, {TOKS} AS toks FROM documents
+),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2
+  FROM tok, unnest(range(1, len(toks))) AS u(i)
+),
+uni AS (SELECT w1, COUNT(*) AS c1 FROM big GROUP BY 1),
+vocab AS (SELECT COUNT(DISTINCT w2) AS v FROM big),
+ctx AS (
+  SELECT w1, c1 FROM (
+    SELECT w1, c1, ROW_NUMBER() OVER (ORDER BY c1 DESC, w1) AS r
+    FROM uni) WHERE r <= {_LM_CTX}
+),
+pair AS (
+  SELECT b.w1, b.w2, COUNT(*) AS c12
+  FROM big b JOIN ctx ON ctx.w1 = b.w1
+  GROUP BY 1, 2
+)
+SELECT w1, w2, c12, ROUND(p, 8) AS prob, cont_rank
+FROM (SELECT p.w1, p.w2, p.c12,
+             (CAST(p.c12 AS DOUBLE) + CAST({_LM_K!r} AS DOUBLE))
+             / (CAST(c.c1 AS DOUBLE)
+                + CAST({_LM_K!r} AS DOUBLE)
+                  * CAST((SELECT v FROM vocab) AS DOUBLE)) AS p,
+             ROW_NUMBER() OVER (PARTITION BY p.w1
+                                ORDER BY p.c12 DESC, p.w2) AS cont_rank
+      FROM pair p JOIN ctx c ON c.w1 = p.w1)
+WHERE cont_rank <= {_LM_TOPK}
+""")
+def llm_bigram_lm(spark, sf):
+    """Bigram language model training: add-k-smoothed conditional
+    continuation probabilities P(w2 | w1) with the top-3 continuations
+    for the 50 most frequent contexts -- the count-based LM behind the
+    novelty/DSIR scorers, as a standalone trainable artifact.  Token-
+    sized shuffles only; contexts are a TakeOrdered top-k broadcast."""
+    docs = read_parallel(spark, sf, "documents")
+    toks = docs.select(tokens(F.col("text")).alias("t"))
+    big = (toks.select(F.posexplode("t").alias("i", "w1"), "t")
+           .where(F.col("i") < F.size("t") - 1)
+           .select("w1", F.element_at("t", F.col("i") + 2).alias("w2")))
+    big = big.localCheckpoint()  # three consumers
+    uni = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = big.select("w2").distinct().count()
+    w_ctx = Window.orderBy(F.desc("c1"), F.asc("w1"))
+    ctx = (uni.orderBy(F.desc("c1"), F.asc("w1")).limit(_LM_CTX)
+           .withColumn("__r", F.row_number().over(w_ctx))
+           .where(F.col("__r") <= _LM_CTX).select("w1", "c1"))
+    pair = (big.join(F.broadcast(ctx.select("w1")), "w1")
+            .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12")))
+    prob = ((F.col("c12").cast("double") + F.lit(_LM_K))
+            / (F.col("c1").cast("double") + F.lit(_LM_K) * F.lit(float(v))))
+    w_rank = Window.partitionBy("w1").orderBy(F.desc("c12"), F.asc("w2"))
+    return (pair.join(F.broadcast(ctx), "w1")
+            .withColumn("cont_rank", F.row_number().over(w_rank))
+            .where(F.col("cont_rank") <= _LM_TOPK)
+            .select("w1", "w2", "c12",
+                    F.round(prob, 8).alias("prob"), "cont_rank"))
