@@ -1665,3 +1665,43 @@ def attention_agg(graph: Graph, feature_cols: list,
                     *[F.round(F.coalesce(
                         F.col(f"__ws_{c}") / F.col("__z"), F.lit(0.0)), 4)
                       .alias(f"attn_{c}") for c in feature_cols]))
+
+
+def edge_betweenness(graph: Graph, max_hops: int = 30,
+                     directed: bool = True) -> DataFrame:
+    """Edge betweenness (Brandes pair dependencies on EDGES): for edge
+    (u, v), ``sum over (s, t) of sigma(s, u) * sigma(v, t) /
+    sigma(s, t)`` restricted to ``dist(s, u) + 1 + dist(v, t) =
+    dist(s, t)`` -- the Girvan-Newman splitting score (remove the
+    highest-betweenness edges to expose communities).  Reuses the SAME
+    path-counting closure as :func:`betweenness_centrality`; s = u and
+    t = v endpoints participate via the dist-0 closure rows (sigma =
+    1), as the definition requires.  Same determinism contract
+    (decimal-exact ratio sums, round 8) and the same landmark-sample
+    posture at web scale."""
+    closure = _multi_root_bfs_paths(graph, None, max_hops, directed) \
+        .localCheckpoint()
+    su = closure.select(F.col("root").alias("s"), F.col("id").alias("u"),
+                        F.col("dist").alias("d1"),
+                        F.col("npaths").alias("p1"))
+    vt = closure.select(F.col("root").alias("v2"), F.col("id").alias("t"),
+                        F.col("dist").alias("d2"),
+                        F.col("npaths").alias("p2"))
+    st = closure.select(F.col("root").alias("s2"), F.col("id").alias("t2"),
+                        F.col("dist").alias("d"), F.col("npaths").alias("p"))
+    e = graph.edges.select(F.col("src").alias("u"),
+                           F.col("dst").alias("v")).distinct()
+    contrib = (e.join(su, "u")
+               .join(vt, F.col("v") == F.col("v2"))
+               .join(st, (F.col("s") == F.col("s2"))
+                     & (F.col("t") == F.col("t2"))
+                     & (F.col("d") == F.col("d1") + 1 + F.col("d2")))
+               .groupBy("u", "v")
+               .agg(F.sum(((F.col("p1") * F.col("p2")).cast("double")
+                           / F.col("p").cast("double"))
+                          .cast("decimal(27,12)"))
+                    .cast("double").alias("bsum")))
+    return (e.join(contrib, ["u", "v"], "left")
+            .select(F.col("u").alias("src"), F.col("v").alias("dst"),
+                    F.round(F.coalesce("bsum", F.lit(0.0)), 8)
+                    .alias("edge_betweenness")))

@@ -1066,3 +1066,47 @@ def dq_k_anonymity(spark, sf):
         F.count(F.when(F.col("group_size") < 5, 1))
         .alias("n_violating_groups"),
         F.sum(viol).cast("long").alias("n_reidentifiable_rows"))
+
+
+@register("ts_cooccurrence", """
+WITH e AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+  FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       COUNT(*) AS n_cooccur,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM e a JOIN e b
+  ON a.user_id = b.user_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+ AND a.event_id != b.event_id
+ AND a.event_type < b.event_type
+GROUP BY 1, 2
+""")
+def ts_cooccurrence(spark, sf):
+    """Temporal co-occurrence: ordered event-type pairs by the same
+    user within one hour -- the behavioral-basket analog of
+    copurchase_pairs (which-actions-travel-together feeds session
+    features and next-action models).  The self-join is user-keyed
+    AND time-banded, so the pair space per user is bounded by events-
+    per-hour, never the user's full history squared; at 100 TB add a
+    coarse time-bucket equi-key to the join (the range_join pattern)
+    so the band probe stays partition-local."""
+    ev = read_table(spark, sf, "events")
+    e = ev.select("user_id", "event_type",
+                  F.col("ts").cast("timestamp").alias("ts"), "event_id")
+    a = e.select("user_id", F.col("event_type").alias("type_a"),
+                 F.col("ts").alias("ts_a"),
+                 F.col("event_id").alias("id_a"))
+    b = e.select("user_id", F.col("event_type").alias("type_b"),
+                 F.col("ts").alias("ts_b"),
+                 F.col("event_id").alias("id_b"))
+    return (a.join(b, "user_id")
+            .where((F.col("ts_b") >= F.col("ts_a"))
+                   & (F.col("ts_b") <= F.col("ts_a")
+                      + F.expr("INTERVAL 1 HOUR"))
+                   & (F.col("id_a") != F.col("id_b"))
+                   & (F.col("type_a") < F.col("type_b")))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_cooccur"),
+                 F.countDistinct("user_id").alias("n_users")))

@@ -1881,3 +1881,47 @@ def g_attention_agg(spark, sf):
     from .operators.graph import attention_agg, build_trade_graph
     g = build_trade_graph(spark, sf)
     return attention_agg(g, ["out_deg", "out_amount"])
+
+
+def _edge_betweenness_sql(levels: int) -> str:
+    """Reuse the betweenness path-count pyramid; the pair dependency
+    lands on edges (dist(s,u) + 1 + dist(v,t) = dist(s,t)), endpoints
+    included via the dist-0 closure rows."""
+    base = _betweenness_sql(levels)
+    tail_start = base.index(",\nsv AS (")
+    return base[:tail_start] + """,
+su AS (SELECT root AS s, id AS u, dist AS d1, npaths AS p1
+       FROM closure),
+vt AS (SELECT root AS vv, id AS t, dist AS d2, npaths AS p2
+       FROM closure),
+eb AS (
+  SELECT e.src AS u, e.dst AS v,
+         CAST(SUM(CAST(CAST(su.p1 * vt.p2 AS DOUBLE)
+                       / CAST(st.npaths AS DOUBLE)
+                       AS DECIMAL(27,12))) AS DOUBLE) AS bsum
+  FROM top3 e
+  JOIN su ON su.u = e.src
+  JOIN vt ON vt.vv = e.dst
+  JOIN closure st ON st.root = su.s AND st.id = vt.t
+                 AND st.dist = su.d1 + 1 + vt.d2
+  GROUP BY 1, 2
+)
+SELECT e.src, e.dst,
+       ROUND(COALESCE(b.bsum, 0.0), 8) AS edge_betweenness
+FROM top3 e LEFT JOIN eb b ON b.u = e.src AND b.v = e.dst"""
+
+
+@register("g_edge_betweenness", _edge_betweenness_sql(_BETW_LEVELS))
+def g_edge_betweenness(spark, sf):
+    """Edge betweenness on the top-3-partner digraph -- the
+    Girvan-Newman community-splitting score (which trade routes carry
+    the most shortest paths).  Shares the path-counting BFS closure
+    with g_betweenness.  See operators.graph.edge_betweenness."""
+    from .operators.graph import Graph, edge_betweenness
+    g = build_trade_graph(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts - 1 <= _BETW_LEVELS
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return edge_betweenness(Graph(g.vertices, top3))

@@ -564,3 +564,16 @@ def test_simrank_identical_in_neighbors(spark):
     got = {(r["a"], r["b"]): r["simrank"]
            for r in simrank(Graph(v, e), c=0.8, max_iter=3).collect()}
     assert got[("A", "B")] == 0.8 and got[("B", "A")] == 0.8
+
+
+def test_edge_betweenness_path_graph(spark):
+    """Directed path A->B->C->D: edge (B,C) lies on s->t pairs
+    {A,B}x{C,D} = 4 shortest paths; end edges carry 3 each."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, edge_betweenness)
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string")
+    got = {(r["src"], r["dst"]): r["edge_betweenness"]
+           for r in edge_betweenness(Graph(v, e)).collect()}
+    assert got == {("A", "B"): 3.0, ("B", "C"): 4.0, ("C", "D"): 3.0}
