@@ -1705,3 +1705,45 @@ def edge_betweenness(graph: Graph, max_hops: int = 30,
             .select(F.col("u").alias("src"), F.col("v").alias("dst"),
                     F.round(F.coalesce("bsum", F.lit(0.0)), 8)
                     .alias("edge_betweenness")))
+
+
+def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
+    """Bridge (cut-edge) detection on the undirected graph: edge
+    (a, b) is a bridge iff a cannot reach b once the edge is removed.
+    Instead of |E| sequential reachability runs, ONE batched BFS
+    carries an exclusion key: the frontier is (edge_id, vertex) pairs
+    and every expansion step drops the excluded edge for that key --
+    the same shared-frontier trick as the multi-root closure, state
+    bounded by |E| x |V-reachable|.
+
+    Bridges are the single points of failure of a network (and the
+    Girvan-Newman endgame: every inter-community route eventually
+    peels down to them).  Output: (a, b, is_bridge)."""
+    ue = (undirected_edges(graph.edges).select("a", "b")
+          .distinct().localCheckpoint())
+    eid = ue.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
+    sym = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    sym = sym.localCheckpoint()
+    # frontier per excluded edge starts at its own a-endpoint
+    frontier = eid.select("ea", "eb", F.col("ea").alias("id"))
+    visited = frontier
+    for _ in range(max_hops):
+        nxt = (frontier.join(sym, frontier.id == sym.a)
+               # drop the excluded edge in both directions
+               .where(~((F.col("id") == F.col("ea"))
+                        & (F.col("b") == F.col("eb")))
+                      & ~((F.col("id") == F.col("eb"))
+                          & (F.col("b") == F.col("ea"))))
+               .select("ea", "eb", F.col("b").alias("id"))
+               .distinct()
+               .join(visited, ["ea", "eb", "id"], "left_anti")
+               .localCheckpoint(eager=False))
+        if nxt.isEmpty():
+            break
+        visited = visited.union(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+    reached = (visited.where(F.col("id") == F.col("eb"))
+               .select("ea", "eb", F.lit(True).alias("__r")))
+    return (ue.join(reached, (ue.a == reached.ea) & (ue.b == reached.eb),
+                    "left")
+            .select("a", "b", F.col("__r").isNull().alias("is_bridge")))

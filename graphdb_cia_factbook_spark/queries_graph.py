@@ -1925,3 +1925,37 @@ def g_edge_betweenness(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return edge_betweenness(Graph(g.vertices, top3))
+
+
+@register("g_bridges", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+reach(ea, eb, id) AS (
+  SELECT a, b, a FROM ue
+  UNION
+  SELECT r.ea, r.eb, s.b
+  FROM reach r JOIN sym s ON s.a = r.id
+  WHERE NOT (r.id = r.ea AND s.b = r.eb)
+    AND NOT (r.id = r.eb AND s.b = r.ea)
+)
+SELECT u.a, u.b, h.id IS NULL AS is_bridge
+FROM ue u
+LEFT JOIN (SELECT DISTINCT ea, eb, id FROM reach WHERE id = eb) h
+  ON h.ea = u.a AND h.eb = u.b
+""")
+def g_bridges(spark, sf):
+    """Bridge (cut-edge) detection on the undirected top-3-partner
+    graph: ONE exclusion-keyed batched BFS decides every edge at once
+    -- the network's single points of failure.  See
+    operators.graph.bridges."""
+    from .operators.graph import Graph, bridges
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return bridges(Graph(g.vertices, top3))

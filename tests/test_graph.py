@@ -577,3 +577,15 @@ def test_edge_betweenness_path_graph(spark):
     got = {(r["src"], r["dst"]): r["edge_betweenness"]
            for r in edge_betweenness(Graph(v, e)).collect()}
     assert got == {("A", "B"): 3.0, ("B", "C"): 4.0, ("C", "D"): 3.0}
+
+
+def test_bridges_triangle_plus_pendant(spark):
+    from graphdb_cia_factbook_spark.operators.graph import Graph, bridges
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"), ("D", "E")],
+        "src string, dst string")
+    got = {(r["a"], r["b"]): r["is_bridge"]
+           for r in bridges(Graph(v, e)).collect()}
+    assert got == {("A", "B"): False, ("B", "C"): False,
+                   ("A", "C"): False, ("C", "D"): True, ("D", "E"): True}
