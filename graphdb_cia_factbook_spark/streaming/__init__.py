@@ -461,3 +461,44 @@ def windowed_topk(events: DataFrame, duration: str = "1 hour",
             .where(F.col("rank") <= k)
             .select("window_start", "rank", "event_type",
                     "n_events", "total_value"))
+
+
+_EWMA_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_obs", T.LongType()),
+    T.StructField("ewma_value", T.DoubleType()),
+])
+
+_EWMA_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("s", T.DoubleType()),
+])
+
+
+def stateful_user_ewma(events: DataFrame,
+                       alpha: float = 0.5) -> DataFrame:
+    """STREAMING exponential smoothing per user via
+    ``applyInPandasWithState``: the state carries (n, smoothed level)
+    across micro-batches, each batch folds its rows in (ts, value)
+    order -- the incremental twin of ``timeseries.ewma`` (whose batch
+    fold it must match exactly when micro-batches arrive in event-time
+    order; the stream==batch parity test pins this).
+
+    This is the shape model-serving feature pipelines need: O(1) state
+    per key, update-mode emissions, no reprocessing of history."""
+
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "value"])
+            for v in pdf["value"].astype(float):
+                s = v if n == 0 else alpha * v + (1.0 - alpha) * s
+                n += 1
+        state.update((n, s))
+        yield pd.DataFrame({"user_id": [key[0]], "n_obs": [n],
+                            "ewma_value": [s]})
+
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, _EWMA_OUT, _EWMA_STATE, "update",
+        GroupStateTimeout.NoTimeout))

@@ -404,3 +404,31 @@ def test_stream_outer_interval_join(spark, batch_events):
     must_emit = [r for r in want_null if r[2] < horizon]
     assert set(must_emit) <= set(got_null)
     assert len(must_emit) > 0 and len(got_null) > 0
+
+
+def test_stateful_ewma_multibatch_matches_batch_fold(spark, tmp_path):
+    """The streaming EWMA state carried across 4 time-ordered
+    micro-batches must equal the batch sequential fold exactly (same
+    float operation chain, just split across batches)."""
+    from graphdb_cia_factbook_spark.streaming import (
+        run_to_memory, stateful_user_ewma, stream_events_dir)
+    from graphdb_cia_factbook_spark.operators.timeseries import ewma
+    from graphdb_cia_factbook_spark.sources import read_table
+
+    src = _split_events_files(tmp_path, n_chunks=4)
+    sdf = stateful_user_ewma(
+        stream_events_dir(spark, src, SF, max_files_per_trigger=1))
+    run_to_memory(sdf, "t_sewma", "update")
+    # update mode re-emits keys; keep the LAST emission per user
+    emitted = spark.table("t_sewma").collect()
+    got = {}
+    for r in emitted:                       # memory sink appends in order
+        got[r["user_id"]] = (r["n_obs"], r["ewma_value"])
+    want = {r["user_id"]: (r["n_obs"], r["ewma_value"])
+            for r in ewma(read_table(spark, SF, "events"),
+                          alpha=0.5).collect()}
+    assert set(got) == set(want)
+    for uid, (n, s) in want.items():
+        gn, gs = got[uid]
+        assert gn == n, uid
+        assert gs == s, uid                 # bit-exact: same op chain
