@@ -1110,3 +1110,56 @@ def ts_cooccurrence(spark, sf):
             .groupBy("type_a", "type_b")
             .agg(F.count(F.lit(1)).alias("n_cooccur"),
                  F.countDistinct("user_id").alias("n_users")))
+
+
+@register("w_streaks", """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+  FROM events
+),
+islands AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS island
+  FROM days
+),
+streaks AS (
+  SELECT user_id, island, COUNT(*) AS len,
+         MIN(d) AS start_day, MAX(d) AS end_day
+  FROM islands GROUP BY 1, 2
+)
+SELECT user_id, len AS longest_streak_days,
+       CAST(start_day AS VARCHAR) AS start_day,
+       CAST(end_day AS VARCHAR) AS end_day
+FROM (SELECT user_id, len, start_day, end_day,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, start_day) AS r
+      FROM streaks) WHERE r = 1
+""")
+def w_streaks(spark, sf):
+    """Longest consecutive-day activity streak per user -- the classic
+    gaps-and-islands window pattern (consecutive days share
+    ``day - row_number``); the retention-adjacent metric every product
+    analytics stack computes.  One distinct-days collapse + one window
+    + island-sized aggregates."""
+    ev = read_table(spark, sf, "events")
+    days = (ev.select("user_id",
+                      F.col("ts").cast("timestamp").cast("date")
+                      .alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id", "d",
+        F.date_sub("d", F.row_number().over(w)).alias("island"))
+    streaks = (islands.groupBy("user_id", "island")
+               .agg(F.count(F.lit(1)).alias("len"),
+                    F.min("d").alias("start_day"),
+                    F.max("d").alias("end_day")))
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("len"),
+                                               F.asc("start_day"))
+    return (streaks.withColumn("__r", F.row_number().over(w2))
+            .where(F.col("__r") == 1)
+            .select("user_id", F.col("len").alias("longest_streak_days"),
+                    F.col("start_day").cast("string").alias("start_day"),
+                    F.col("end_day").cast("string").alias("end_day")))
