@@ -316,3 +316,70 @@ def test_auc_known_separations(spark):
     assert auc([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)]) == 1.0
     assert auc([(1.0, 1), (2.0, 1), (3.0, 0), (4.0, 0)]) == 0.0
     assert auc([(5.0, 0), (5.0, 1), (5.0, 0), (5.0, 1)]) == 0.5
+
+
+@given(rows=st.lists(
+    st.tuples(st.integers(0, 3),            # query_id
+              st.integers(0, 30),           # neighbor_id
+              st.integers(-50, 50)),        # score (ties likely)
+    min_size=1, max_size=40))
+@settings(**SETTINGS)
+def test_topk_two_phase_equals_global_window(spark, rows):
+    """The map-side-pruned two-phase top-k must equal a plain global
+    window for ANY score distribution, tie pattern, and partitioning
+    -- the kernel every ANN variant rides on."""
+    from pyspark.sql import Window as W
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        topk_per_query)
+    uniq = {}
+    for q, n, s in rows:
+        uniq[(q, n)] = s
+    data = [(q, n, float(s)) for (q, n), s in uniq.items()]
+    df = spark.createDataFrame(
+        data, "query_id int, neighbor_id int, cos double") \
+        .repartition(7)                      # force multi-partition
+    got = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in topk_per_query(df, 3).collect()}
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"),
+                                          F.asc("neighbor_id"))
+    want = {(r["query_id"], r["rank"]): r["neighbor_id"]
+            for r in df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3).collect()}
+    assert got == want
+
+
+@given(edges=st.lists(
+    st.tuples(st.integers(1, 8), st.integers(1, 8)),
+    min_size=1, max_size=15))
+@settings(**SETTINGS)
+def test_ancestor_closure_matches_python_reference(spark, edges):
+    """Pointer doubling must equal the sequential python closure on
+    arbitrary small DAG-ish parent tables (self-loops dropped)."""
+    from graphdb_cia_factbook_spark.operators.relational import (
+        ancestor_closure)
+    par = sorted({(c, p) for c, p in edges if c != p and c > p})
+    if not par:
+        return
+    df = spark.createDataFrame(par, "node long, parent long")
+    got = {(r["node"], r["anc"]): r["dist"]
+           for r in ancestor_closure(df).collect()}
+    # sequential reference: BFS up the parent pointers
+    want = {}
+    parents = {}
+    for c, p in par:
+        parents.setdefault(c, set()).add(p)
+    for start in {c for c, _ in par}:
+        frontier, d = {start}, 0
+        seen = {}
+        while frontier:
+            d += 1
+            nxt = set()
+            for u in frontier:
+                for p in parents.get(u, ()):
+                    if p not in seen:
+                        seen[p] = d
+                        nxt.add(p)
+            frontier = nxt
+        for a, dd in seen.items():
+            want[(start, a)] = dd
+    assert got == want
