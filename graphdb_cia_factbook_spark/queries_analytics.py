@@ -1163,3 +1163,72 @@ def w_streaks(spark, sf):
             .select("user_id", F.col("len").alias("longest_streak_days"),
                     F.col("start_day").cast("string").alias("start_day"),
                     F.col("end_day").cast("string").alias("end_day")))
+
+
+@register("attribution_position", """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id,
+         CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT event_id, user_id, event_type,
+         CAST(ts AS TIMESTAMP) AS tts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+journey AS (
+  SELECT p.purchase_id, t.event_id, t.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY t.tts, t.event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY p.purchase_id) AS n
+  FROM p JOIN t
+    ON t.user_id = p.user_id
+   AND t.tts < p.pts AND t.tts >= p.pts - INTERVAL 7 DAY
+),
+credited AS (
+  SELECT event_type,
+         CASE WHEN n = 1 THEN 1.0
+              WHEN rn = 1 OR rn = n THEN
+                   CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+              ELSE 0.2 / CAST(n - 2 AS DOUBLE) END AS credit
+  FROM journey
+)
+SELECT event_type,
+       COUNT(*) AS n_touches,
+       ROUND(CAST(SUM(CAST(credit AS DECIMAL(27,12))) AS DOUBLE), 6)
+         AS total_credit
+FROM credited GROUP BY event_type
+""")
+def attribution_position(spark, sf):
+    """Position-based (40/20/40) multi-touch attribution: each
+    purchase's prior-7-day click/view journey splits credit 40% first
+    touch, 40% last, 20% across the middle -- the standard U-shaped
+    model next to attribution_last_touch.  The journey join is
+    user-keyed and time-banded (bounded per user-week); credit sums
+    are decimal-exact."""
+    ev = read_table(spark, sf, "events")
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("purchase_id"), "user_id",
+                 F.col("ts").cast("timestamp").alias("pts")))
+    t = (ev.where(F.col("event_type").isin("click", "view"))
+         .select("event_id", "user_id", "event_type",
+                 F.col("ts").cast("timestamp").alias("tts")))
+    j = (p.join(t, "user_id")
+         .where((F.col("tts") < F.col("pts"))
+                & (F.col("tts") >= F.col("pts")
+                   - F.expr("INTERVAL 7 DAY"))))
+    w = Window.partitionBy("purchase_id").orderBy("tts", "event_id")
+    wn = Window.partitionBy("purchase_id")
+    j = (j.withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    credit = (F.when(F.col("n") == 1, F.lit(1.0))
+              .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")),
+                    F.when(F.col("n") == 2, F.lit(0.5))
+                    .otherwise(F.lit(0.4)))
+              .otherwise(F.lit(0.2)
+                         / (F.col("n") - 2).cast("double")))
+    return (j.select("event_type", credit.alias("credit"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_touches"),
+                 F.round(F.sum(F.col("credit").cast("decimal(27,12)"))
+                         .cast("double"), 6).alias("total_credit")))

@@ -1959,3 +1959,65 @@ def g_bridges(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return bridges(Graph(g.vertices, top3))
+
+
+_RC_K = 5
+
+
+@register("g_rich_club", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS k FROM (
+    SELECT a AS id FROM ue UNION ALL SELECT b AS id FROM ue
+  ) GROUP BY 1
+),
+rich AS (
+  SELECT id FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY k DESC, id) AS r FROM deg
+  ) WHERE r <= {_RC_K}
+),
+amongst AS (
+  SELECT COUNT(*) AS e_rich
+  FROM ue JOIN rich ra ON ra.id = ue.a
+          JOIN rich rb ON rb.id = ue.b
+)
+SELECT {_RC_K} AS k,
+       (SELECT e_rich FROM amongst) AS edges_among_rich,
+       {_RC_K * (_RC_K - 1) // 2} AS possible_edges,
+       ROUND(CAST((SELECT e_rich FROM amongst) AS DOUBLE)
+             / {float(_RC_K * (_RC_K - 1) // 2)!r}, 8)
+         AS rich_club_coefficient
+""")
+def g_rich_club(spark, sf):
+    """Rich-club coefficient: edge density among the {k}
+    highest-degree nations of the undirected top-3 graph -- do the
+    hubs trade with EACH OTHER more than chance (the network-science
+    elite-interconnection metric).  Degree ranking + one
+    hub-restricted join; everything is dimension-sized.""" \
+        .replace("{k}", str(_RC_K))
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    from .operators.graph import undirected_edges
+    ue = (undirected_edges(top3.withColumnRenamed("src", "src")
+                           .select("src", "dst"))
+          .select("a", "b").distinct().localCheckpoint())
+    deg = (ue.select(F.col("a").alias("id"))
+           .union(ue.select(F.col("b").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("k")))
+    w2 = Window.orderBy(F.desc("k"), F.asc("id"))
+    rich = (deg.withColumn("__r", F.row_number().over(w2))
+            .where(F.col("__r") <= _RC_K).select("id"))
+    e_rich = (ue.join(rich.withColumnRenamed("id", "a"), "a")
+              .join(rich.withColumnRenamed("id", "b"), "b").count())
+    possible = _RC_K * (_RC_K - 1) // 2
+    return spark.createDataFrame(
+        [(_RC_K, e_rich, possible, round(e_rich / possible, 8))],
+        "k int, edges_among_rich long, possible_edges int, "
+        "rich_club_coefficient double")
