@@ -689,3 +689,80 @@ def ts_seasonal_index(spark, sf):
                     F.round((F.col("s") / F.col("n"))
                             / (F.col("ts") / F.col("tn")), 8)
                     .alias("seasonal_index")))
+
+
+_FE_A = 0.5
+
+
+@register("ts_forecast_eval", f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(CAST(value AS DOUBLE) ORDER BY ts, value) AS vals,
+         COUNT(*) AS n_obs
+  FROM events GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, n_obs,
+         list_reduce(
+           list_concat([[vals[1], 0.0, 0.0, vals[1], 0.0]],
+                       list_transform(vals[2:],
+                                      x -> [x, 0.0, 0.0, 0.0, 0.0])),
+           (acc, x) -> [
+             CAST({_FE_A!r} AS DOUBLE) * x[1]
+             + CAST({1.0 - _FE_A!r} AS DOUBLE) * acc[1],
+             acc[2] + abs(x[1] - acc[1]),
+             acc[3] + abs(x[1] - acc[4]),
+             x[1],
+             acc[5] + 1.0
+           ]) AS st
+  FROM ordered
+)
+SELECT user_id, n_obs,
+       ROUND(st[2] / st[5], 8) AS mae_ewma,
+       ROUND(st[3] / st[5], 8) AS mae_naive,
+       ROUND(st[2] / st[3], 8) AS mase
+FROM folded WHERE st[5] > 0 AND st[3] > 0
+""")
+def ts_forecast_eval(spark, sf):
+    """Walk-forward forecast evaluation per user: one-step-ahead MAE
+    of the EWMA forecaster vs the naive (last value) baseline, and
+    their ratio (MASE < 1 = smoothing beats naive).  The whole
+    walk-forward loop is ONE sequential fold -- state
+    [ewma, err_ewma, err_naive, prev, n] rides a 5-element array, the
+    same collect_list + F.aggregate shape as ts_ewma; flat or
+    single-observation series are excluded (no error scale)."""
+    ev = read_table(spark, sf, "events")
+    pair = F.struct(F.col("ts").alias("t"),
+                    F.col("value").cast("double").alias("v"))
+    per_key = (ev.groupBy("user_id")
+               .agg(F.transform(F.array_sort(F.collect_list(pair)),
+                                lambda s: s["v"]).alias("__vals"),
+                    F.count(F.lit(1)).alias("n_obs")))
+    vals = F.col("__vals")
+    init = F.array(F.element_at(vals, 1), F.lit(0.0), F.lit(0.0),
+                   F.element_at(vals, 1), F.lit(0.0))
+    rest = F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0)))
+    a, ca = _FE_A, 1.0 - _FE_A
+
+    def step(acc, x):
+        return F.array(
+            F.lit(a) * x + F.lit(ca) * F.element_at(acc, 1),
+            F.element_at(acc, 2) + F.abs(x - F.element_at(acc, 1)),
+            F.element_at(acc, 3) + F.abs(x - F.element_at(acc, 4)),
+            x,
+            F.element_at(acc, 5) + F.lit(1.0))
+
+    st = F.aggregate(rest, init, step)
+    out = per_key.select(
+        "user_id", "n_obs",
+        F.element_at(st, 2).alias("__ee"),
+        F.element_at(st, 3).alias("__en"),
+        F.element_at(st, 5).alias("__n"))
+    return (out.where((F.col("__n") > 0) & (F.col("__en") > 0))
+            .select("user_id", "n_obs",
+                    F.round(F.col("__ee") / F.col("__n"), 8)
+                    .alias("mae_ewma"),
+                    F.round(F.col("__en") / F.col("__n"), 8)
+                    .alias("mae_naive"),
+                    F.round(F.col("__ee") / F.col("__en"), 8)
+                    .alias("mase")))
