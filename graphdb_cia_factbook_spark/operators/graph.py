@@ -1747,3 +1747,62 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
     return (ue.join(reached, (ue.a == reached.ea) & (ue.b == reached.eb),
                     "left")
             .select("a", "b", F.col("__r").isNull().alias("is_bridge")))
+
+
+def greedy_coloring(graph: Graph, max_rounds: int = 100,
+                    max_colors: int = 64) -> DataFrame:
+    """Distance-1 graph coloring by Jones-Plassmann rounds with
+    deterministic md5 priorities: each round, every uncolored vertex
+    whose (md5(id), id) priority is a local MAX among uncolored
+    neighbors takes the smallest color its already-colored neighbors
+    don't use.  The parallel scheduling/register-allocation primitive
+    (MIS is the single-round special case); expected O(log V) rounds,
+    bounded by |V| (the global max colors every round).
+
+    Per round: one edge join against the uncolored set (local-max
+    test), one colored-neighbor join, and a candidate-color
+    anti-join (``max_colors`` bounds the candidate explode -- any
+    vertex needs at most degree+1 colors).  Output: (id, color)."""
+    sym = undirected_edges(graph.edges)
+    sym = (sym.union(sym.select(F.col("b").alias("a"),
+                                F.col("a").alias("b")))
+           .distinct().localCheckpoint())
+    u = (graph.vertices.select("id", F.md5("id").alias("pri"))
+         .localCheckpoint())
+    colored = None
+    for _ in range(max_rounds):
+        if u.isEmpty():
+            break
+        und = u.select(F.col("id").alias("b"), F.col("pri").alias("__np"))
+        nmax = (sym.join(und, "b")
+                .groupBy(F.col("a").alias("id"))
+                .agg(F.max(F.struct(F.col("__np").alias("p"),
+                                    F.col("b").alias("i"))).alias("nm")))
+        winners = (u.join(nmax, "id", "left")
+                   .where(F.col("nm").isNull()
+                          | (F.struct(F.col("pri").alias("p"),
+                                      F.col("id").alias("i"))
+                             > F.col("nm")))
+                   .select("id").localCheckpoint())
+        if colored is not None:
+            used = (sym.join(winners.select(F.col("id").alias("a")), "a")
+                    .join(colored.select(F.col("id").alias("b"),
+                                         F.col("color").alias("used")),
+                          "b")
+                    .select(F.col("a").alias("id"), "used").distinct())
+        else:
+            used = winners.select(
+                "id", F.lit(None).cast("int").alias("used")).limit(0)
+        cand = winners.select(
+            "id", F.explode(F.sequence(
+                F.lit(0), F.lit(max_colors - 1))).alias("c"))
+        pick = (cand.join(used, (cand.id == used.id)
+                          & (F.col("c") == F.col("used")), "left_anti")
+                .groupBy("id").agg(F.min("c").alias("color")))
+        colored = pick if colored is None else colored.union(pick)
+        colored = colored.localCheckpoint()
+        u = u.join(winners, "id", "left_anti").localCheckpoint()
+    if colored is None:
+        return graph.vertices.select(
+            "id", F.lit(0).alias("color")).limit(0)
+    return colored

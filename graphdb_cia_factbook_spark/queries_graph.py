@@ -2021,3 +2021,71 @@ def g_rich_club(spark, sf):
         [(_RC_K, e_rich, possible, round(e_rich / possible, 8))],
         "k int, edges_among_rich long, possible_edges int, "
         "rich_club_coefficient double")
+
+
+_COLOR_ROUNDS, _COLOR_CANDS = 25, 26
+
+
+def _coloring_sql(rounds: int, cands: int) -> str:
+    """Generate the Jones-Plassmann oracle: per round, local-max
+    winners + smallest-unused-color pick + shrink, mirroring
+    operators.graph.greedy_coloring (at least the global max priority
+    wins each round, so |V| rounds converge)."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM top3 WHERE src != dst),
+sym AS (SELECT a, b FROM ue UNION SELECT b AS a, a AS b FROM ue),
+u0 AS (SELECT id, md5(id) AS pri FROM verts),
+colored0 AS (SELECT id, 0 AS color FROM verts WHERE FALSE)"""]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(f""",
+w{k} AS MATERIALIZED (
+  SELECT u.id FROM u{p} u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym e JOIN u{p} n ON n.id = e.b
+    WHERE e.a = u.id
+      AND (n.pri > u.pri OR (n.pri = u.pri AND n.id > u.id)))
+),
+used{k} AS MATERIALIZED (
+  SELECT DISTINCT w.id, c.color AS used
+  FROM w{k} w
+  JOIN sym e ON e.a = w.id
+  JOIN colored{p} c ON c.id = e.b
+),
+pick{k} AS MATERIALIZED (
+  SELECT cand.id, MIN(cand.c) AS color
+  FROM (SELECT w.id, u2.c
+        FROM w{k} w, unnest(range(0, {cands})) AS u2(c)) cand
+  LEFT JOIN used{k} u ON u.id = cand.id AND u.used = cand.c
+  WHERE u.used IS NULL
+  GROUP BY 1
+),
+colored{k} AS MATERIALIZED (SELECT * FROM colored{p} UNION ALL
+               SELECT * FROM pick{k}),
+u{k} AS MATERIALIZED (
+  SELECT u.* FROM u{p} u
+  WHERE u.id NOT IN (SELECT id FROM w{k})
+)""")
+    parts.append(f"""
+SELECT id, CAST(color AS INTEGER) AS color FROM colored{rounds}""")
+    return "".join(parts)
+
+
+@register("g_coloring", _coloring_sql(_COLOR_ROUNDS, _COLOR_CANDS))
+def g_coloring(spark, sf):
+    """Distance-1 greedy coloring (Jones-Plassmann, md5 priorities) of
+    the undirected top-3-partner graph -- the parallel scheduling /
+    conflict-partitioning primitive (vertices of one color form an
+    independent set that can process concurrently).  See
+    operators.graph.greedy_coloring."""
+    from .operators.graph import Graph, greedy_coloring
+    g = build_trade_graph(spark, sf)
+    n_verts = g.vertices.count()
+    assert n_verts <= _COLOR_ROUNDS, "raise _COLOR_ROUNDS to >= |V|"
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    out = greedy_coloring(Graph(g.vertices, top3),
+                          max_colors=_COLOR_CANDS)
+    return out.select("id", F.col("color").cast("int").alias("color"))

@@ -589,3 +589,19 @@ def test_bridges_triangle_plus_pendant(spark):
            for r in bridges(Graph(v, e)).collect()}
     assert got == {("A", "B"): False, ("B", "C"): False,
                    ("A", "C"): False, ("C", "D"): True, ("D", "E"): True}
+
+
+def test_greedy_coloring_proper_on_cycle_with_chord(spark):
+    """5-cycle + chord (odd cycle, chi = 3): the coloring must be
+    PROPER (no edge endpoints share a color) and use few colors."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, greedy_coloring)
+    v = spark.createDataFrame([(x,) for x in "ABCDE"], "id string")
+    edges = [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("E", "A"),
+             ("A", "C")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["id"]: r["color"]
+           for r in greedy_coloring(Graph(v, e)).collect()}
+    assert set(got) == set("ABCDE")
+    assert all(got[a] != got[b] for a, b in edges)
+    assert len(set(got.values())) <= 4      # greedy bound, chi=3
