@@ -540,3 +540,26 @@ def block_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
             .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("n_shared_blocks"))
             .where(F.col("n_shared_blocks") >= min_shared))
+
+
+def dedup_keep_best(df: DataFrame, pairs: DataFrame, score,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Fuzzy-dedup resolution keeping the BEST duplicate instead of the
+    smallest id: clusters come from :func:`dedup_clusters` (connected
+    components of the verified pair graph); the survivor is the
+    cluster's argmax under ``score`` (ties on id) -- what production
+    dedup actually wants (keep the longest / highest-quality copy, drop
+    the rest).
+
+    ``score`` is a Column evaluated against ``df``.  Same scale shape
+    as dedup_clusters plus one cluster-keyed argmax window over
+    (id, cluster, score) triples."""
+    base = dedup_clusters(df, pairs, id_col)
+    scored = df.select(F.col(id_col), score.alias("__score"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__score"), F.asc(id_col))
+    return (base.join(scored, id_col)
+            .withColumn("__r", F.row_number().over(w))
+            .select(id_col, "cluster_id", "cluster_size",
+                    (F.col("__r") == 1).alias("is_kept"),
+                    F.col("__score").alias("survivor_score")))

@@ -2089,3 +2089,97 @@ def g_coloring(spark, sf):
     out = greedy_coloring(Graph(g.vertices, top3),
                           max_colors=_COLOR_CANDS)
     return out.select("id", F.col("color").cast("int").alias("color"))
+
+
+_PERC_KEEP = (75, 50, 25)  # percent of strongest edges kept
+
+
+def _percolation_sql(keeps) -> str:
+    """Generate the bond-percolation oracle: one recursive
+    reachability closure per retention level over the weight-ranked
+    undirected edge list."""
+    parts = [f"""WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+t3a AS (
+  SELECT e.src, e.dst, ed.amount
+  FROM top3 e JOIN edges ed ON ed.src = e.src AND ed.dst = e.dst
+),
+ue AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(amount) AS am
+  FROM t3a GROUP BY 1, 2
+),
+ranked AS (
+  SELECT a, b,
+         ROW_NUMBER() OVER (ORDER BY am DESC, a, b) AS r,
+         COUNT(*) OVER () AS m
+  FROM ue
+)"""]
+    sels = []
+    for pct in keeps:
+        parts.append(f""",
+keep{pct} AS MATERIALIZED (
+  SELECT a, b FROM ranked WHERE r <= CAST(floor(m * {pct} / 100.0)
+                                          AS BIGINT)
+),
+sym{pct} AS (SELECT a, b FROM keep{pct}
+             UNION ALL SELECT b, a FROM keep{pct}),
+reach{pct}(root, id) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.root, e.b FROM reach{pct} r JOIN sym{pct} e ON e.a = r.id
+),
+comp{pct} AS (
+  SELECT root, MIN(id) AS label
+  FROM (SELECT id AS root, root AS id FROM reach{pct}) x
+  GROUP BY root
+),
+big{pct} AS (
+  SELECT COUNT(*) AS c FROM comp{pct} GROUP BY label
+  ORDER BY c DESC LIMIT 1
+)""")
+        sels.append(f"""
+SELECT {pct} AS pct_edges_kept,
+       (SELECT COUNT(*) FROM keep{pct}) AS n_edges,
+       (SELECT c FROM big{pct}) AS largest_component,
+       ROUND(CAST((SELECT c FROM big{pct}) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM verts) AS DOUBLE), 8)
+         AS largest_fraction""")
+    parts.append("\nUNION ALL".join(sels))
+    return "".join(parts)
+
+
+@register("g_percolation", _percolation_sql(_PERC_KEEP))
+def g_percolation(spark, sf):
+    """Bond-percolation robustness curve: keep only the strongest
+    75/50/25% of undirected trade edges and measure the largest
+    connected component's share of vertices -- how fast does the
+    network fragment as weak routes fail (the resilience sweep every
+    infrastructure-graph study runs).  Spark side reuses
+    connected_components per retention level; labels are min-id, so
+    'largest component' is a deterministic count."""
+    from .operators.graph import Graph, connected_components
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    t3 = (g.edges.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= 3).select("src", "dst", "amount"))
+    ue = (t3.groupBy(F.least("src", "dst").alias("a"),
+                     F.greatest("src", "dst").alias("b"))
+          .agg(F.max("amount").alias("am")))
+    wr = Window.orderBy(F.desc("am"), F.asc("a"), F.asc("b"))
+    ranked = (ue.withColumn("r", F.row_number().over(wr))
+              .localCheckpoint())
+    m = ranked.count()
+    n_verts = g.vertices.count()
+    rows = []
+    for pct in _PERC_KEEP:
+        keep = ranked.where(F.col("r") <= int(m * pct // 100)) \
+            .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        n_edges = keep.count()
+        comp = connected_components(Graph(g.vertices, keep))
+        big = (comp.groupBy("component").agg(F.count(F.lit(1)).alias("c"))
+               .agg(F.max("c")).first()[0])
+        rows.append((pct, n_edges, big, round(big / n_verts, 8)))
+    return spark.createDataFrame(
+        rows, "pct_edges_kept int, n_edges long, largest_component long, "
+        "largest_fraction double")

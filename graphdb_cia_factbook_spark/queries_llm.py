@@ -2974,3 +2974,47 @@ def llm_bigram_lm(spark, sf):
             .where(F.col("cont_rank") <= _LM_TOPK)
             .select("w1", "w2", "c12",
                     F.round(prob, 8).alias("prob"), "cont_rank"))
+
+
+@register("llm_dedup_keep_best", f"""
+WITH RECURSIVE {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+{_LSH_CAND_SQL},
+{_JACCARD_CTES.lstrip()},
+pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.5),
+bi AS (SELECT id_a AS a, id_b AS b FROM pairs
+       UNION ALL SELECT id_b AS a, id_a AS b FROM pairs),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM bi
+  UNION
+  SELECT r.a, bi.b FROM reach r JOIN bi ON r.b = bi.a
+),
+comp AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+         d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       ROW_NUMBER() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) = 1 AS is_kept,
+       CAST(n_chars AS DOUBLE) AS survivor_score
+FROM alldocs
+""")
+def llm_dedup_keep_best(spark, sf):
+    """Fuzzy dedup keeping the BEST copy: same MinHash-LSH clusters as
+    llm_dedup_clusters, but the survivor is the LONGEST document in
+    each cluster (score = n_chars, ties on id) -- production dedup
+    keeps the highest-value duplicate, not the smallest id.  See
+    operators.dedup.dedup_keep_best."""
+    docs = read_parallel(spark, sf, "documents")
+    pairs = minhash_lsh_dedup(docs, num_hashes=_NUM_HASHES, bands=_BANDS,
+                              threshold=0.5,
+                              max_bucket_size=_LSH_BUCKET_CAP)
+    from .operators.dedup import dedup_keep_best
+    return dedup_keep_best(docs, pairs,
+                           F.col("n_chars").cast("double"))

@@ -995,3 +995,19 @@ def test_blocklist_filter_word_boundaries(spark):
     assert got[1]["matched_terms"] == "error,fatal"
     assert got[2]["n_hits"] == 0 and got[2]["keep"]
     assert got[3]["keep"] and got[3]["matched_terms"] == ""
+
+
+def test_dedup_keep_best_keeps_highest_score(spark):
+    """Cluster {1,3,5}: survivor must be the best-scoring member (3),
+    not the smallest id; singletons keep themselves."""
+    from graphdb_cia_factbook_spark.operators.dedup import dedup_keep_best
+    docs = spark.createDataFrame(
+        [(i, float(s)) for i, s in [(0, 9), (1, 10), (2, 1),
+                                    (3, 99), (5, 50)]],
+        "doc_id long, q double")
+    pairs = spark.createDataFrame([(1, 3), (3, 5)], "id_a long, id_b long")
+    rows = {r["doc_id"]: r for r in
+            dedup_keep_best(docs, pairs, F.col("q")).collect()}
+    kept = {i for i, r in rows.items() if r["is_kept"]}
+    assert kept == {0, 2, 3}
+    assert rows[1]["cluster_size"] == 3 and not rows[1]["is_kept"]
