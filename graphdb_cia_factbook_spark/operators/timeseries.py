@@ -239,3 +239,53 @@ def cusum(events: DataFrame, key_col: str = "user_id",
         F.when(sd.isNull() | (sd <= 0), F.lit(0))
         .otherwise(F.element_at(folded, 2).cast("long"))
         .alias("n_alarms"))
+
+
+def burst_detect(events: DataFrame, key_col: str = "user_id",
+                 ts_col: str = "ts", s: float = 2.0,
+                 gamma: float = 1.0) -> DataFrame:
+    """Kleinberg-style burst detection (2-state automaton) per key:
+    inter-arrival gaps are scored under a base rate (state 0,
+    lambda0 = n/T) and a burst rate (state 1, s * lambda0); the
+    VITERBI min-cost forward pass -- exponential negative
+    log-densities plus a gamma*ln(n) cost per up-transition -- runs as
+    ONE sequential fold carrying the two path costs [c0, c1].
+
+    Output per key: final costs and whether the cheapest path ends in
+    the burst state (``burst_at_end``) -- the streaming-rate-anomaly
+    primitive behind trending-topic and incident detectors.  Keys
+    with < 2 events or zero time span are excluded (no rate).  Same
+    collect_list + F.aggregate shape and bit-equality contract as the
+    EWMA/CUSUM folds."""
+    mic = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_key = (events.groupBy(key_col)
+               .agg(F.array_sort(F.collect_list(mic)).alias("__ts"),
+                    F.count(F.lit(1)).alias("n_events")))
+    ts_arr = F.col("__ts")
+    gaps = F.zip_with(
+        F.slice(ts_arr, 2, F.greatest(F.size(ts_arr) - 1, F.lit(0))),
+        F.slice(ts_arr, 1, F.greatest(F.size(ts_arr) - 1, F.lit(0))),
+        lambda b, a: (b - a).cast("double") / F.lit(1e6))
+    per_key = (per_key.withColumn("__gaps", gaps)
+               .withColumn("__n", F.size("__gaps"))
+               .withColumn("__t", F.aggregate(
+                   "__gaps", F.lit(0.0), lambda acc, x: acc + x))
+               .where((F.col("__n") >= 1) & (F.col("__t") > 0)))
+    lam0 = F.col("__n").cast("double") / F.col("__t")
+    lam1 = F.lit(s) * lam0
+    tcost = F.lit(gamma) * F.log(F.col("__n").cast("double") + 1.0)
+
+    def step(acc, g):
+        c0, c1 = F.element_at(acc, 1), F.element_at(acc, 2)
+        stay0 = F.least(c0, c1)
+        stay1 = F.least(c1, c0 + tcost)
+        n0 = stay0 - (F.log(lam0) - lam0 * g)
+        n1 = stay1 - (F.log(lam1) - lam1 * g)
+        return F.array(n0, n1)
+
+    st = F.aggregate("__gaps", F.array(F.lit(0.0), F.lit(1e18)), step)
+    return per_key.select(
+        key_col, F.col("n_events"),
+        F.round(F.element_at(st, 1), 6).alias("cost_base"),
+        F.round(F.element_at(st, 2), 6).alias("cost_burst"),
+        (F.element_at(st, 2) < F.element_at(st, 1)).alias("burst_at_end"))

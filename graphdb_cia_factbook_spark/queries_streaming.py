@@ -766,3 +766,64 @@ def ts_forecast_eval(spark, sf):
                     .alias("mae_naive"),
                     F.round(F.col("__ee") / F.col("__en"), 8)
                     .alias("mase")))
+
+
+_BURST_S, _BURST_G = 2.0, 1.0
+
+
+@register("ts_burst_detect", f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(epoch_us(CAST(ts AS TIMESTAMP))
+              ORDER BY epoch_us(CAST(ts AS TIMESTAMP))) AS tsl,
+         COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+),
+gapped AS (
+  SELECT user_id, n_events,
+         list_transform(range(1, len(tsl)),
+                        i -> CAST(tsl[i + 1] - tsl[i] AS DOUBLE)
+                             / 1000000.0) AS gaps
+  FROM ordered
+),
+based AS (
+  SELECT user_id, n_events, gaps,
+         len(gaps) AS n,
+         list_reduce(list_concat([0.0], gaps), (a, x) -> a + x) AS t
+  FROM gapped
+  WHERE len(gaps) >= 1
+),
+rated AS (
+  SELECT user_id, n_events, gaps,
+         CAST(n AS DOUBLE) / t AS lam0,
+         CAST({_BURST_S!r} AS DOUBLE) * (CAST(n AS DOUBLE) / t) AS lam1,
+         CAST({_BURST_G!r} AS DOUBLE) * ln(CAST(n AS DOUBLE) + 1.0)
+           AS tc
+  FROM based WHERE t > 0
+),
+folded AS (
+  SELECT user_id, n_events,
+         list_reduce(
+           list_concat([[0.0, 1e18]],
+                       list_transform(gaps, g -> [g, 0.0])),
+           (acc, x) -> [
+             least(acc[1], acc[2]) - (ln(lam0) - lam0 * x[1]),
+             least(acc[2], acc[1] + tc) - (ln(lam1) - lam1 * x[1])
+           ]) AS st
+  FROM rated
+)
+SELECT user_id, n_events,
+       ROUND(st[1], 6) AS cost_base,
+       ROUND(st[2], 6) AS cost_burst,
+       st[2] < st[1] AS burst_at_end
+FROM folded
+""")
+def ts_burst_detect(spark, sf):
+    """Kleinberg-style burst detection per user: the 2-state Viterbi
+    min-cost pass over inter-arrival gaps as ONE sequential fold
+    (exponential negative log-densities, gamma ln(n) up-transition
+    cost) -- is each user's event stream ending in a burst?  See
+    operators.timeseries.burst_detect."""
+    from .operators.timeseries import burst_detect
+    return burst_detect(read_table(spark, sf, "events"),
+                        s=_BURST_S, gamma=_BURST_G)

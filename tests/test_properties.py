@@ -383,3 +383,22 @@ def test_ancestor_closure_matches_python_reference(spark, edges):
         for a, dd in seen.items():
             want[(start, a)] = dd
     assert got == want
+
+
+def test_burst_detect_flags_accelerating_tail(spark):
+    """A stream whose gaps collapse 100x at the end must finish in the
+    burst state; a uniform stream must not."""
+    from datetime import datetime, timedelta
+    from graphdb_cia_factbook_spark.operators.timeseries import (
+        burst_detect)
+    t0 = datetime(2026, 1, 1)
+    bursty = [(1, t0 + timedelta(hours=h)) for h in range(10)]
+    last = bursty[-1][1]
+    bursty += [(1, last + timedelta(seconds=36 * (i + 1)))
+               for i in range(10)]
+    uniform = [(2, t0 + timedelta(hours=h)) for h in range(20)]
+    ev = spark.createDataFrame(bursty + uniform,
+                               "user_id long, ts timestamp")
+    got = {r["user_id"]: r["burst_at_end"]
+           for r in burst_detect(ev).collect()}
+    assert got == {1: True, 2: False}
