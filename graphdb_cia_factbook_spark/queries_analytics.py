@@ -1232,3 +1232,90 @@ def attribution_position(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_touches"),
                  F.round(F.sum(F.col("credit").cast("decimal(27,12)"))
                          .cast("double"), 6).alias("total_credit")))
+
+
+@register("survival_km", """
+WITH spans AS (
+  SELECT user_id,
+         MIN(CAST(ts AS TIMESTAMP)) AS t0,
+         MIN(CASE WHEN event_type = 'error'
+                  THEN CAST(ts AS TIMESTAMP) END) AS terr,
+         MAX(CAST(ts AS TIMESTAMP)) AS tmax
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT user_id,
+         CASE WHEN terr IS NOT NULL
+              THEN epoch_us(terr) - epoch_us(t0)
+              ELSE epoch_us(tmax) - epoch_us(t0) END AS t_obs,
+         terr IS NOT NULL AS observed
+  FROM spans
+  WHERE (CASE WHEN terr IS NOT NULL
+              THEN epoch_us(terr) - epoch_us(t0)
+              ELSE epoch_us(tmax) - epoch_us(t0) END) > 0
+),
+times AS (
+  SELECT t_obs AS t, COUNT(*) AS d
+  FROM obs WHERE observed GROUP BY 1
+),
+risk AS (
+  SELECT tm.t, tm.d,
+         (SELECT COUNT(*) FROM obs o WHERE o.t_obs >= tm.t) AS n
+  FROM times tm
+)
+SELECT t AS t_micros, d AS n_events, n AS n_at_risk,
+       CASE WHEN MAX(CASE WHEN d = n THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+            THEN 0.0
+            ELSE ROUND(exp(CAST(SUM(CAST(
+              CASE WHEN d < n
+                   THEN ln(1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))
+                   END
+              AS DECIMAL(27,12))) OVER (ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING)
+              AS DOUBLE)), 8) END AS survival
+FROM risk
+""")
+def survival_km(spark, sf):
+    """Kaplan-Meier survival curve for time-to-first-error per user
+    (users without an error are right-censored at their last event):
+    S(t) = product over event times <= t of (1 - d/n), computed as
+    exp of a decimal-exact running ln-sum so the cumulative product
+    is reduction-order-free.  The time-to-churn/failure estimator
+    every lifecycle analysis runs; risk sets are user-sized
+    aggregates, the curve is event-time-sized."""
+    ev = read_table(spark, sf, "events")
+    t = F.col("ts").cast("timestamp")
+    spans = (ev.groupBy("user_id")
+             .agg(F.min(F.unix_micros(t)).alias("t0"),
+                  F.min(F.when(F.col("event_type") == "error",
+                               F.unix_micros(t))).alias("terr"),
+                  F.max(F.unix_micros(t)).alias("tmax")))
+    t_obs = F.when(F.col("terr").isNotNull(),
+                   F.col("terr") - F.col("t0")) \
+        .otherwise(F.col("tmax") - F.col("t0"))
+    obs = (spans.select("user_id", t_obs.alias("t_obs"),
+                        F.col("terr").isNotNull().alias("observed"))
+           .where(F.col("t_obs") > 0).localCheckpoint())
+    times = (obs.where("observed").groupBy(F.col("t_obs").alias("t"))
+             .agg(F.count(F.lit(1)).alias("d")))
+    # risk set: users still under observation at t (t_obs >= t) --
+    # a range join of the (small) event-time table against user spans
+    risk = (times.join(obs.select("t_obs"),
+                       F.col("t_obs") >= F.col("t"))
+            .groupBy("t", "d").agg(F.count(F.lit(1)).alias("n")))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    # d == n zeroes the product exactly; ln is undefined there, so the
+    # running max flag pins survival to 0 from that time on
+    lnterm = F.when(F.col("d") < F.col("n"),
+                    F.log(F.lit(1.0) - F.col("d").cast("double")
+                          / F.col("n").cast("double")))
+    zeroed = F.max(F.when(F.col("d") == F.col("n"), 1)
+                   .otherwise(0)).over(w)
+    return (risk.select(F.col("t").alias("t_micros"),
+                        F.col("d").alias("n_events"),
+                        F.col("n").alias("n_at_risk"),
+                        F.when(zeroed == 1, F.lit(0.0))
+                        .otherwise(F.round(F.exp(F.sum(
+                            lnterm.cast("decimal(27,12)")).over(w)
+                            .cast("double")), 8)).alias("survival")))
