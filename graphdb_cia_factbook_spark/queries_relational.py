@@ -1000,3 +1000,97 @@ def agg_trend_slope(spark, sf):
                  (mean_y - slope6 * mean_x).alias("intercept"),
                  F.round(F.regr_r2("y", "x"), 6).alias("r2"),
                  F.count(F.lit(1)).alias("n")))
+
+
+# engine-portable HyperLogLog built from first principles: md5 hash,
+# 64 buckets (top 6 of 52 hash bits), rho = leading-zero rank of the
+# low 46 bits.  The bucket sum is kept as EXACT integers
+# (sum of 2^(46 - M_j) with the 46-bit scale factored out), so the
+# only floats are the final alpha * m^2 / S division and the
+# small-range ln correction -- bit-identical on any engine, unlike
+# opaque built-in sketches.
+_HLL_ALPHA64 = 0.709
+
+
+@register("agg_hll_custom", f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13))::BIGINT
+           AS hv
+  FROM orders
+),
+parts AS (
+  SELECT hv // 70368744177664 AS bucket,       -- top 6 bits (/ 2^46)
+         hv % 70368744177664 AS w              -- low 46 bits
+  FROM h
+),
+rho AS (
+  SELECT bucket,
+         MAX(CASE WHEN w = 0 THEN 47
+                  ELSE 46 - length(bin(w)) + 1 END) AS m_j
+  FROM parts GROUP BY bucket
+),
+s AS (
+  SELECT CAST(SUM(CAST(2 AS BIGINT) ** (46 - m_j)) AS BIGINT)
+           + (64 - COUNT(*)) * 70368744177664 AS ssum,
+         64 - COUNT(*) AS v_empty
+  FROM rho
+),
+est AS (
+  SELECT CASE
+    WHEN ({_HLL_ALPHA64!r} * 64.0 * 64.0 * 70368744177664)
+         / CAST(ssum AS DOUBLE) <= 160.0 AND v_empty > 0
+    THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE))
+    ELSE ({_HLL_ALPHA64!r} * 64.0 * 64.0 * 70368744177664)
+         / CAST(ssum AS DOUBLE) END AS e,
+         v_empty
+  FROM s
+)
+SELECT ROUND(e.e, 6) AS hll_estimate,
+       (SELECT COUNT(DISTINCT o_custkey) FROM orders) AS exact_distinct,
+       abs(e.e - (SELECT COUNT(DISTINCT o_custkey) FROM orders))
+       / (SELECT COUNT(DISTINCT o_custkey) FROM orders) <= 0.15
+         AS within_15pct,
+       e.v_empty
+FROM est e
+""")
+def agg_hll_custom(spark, sf):
+    """HyperLogLog from first principles (m = 64, md5-hashed, integer
+    bucket sums): the estimate is the SAME double on every engine
+    because the harmonic-mean denominator is carried as an exact
+    integer (sum of 2^(46-M_j)) and only the final division/ln touch
+    floats -- a mergeable sketch whose cross-engine hash-match proves
+    the internals, unlike opaque built-ins (the built-in HLL++ path is
+    agg_approx_sketches).  Map-side: 64-bucket max-agg; driver: one
+    row."""
+    orders = read_table(spark, sf, "orders")
+    hv = F.conv(F.substring(
+        F.md5(F.col("o_custkey").cast("string")), 1, 13), 16, 10) \
+        .cast("long")
+    scale = 70368744177664  # 2^46
+    parts = orders.select((hv / scale).cast("long").alias("bucket"),
+                          F.pmod(hv, F.lit(scale)).alias("w"))
+    rho = (parts.groupBy("bucket")
+           .agg(F.max(F.when(F.col("w") == 0, F.lit(47))
+                      .otherwise(F.lit(46)
+                                 - F.length(F.bin("w")) + 1))
+                .alias("m_j")))
+    s = rho.agg(
+        (F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                       "CAST(46 - m_j AS INT))"))
+         + (F.lit(64) - F.count(F.lit(1))) * F.lit(scale))
+        .alias("ssum"),
+        (F.lit(64) - F.count(F.lit(1))).alias("v_empty"))
+    raw = (F.lit(_HLL_ALPHA64) * 64.0 * 64.0 * float(scale)) \
+        / F.col("ssum").cast("double")
+    e = (F.when((raw <= 160.0) & (F.col("v_empty") > 0),
+                F.lit(64.0) * F.log(F.lit(64.0)
+                                    / F.col("v_empty").cast("double")))
+         .otherwise(raw))
+    exact = orders.agg(F.countDistinct("o_custkey").alias("x"))
+    return (s.crossJoin(F.broadcast(exact))
+            .select(F.round(e, 6).alias("hll_estimate"),
+                    F.col("x").alias("exact_distinct"),
+                    (F.abs(e - F.col("x"))
+                     / F.col("x").cast("double") <= 0.15)
+                    .alias("within_15pct"),
+                    "v_empty"))
