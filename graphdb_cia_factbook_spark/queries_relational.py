@@ -1094,3 +1094,86 @@ def agg_hll_custom(spark, sf):
                      / F.col("x").cast("double") <= 0.15)
                     .alias("within_15pct"),
                     "v_empty"))
+
+
+_BLOOM_M, _BLOOM_K = 4096, 3
+
+
+@register("agg_bloom_custom", f"""
+WITH members AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+),
+bits AS (
+  SELECT DISTINCT
+         ('0x' || substr(md5(CAST(m.k AS VARCHAR) || ':' || s.i), 1, 12))
+           ::BIGINT % {_BLOOM_M} AS pos
+  FROM members m, unnest(['s0', 's1', 's2']) AS s(i)
+),
+probes AS (SELECT c_custkey AS k FROM customer),
+probe_pos AS (
+  SELECT p.k,
+         ('0x' || substr(md5(CAST(p.k AS VARCHAR) || ':' || s.i), 1, 12))
+           ::BIGINT % {_BLOOM_M} AS pos
+  FROM probes p, unnest(['s0', 's1', 's2']) AS s(i)
+),
+probe_hits AS (
+  SELECT pp.k, COUNT(b.pos) AS n_hit
+  FROM probe_pos pp LEFT JOIN bits b ON b.pos = pp.pos
+  GROUP BY pp.k
+),
+flagged AS (
+  SELECT k FROM probe_hits WHERE n_hit = {_BLOOM_K}
+)
+SELECT {_BLOOM_M} AS m_bits, {_BLOOM_K} AS k_hashes,
+       (SELECT COUNT(*) FROM bits) AS n_set_bits,
+       (SELECT COUNT(*) FROM members) AS n_members,
+       (SELECT COUNT(*) FROM flagged) AS n_flagged,
+       (SELECT COUNT(*) FROM flagged f
+        LEFT JOIN members m ON m.k = f.k WHERE m.k IS NULL)
+         AS n_false_positives,
+       (SELECT COUNT(*) FROM members m
+        LEFT JOIN flagged f ON f.k = m.k WHERE f.k IS NULL)
+         AS n_false_negatives
+FROM (SELECT 1)
+""")
+def agg_bloom_custom(spark, sf):
+    """Bloom filter from first principles (m = 4096 bits, k = 3 md5
+    salts) built over the big-spender customer set and probed with
+    EVERY customer: zero false negatives by construction (the oracle
+    row proves it), measured false positives at the expected ~(1 -
+    e^(-kn/m))^k rate.  This is the engine-portable runtime-filter
+    primitive (semi-join pruning, dedup pre-checks) with the bitset
+    as plain data -- mergeable by union, shippable cross-engine."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    salts = F.array(*[F.lit(f"s{i}") for i in range(_BLOOM_K)])
+
+    def pos(key_col):
+        return F.conv(F.substring(
+            F.md5(F.concat(key_col.cast("string"), F.lit(":"),
+                           F.col("salt"))), 1, 12), 16, 10) \
+            .cast("long") % _BLOOM_M
+
+    members = (orders.where(F.col("o_totalprice") > 400000)
+               .select(F.col("o_custkey").alias("k")).distinct()
+               .localCheckpoint())
+    bits = (members.select("k", F.explode(salts).alias("salt"))
+            .select(pos(F.col("k")).alias("pos")).distinct()
+            .localCheckpoint())
+    probes = customer.select(F.col("c_custkey").alias("k"))
+    ph = (probes.select("k", F.explode(salts).alias("salt"))
+          .withColumn("pos", pos(F.col("k")))
+          .join(bits.withColumn("__b", F.lit(1)), "pos", "left")
+          .groupBy("k")
+          .agg(F.count(F.col("__b")).alias("n_hit")))
+    flagged = ph.where(F.col("n_hit") == _BLOOM_K).select("k") \
+        .localCheckpoint()
+    n_bits = bits.count()
+    n_members = members.count()
+    n_flagged = flagged.count()
+    n_fp = flagged.join(members, "k", "left_anti").count()
+    n_fn = members.join(flagged, "k", "left_anti").count()
+    return spark.createDataFrame(
+        [(_BLOOM_M, _BLOOM_K, n_bits, n_members, n_flagged, n_fp, n_fn)],
+        "m_bits int, k_hashes int, n_set_bits long, n_members long, "
+        "n_flagged long, n_false_positives long, n_false_negatives long")
