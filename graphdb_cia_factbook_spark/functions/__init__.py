@@ -162,3 +162,21 @@ def zvalue(a, b, bits: int = 16):
                .bitwiseOR(F.shiftleft(
                    F.shiftright(zb, i).bitwiseAND(one), 2 * i + 1)))
     return out
+
+
+#: explicit accent-fold table (the common Latin-1 diacritics) -- an
+#: EXPLICIT table rather than engine-specific strip_accents so the
+#: fold is identical wherever the pipeline runs
+ACCENT_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+ACCENT_DST = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY"
+
+
+def text_fold(col):
+    """Canonical text fold for matching/dedup keys: lowercase +
+    explicit accent fold + whitespace collapse + trim.  The
+    normalization pass upstream of every string-equality join
+    (J6-style country fixes catch aliases; this catches encodings).
+    Pure translate/regexp codegen."""
+    from pyspark.sql import functions as F
+    folded = F.translate(col, ACCENT_SRC, ACCENT_DST)
+    return F.trim(F.regexp_replace(F.lower(folded), r"\s+", " "))

@@ -361,3 +361,28 @@ def f_zorder(spark, sf):
     return customer.select(
         "c_custkey", "c_nationkey",
         zvalue(F.col("c_custkey"), F.col("c_nationkey")).alias("zval"))
+
+
+@register("f_text_fold", """
+SELECT doc_id,
+       trim(regexp_replace(lower(translate(text,
+         'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+         'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY')),
+         '\\s+', ' ', 'g')) AS folded,
+       md5(trim(regexp_replace(lower(translate(text,
+         'àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ',
+         'aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUY')),
+         '\\s+', ' ', 'g'))) AS fold_key
+FROM documents
+""")
+def f_text_fold(spark, sf):
+    """Canonical text fold (lowercase + explicit accent table +
+    whitespace collapse) and its md5 matching key -- the
+    encoding-insensitive sibling of the exact-dedup fingerprint; an
+    EXPLICIT fold table keeps the key identical across engines and
+    releases.  See functions.text_fold."""
+    from .functions import text_fold
+    docs = read_table(spark, sf, "documents")
+    folded = text_fold(F.col("text"))
+    return docs.select("doc_id", folded.alias("folded"),
+                       F.md5(folded).alias("fold_key"))
