@@ -2183,3 +2183,49 @@ def g_percolation(spark, sf):
     return spark.createDataFrame(
         rows, "pct_edges_kept int, n_edges long, largest_component long, "
         "largest_fraction double")
+
+
+@register("g_degree_distribution", f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT v.id, COALESCE(o.d, 0) AS out_deg
+  FROM verts v
+  LEFT JOIN (SELECT src, COUNT(*) AS d FROM edges GROUP BY 1) o
+    ON o.src = v.id
+),
+hist AS (
+  SELECT out_deg AS degree, COUNT(*) AS n_vertices
+  FROM deg GROUP BY 1
+),
+fit AS (
+  SELECT regr_slope(ln(CAST(n_vertices AS DOUBLE)),
+                    ln(CAST(degree AS DOUBLE))) AS slope
+  FROM hist WHERE degree > 0
+)
+SELECT h.degree, h.n_vertices,
+       ROUND((SELECT slope FROM fit), 8) AS loglog_slope
+FROM hist h
+""")
+def g_degree_distribution(spark, sf):
+    """Out-degree distribution of the trade digraph with the log-log
+    least-squares slope over the positive-degree buckets -- the
+    power-law-tail diagnostic (slope ~ -2..-3 = scale-free; the trade
+    graph is near-complete so the slope exposes that immediately).
+    Histogram is degree-bucket-sized; the slope is one regr_slope
+    aggregate, broadcast back onto every bucket row."""
+    from .operators.graph import build_trade_graph
+    g = build_trade_graph(spark, sf)
+    deg = (g.vertices.select("id")
+           .join(g.edges.groupBy(F.col("src").alias("id"))
+                 .agg(F.count(F.lit(1)).alias("d")), "id", "left")
+           .select(F.coalesce("d", F.lit(0)).alias("out_deg")))
+    hist = (deg.groupBy(F.col("out_deg").alias("degree"))
+            .agg(F.count(F.lit(1)).alias("n_vertices"))
+            .localCheckpoint())
+    fit = (hist.where(F.col("degree") > 0)
+           .agg(F.regr_slope(
+               F.log(F.col("n_vertices").cast("double")),
+               F.log(F.col("degree").cast("double"))).alias("slope")))
+    return (hist.crossJoin(F.broadcast(fit))
+            .select("degree", "n_vertices",
+                    F.round("slope", 8).alias("loglog_slope")))

@@ -827,3 +827,76 @@ def ts_burst_detect(spark, sf):
     from .operators.timeseries import burst_detect
     return burst_detect(read_table(spark, sf, "events"),
                         s=_BURST_S, gamma=_BURST_G)
+
+
+_ACF_LAGS = (1, 2, 3)
+
+
+def _acf_sql(lags) -> str:
+    parts = []
+    for lag in lags:
+        parts.append(f"""
+SELECT event_type, {lag} AS lag, n_pairs,
+       ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 8)
+         AS acf
+FROM (
+  SELECT event_type, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))
+                  * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))
+                  * CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(27,4))
+                  * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS syy
+  FROM (SELECT event_type,
+               CAST(value AS DOUBLE) AS x,
+               LEAD(CAST(value AS DOUBLE), {lag}) OVER (
+                 PARTITION BY event_type ORDER BY ts, event_id) AS y
+        FROM events)
+  WHERE y IS NOT NULL
+  GROUP BY event_type
+)""")
+    return "\nUNION ALL".join(parts)
+
+
+@register("ts_acf", _acf_sql(_ACF_LAGS))
+def ts_acf(spark, sf):
+    """Autocorrelation function at lags 1-3 per metric: Pearson r of
+    the series against its lead, from decimal-exact moments (the
+    ab_test_welch discipline) so every engine derives the identical
+    coefficient -- the is-there-serial-structure diagnostic run before
+    trusting i.i.d. assumptions (CUSUM thresholds, bootstrap CIs).
+    One lead window + one moments aggregate per lag."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    v = F.col("value").cast("double")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    outs = []
+    for lag in _ACF_LAGS:
+        pairs = (ev.select("event_type", v.alias("x"),
+                           F.lead(v, lag).over(w).alias("y"))
+                 .where(F.col("y").isNotNull()))
+        dx = F.col("x").cast("decimal(27,4)")
+        dy = F.col("y").cast("decimal(27,4)")
+        mom = (pairs.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_pairs"),
+                    F.sum(dx).cast("double").alias("sx"),
+                    F.sum(dy).cast("double").alias("sy"),
+                    F.sum(dx * dy).cast("double").alias("sxy"),
+                    F.sum(dx * dx).cast("double").alias("sxx"),
+                    F.sum(dy * dy).cast("double").alias("syy")))
+        n = F.col("n_pairs").cast("double")
+        acf = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+               / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                        * (n * F.col("syy")
+                           - F.col("sy") * F.col("sy"))))
+        outs.append(mom.select("event_type", F.lit(lag).alias("lag"),
+                               "n_pairs",
+                               F.round(acf, 8).alias("acf")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
