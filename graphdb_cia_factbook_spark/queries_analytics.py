@@ -1319,3 +1319,100 @@ def survival_km(spark, sf):
                         .otherwise(F.round(F.exp(F.sum(
                             lnterm.cast("decimal(27,12)")).over(w)
                             .cast("double")), 8)).alias("survival")))
+
+
+@register("agg_yoy_growth", """
+WITH monthly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+         CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1, 2
+)
+SELECT yr, mo, ROUND(revenue, 4) AS revenue,
+       ROUND((revenue - prev) / prev, 8) AS yoy_growth
+FROM (SELECT yr, mo, revenue,
+             LAG(revenue, 12) OVER (ORDER BY yr, mo) AS prev
+      FROM monthly)
+WHERE prev IS NOT NULL AND prev != 0
+""")
+def agg_yoy_growth(spark, sf):
+    """Year-over-year monthly revenue growth: decimal-exact monthly
+    sums, one lag-12 window over the (tiny) month grid -- the standard
+    finance trend shape (the month table is dimension-sized at any
+    fact volume, so the global window is free)."""
+    from .operators.relational import dsum
+    from pyspark.sql import Window as W
+    orders = read_table(spark, sf, "orders")
+    monthly = (orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue")))
+    w = W.orderBy("yr", "mo")
+    return (monthly.withColumn("prev", F.lag("revenue", 12).over(w))
+            .where(F.col("prev").isNotNull() & (F.col("prev") != 0))
+            .select("yr", "mo", F.round("revenue", 4).alias("revenue"),
+                    F.round((F.col("revenue") - F.col("prev"))
+                            / F.col("prev"), 8).alias("yoy_growth")))
+
+
+@register("agg_concentration", """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT nation, s,
+         ROW_NUMBER() OVER (PARTITION BY nation
+                            ORDER BY s, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY nation) AS n,
+         CAST(SUM(CAST(s AS DECIMAL(27,4)))
+              OVER (PARTITION BY nation) AS DOUBLE) AS tot
+  FROM spend
+)
+SELECT nation, MAX(n) AS n_customers,
+       ROUND((2.0 * CAST(SUM(CAST(i * s AS DECIMAL(27,4))) AS DOUBLE))
+             / (MAX(n) * MAX(tot))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n), 8) AS gini,
+       ROUND(CAST(SUM(CAST((s / tot) * (s / tot)
+                           AS DECIMAL(27,12))) AS DOUBLE), 8) AS hhi
+FROM ranked
+GROUP BY nation
+""")
+def agg_concentration(spark, sf):
+    """Spend-concentration metrics per nation: Gini coefficient (from
+    the rank formula over the (spend, custkey) total order) and
+    Herfindahl-Hirschman index (sum of squared shares) -- the
+    inequality/market-concentration pass straight out of the
+    Factbook's economics theme.  Exact integer ranks, decimal-exact
+    sums; per-nation windows shuffle customer-sized rows once."""
+    from .operators.relational import dsum
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    spend = (orders.join(F.broadcast(
+        customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"), "o_custkey")
+        .agg(dsum(F.col("o_totalprice")).alias("s")))
+    w = Window.partitionBy("nation").orderBy("s", "o_custkey")
+    wn = Window.partitionBy("nation")
+    ranked = (spend
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wn))
+              .withColumn("tot", F.sum(F.col("s").cast("decimal(27,4)"))
+                          .over(wn).cast("double")))
+    gini = (F.lit(2.0)
+            * F.sum((F.col("i") * F.col("s")).cast("decimal(27,4)"))
+            .cast("double")
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n").cast("double") + 1.0) / F.max("n"))
+    share = F.col("s") / F.col("tot")
+    return (ranked.groupBy("nation")
+            .agg(F.max("n").alias("n_customers"),
+                 F.round(gini, 8).alias("gini"),
+                 F.round(F.sum((share * share).cast("decimal(27,12)"))
+                         .cast("double"), 8).alias("hhi"))
+            .select("nation", "n_customers", "gini", "hhi"))
