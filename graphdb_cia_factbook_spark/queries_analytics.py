@@ -1416,3 +1416,53 @@ def agg_concentration(spark, sf):
                  F.round(F.sum((share * share).cast("decimal(27,12)"))
                          .cast("double"), 8).alias("hhi"))
             .select("nation", "n_customers", "gini", "hhi"))
+
+
+@register("agg_skyline", """
+WITH pts AS (
+  SELECT c.c_custkey, c.c_acctbal AS y,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS x
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+),
+xg AS (
+  SELECT x, MAX(y) AS maxy FROM pts GROUP BY x
+),
+sfx AS (
+  SELECT x, maxy,
+         MAX(maxy) OVER (ORDER BY x DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS better_x_maxy
+  FROM xg
+)
+SELECT p.c_custkey, ROUND(p.x, 4) AS total_spend, p.y AS acctbal
+FROM pts p JOIN sfx s ON s.x = p.x
+WHERE (s.better_x_maxy IS NULL OR s.better_x_maxy < p.y)
+  AND s.maxy <= p.y
+""")
+def agg_skyline(spark, sf):
+    """Skyline (Pareto front) of customers over (total spend,
+    account balance): the classic dominance query -- keep exactly the
+    points no other point beats on both dimensions.  The dominance
+    test collapses to a suffix-max over the DISTINCT-x table (a
+    window over spend-cardinality rows, never points x points): p
+    survives iff no strictly-higher-spend group reaches its balance
+    and no same-spend point exceeds it."""
+    from .operators.relational import dsum
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    pts = (customer.join(orders,
+                         customer.c_custkey == orders.o_custkey)
+           .groupBy("c_custkey", F.col("c_acctbal").alias("y"))
+           .agg(dsum(F.col("o_totalprice")).alias("x")))
+    xg = pts.groupBy("x").agg(F.max("y").alias("maxy"))
+    w = Window.orderBy(F.desc("x")).rowsBetween(
+        Window.unboundedPreceding, -1)
+    sfx = xg.withColumn("better_x_maxy", F.max("maxy").over(w))
+    return (pts.join(sfx, "x")
+            .where((F.col("better_x_maxy").isNull()
+                    | (F.col("better_x_maxy") < F.col("y")))
+                   & (F.col("maxy") <= F.col("y")))
+            .select("c_custkey", F.round("x", 4).alias("total_spend"),
+                    F.col("y").alias("acctbal")))

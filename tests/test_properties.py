@@ -402,3 +402,28 @@ def test_burst_detect_flags_accelerating_tail(spark):
     got = {r["user_id"]: r["burst_at_end"]
            for r in burst_detect(ev).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_skyline_dominance_semantics(spark):
+    """Brute-force dominance check over random points must equal the
+    suffix-max skyline construction used by agg_skyline."""
+    import random
+    from pyspark.sql import Window as W
+    rng = random.Random(11)
+    pts = [(i, float(rng.randint(0, 9)), float(rng.randint(0, 9)))
+           for i in range(40)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    xg = df.groupBy("x").agg(F.max("y").alias("maxy"))
+    w = W.orderBy(F.desc("x")).rowsBetween(W.unboundedPreceding, -1)
+    sfx = xg.withColumn("bx", F.max("maxy").over(w))
+    got = {r["id"] for r in
+           df.join(sfx, "x")
+           .where((F.col("bx").isNull() | (F.col("bx") < F.col("y")))
+                  & (F.col("maxy") <= F.col("y"))).collect()}
+    want = set()
+    for i, x, y in pts:
+        dominated = any((qx >= x and qy >= y and (qx > x or qy > y))
+                        for j, qx, qy in pts if j != i)
+        if not dominated:
+            want.add(i)
+    assert got == want
