@@ -3018,3 +3018,69 @@ def llm_dedup_keep_best(spark, sf):
     from .operators.dedup import dedup_keep_best
     return dedup_keep_best(docs, pairs,
                            F.col("n_chars").cast("double"))
+
+
+_QUOTA_BUDGET = 1000
+
+
+@register("llm_quota_allocate", f"""
+WITH w AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE) AS weight
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(CAST(weight AS DECIMAL(27,4))) AS DOUBLE) AS t
+        FROM w),
+base AS (
+  SELECT source, n_docs, weight,
+         {_QUOTA_BUDGET} * weight / (SELECT t FROM tot) AS ideal,
+         CAST(floor({_QUOTA_BUDGET} * weight / (SELECT t FROM tot))
+              AS BIGINT) AS base_quota,
+         {_QUOTA_BUDGET} * weight / (SELECT t FROM tot)
+         - floor({_QUOTA_BUDGET} * weight / (SELECT t FROM tot))
+           AS remainder
+  FROM w
+),
+leftover AS (
+  SELECT {_QUOTA_BUDGET} - CAST(SUM(base_quota) AS BIGINT) AS k
+  FROM base
+)
+SELECT source, n_docs, base_quota,
+       ROUND(ideal, 8) AS ideal,
+       base_quota + CASE WHEN rr <= (SELECT k FROM leftover)
+                         THEN 1 ELSE 0 END AS quota
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+               AS rr
+      FROM base)
+""")
+def llm_quota_allocate(spark, sf):
+    """Largest-remainder (Hamilton) apportionment of a {b}-doc
+    sampling budget across sources by total character weight: integer
+    quotas that sum EXACTLY to the budget, the fair-rounding step a
+    mixture sampler runs before fixed-size per-stratum sampling
+    (llm_fixed_sample consumes these quotas).  One source-sized
+    aggregate + one dimension-sized window; remainders tie-break on
+    source.""".replace("{b}", str(_QUOTA_BUDGET))
+    from .operators.relational import dsum
+    docs = read_parallel(spark, sf, "documents")
+    w = (docs.groupBy("source")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              dsum(F.col("n_chars").cast("double")).alias("weight")))
+    tot = w.agg(dsum(F.col("weight")).alias("t"))
+    base = (w.crossJoin(F.broadcast(tot))
+            .withColumn("ideal", F.lit(_QUOTA_BUDGET) * F.col("weight")
+                        / F.col("t"))
+            .withColumn("base_quota",
+                        F.floor("ideal").cast("long"))
+            .withColumn("remainder",
+                        F.col("ideal") - F.floor("ideal")))
+    leftover = base.agg(
+        (F.lit(_QUOTA_BUDGET) - F.sum("base_quota")).alias("k"))
+    wr = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (base.withColumn("rr", F.row_number().over(wr))
+            .crossJoin(F.broadcast(leftover))
+            .select("source", "n_docs", "base_quota",
+                    F.round("ideal", 8).alias("ideal"),
+                    (F.col("base_quota")
+                     + F.when(F.col("rr") <= F.col("k"), 1)
+                     .otherwise(0)).alias("quota")))
