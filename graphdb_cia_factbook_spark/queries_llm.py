@@ -3084,3 +3084,48 @@ def llm_quota_allocate(spark, sf):
                     (F.col("base_quota")
                      + F.when(F.col("rr") <= F.col("k"), 1)
                      .otherwise(0)).alias("quota")))
+
+
+_FH_DIMS = 16
+
+
+@register("llm_feature_hashing", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS w FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(w), 1, 7))::BIGINT % {_FH_DIMS} AS dim,
+         COUNT(*) AS c
+  FROM tok GROUP BY 1, 2
+),
+tot AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM hashed GROUP BY 1
+)
+SELECT h.doc_id,
+       CAST(h.dim AS INTEGER) AS dim, h.c,
+       ROUND(CAST(h.c AS DOUBLE) / t.n, 8) AS tf
+FROM hashed h JOIN tot t ON t.doc_id = h.doc_id
+""")
+def llm_feature_hashing(spark, sf):
+    """Feature hashing (the hashing trick): tokens map to a fixed
+    {d}-dimension space via md5-mod, giving every document a bounded
+    sparse count vector with NO vocabulary table to build, ship, or
+    keep consistent -- the featurization that scales to unbounded
+    vocab at 100 TB (collisions are the accepted trade).  One
+    token-sized shuffle; output is (doc, dim, count, tf) sparse
+    triplets.""".replace("{d}", str(_FH_DIMS))
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+    dim = F.pmod(F.conv(F.substring(F.md5("w"), 1, 7), 16, 10)
+                 .cast("long"), F.lit(_FH_DIMS))
+    hashed = (tok.select("doc_id", dim.alias("dim"))
+              .groupBy("doc_id", "dim")
+              .agg(F.count(F.lit(1)).alias("c")))
+    tot = hashed.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    return (hashed.join(tot, "doc_id")
+            .select("doc_id", F.col("dim").cast("int").alias("dim"),
+                    "c",
+                    F.round(F.col("c").cast("double") / F.col("n"), 8)
+                    .alias("tf")))
