@@ -1466,3 +1466,49 @@ def agg_skyline(spark, sf):
                    & (F.col("maxy") <= F.col("y")))
             .select("c_custkey", F.round("x", 4).alias("total_spend"),
                     F.col("y").alias("acctbal")))
+
+
+@register("agg_entropy", """
+WITH c AS (
+  SELECT n.n_name AS nation, o.o_orderpriority AS cat,
+         COUNT(*) AS cnt
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  GROUP BY 1, 2
+),
+t AS (SELECT nation, SUM(cnt) AS n FROM c GROUP BY 1)
+SELECT c.nation,
+       COUNT(*) AS n_categories,
+       ROUND(CAST(SUM(CAST(
+         -(CAST(c.cnt AS DOUBLE) / t.n)
+          * ln(CAST(c.cnt AS DOUBLE) / t.n)
+         AS DECIMAL(27,12))) AS DOUBLE), 8) AS entropy_nats
+FROM c JOIN t ON t.nation = c.nation
+GROUP BY c.nation
+""")
+def agg_entropy(spark, sf):
+    """Shannon entropy of the order-priority mix per nation: the
+    categorical-spread metric (0 = single class, ln(5) = uniform over
+    5 priorities) used for feature screening and drift baselines.
+    Decimal-exact -p ln p sums over exact integer shares; everything
+    after the fact scan is dimension-sized."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+    c = (orders.join(F.broadcast(customer.select("c_custkey",
+                                                 "c_nationkey")),
+                     orders.o_custkey == F.col("c_custkey"))
+         .join(F.broadcast(nation),
+               F.col("c_nationkey") == nation.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation"),
+                  F.col("o_orderpriority").alias("cat"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    t = c.groupBy("nation").agg(F.sum("cnt").alias("n"))
+    p = F.col("cnt").cast("double") / F.col("n")
+    return (c.join(F.broadcast(t), "nation")
+            .groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_categories"),
+                 F.round(F.sum((-p * F.log(p))
+                               .cast("decimal(27,12)")).cast("double"),
+                         8).alias("entropy_nats")))
