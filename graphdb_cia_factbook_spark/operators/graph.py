@@ -1806,3 +1806,64 @@ def greedy_coloring(graph: Graph, max_rounds: int = 100,
         return graph.vertices.select(
             "id", F.lit(0).alias("color")).limit(0)
     return colored
+
+
+def voterank(graph: Graph, k: int = 5) -> DataFrame:
+    """VoteRank influential-spreader selection (Zhang et al. 2016):
+    every vertex votes for its neighbors with its voting ability
+    (init 1.0); the top scorer is elected, loses its own voting
+    ability, and weakens its neighbors' by 1/<degree>; repeat k times.
+    Picks SPREAD-OUT influencers (unlike degree/PageRank top-k, which
+    cluster) -- the seed-selection step of influence-maximization
+    pipelines.
+
+    Determinism: votes are decimal-exact sums of doubles that update
+    by identical IEEE ops; election ties break on id.  Per round: one
+    edge join + vertex-keyed sum + argmax + a neighbor-sized update.
+    Output: (id, vote_round, votes)."""
+    ue = (undirected_edges(graph.edges).select("a", "b")
+          .distinct().localCheckpoint())
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b"))).localCheckpoint()
+    n = graph.vertices.count()
+    m = ue.count()
+    delta = 1.0 / (2.0 * m / n) if m else 1.0
+    va = graph.vertices.select("id", F.lit(1.0).alias("va")) \
+        .localCheckpoint()
+    selected = None
+    out = []
+    for r in range(1, k + 1):
+        vab = va.select(F.col("id").alias("b"), F.col("va").alias("__v"))
+        score = (sym.join(vab, "b")
+                 .groupBy(F.col("a").alias("id"))
+                 .agg(F.sum(F.col("__v").cast("decimal(27,12)"))
+                      .cast("double").alias("votes")))
+        if selected is not None:
+            score = score.join(selected, "id", "left_anti")
+        w = Window.orderBy(F.desc("votes"), F.asc("id"))
+        pick = (score.withColumn("__r", F.row_number().over(w))
+                .where(F.col("__r") == 1)
+                .select("id", F.lit(r).alias("vote_round"),
+                        F.round("votes", 8).alias("votes"))
+                .localCheckpoint())
+        out.append(pick)
+        nbrs = (sym.join(pick.select(F.col("id").alias("a")), "a")
+                .select(F.col("b").alias("id")).distinct())
+        va = (va.join(pick.select("id", F.lit(True).alias("__p")),
+                      "id", "left")
+              .join(nbrs.select("id", F.lit(True).alias("__n")),
+                    "id", "left")
+              .select("id",
+                      F.when(F.col("__p").isNotNull(), F.lit(0.0))
+                      .when(F.col("__n").isNotNull(),
+                            F.greatest(F.lit(0.0),
+                                       F.col("va") - F.lit(delta)))
+                      .otherwise(F.col("va")).alias("va"))
+              .localCheckpoint())
+        sel_ids = pick.select("id")
+        selected = sel_ids if selected is None \
+            else selected.union(sel_ids).localCheckpoint()
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionByName(p)
+    return res

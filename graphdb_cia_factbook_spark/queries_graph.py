@@ -2229,3 +2229,71 @@ def g_degree_distribution(spark, sf):
     return (hist.crossJoin(F.broadcast(fit))
             .select("degree", "n_vertices",
                     F.round("slope", 8).alias("loglog_slope")))
+
+
+_VR_K = 5
+
+
+def _voterank_sql(k: int) -> str:
+    """Generate the VoteRank oracle: per election round, the decimal
+    vote sum + argmax + voting-ability update as CTEs.  delta =
+    1 / mean-degree computed from the same integer counts."""
+    parts = [f"WITH {EDGES_CTE},", _TOP3_CTE.lstrip(), """,
+ue AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+dlt AS (SELECT 1.0 / (2.0 * (SELECT COUNT(*) FROM ue)
+                      / CAST((SELECT COUNT(*) FROM verts) AS DOUBLE))
+          AS d),
+va0 AS (SELECT id, 1.0::DOUBLE AS va FROM verts),
+sel0 AS (SELECT id FROM verts WHERE FALSE)"""]
+    for r in range(1, k + 1):
+        p = r - 1
+        parts.append(f""",
+score{r} AS MATERIALIZED (
+  SELECT s.a AS id,
+         CAST(SUM(CAST(v.va AS DECIMAL(27,12))) AS DOUBLE) AS votes
+  FROM sym s JOIN va{p} v ON v.id = s.b
+  WHERE s.a NOT IN (SELECT id FROM sel{p})
+  GROUP BY 1
+),
+pick{r} AS MATERIALIZED (
+  SELECT id, {r} AS vote_round, ROUND(votes, 8) AS votes, votes AS raw
+  FROM (SELECT id, votes,
+               ROW_NUMBER() OVER (ORDER BY votes DESC, id) AS rr
+        FROM score{r}) WHERE rr = 1
+),
+va{r} AS MATERIALIZED (
+  SELECT v.id,
+         CASE WHEN v.id IN (SELECT id FROM pick{r}) THEN 0.0
+              WHEN EXISTS (SELECT 1 FROM sym s
+                           JOIN pick{r} pk ON pk.id = s.a
+                           WHERE s.b = v.id)
+              THEN GREATEST(0.0, v.va - (SELECT d FROM dlt))
+              ELSE v.va END AS va
+  FROM va{p} v
+),
+sel{r} AS (SELECT id FROM sel{p} UNION ALL SELECT id FROM pick{r})"""
+                     )
+    union = "\nUNION ALL ".join(
+        f"SELECT id, vote_round, votes FROM pick{r}"
+        for r in range(1, k + 1))
+    parts.append(f"\n{union}")
+    return "".join(parts)
+
+
+@register("g_voterank", _voterank_sql(_VR_K))
+def g_voterank(spark, sf):
+    """VoteRank top-5 influential spreaders on the undirected
+    top-3-partner graph: elected one per round, each election draining
+    its neighborhood's voting ability -- seeds that SPREAD rather than
+    cluster (the influence-maximization sibling of the centrality
+    family).  See operators.graph.voterank."""
+    from .operators.graph import Graph, voterank
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    return voterank(Graph(g.vertices, top3), k=_VR_K)

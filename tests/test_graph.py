@@ -605,3 +605,21 @@ def test_greedy_coloring_proper_on_cycle_with_chord(spark):
     assert set(got) == set("ABCDE")
     assert all(got[a] != got[b] for a, b in edges)
     assert len(set(got.values())) <= 4      # greedy bound, chi=3
+
+
+def test_voterank_spreads_selections(spark):
+    """Two separate stars: after electing one hub, its drained
+    neighborhood must not dominate round 2 -- the second pick is the
+    OTHER star's hub."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        Graph, voterank)
+    v = spark.createDataFrame(
+        [(x,) for x in ["H1", "H2", "a", "b", "c", "d", "e", "f"]],
+        "id string")
+    e = spark.createDataFrame(
+        [("H1", "a"), ("H1", "b"), ("H1", "c"), ("H1", "d"),
+         ("H2", "e"), ("H2", "f")], "src string, dst string")
+    rows = sorted(voterank(Graph(v, e), k=2).collect(),
+                  key=lambda r: r["vote_round"])
+    assert rows[0]["id"] == "H1"        # degree-4 hub first
+    assert rows[1]["id"] == "H2"        # then the other hub
