@@ -3129,3 +3129,59 @@ def llm_feature_hashing(spark, sf):
                     "c",
                     F.round(F.col("c").cast("double") / F.col("n"), 8)
                     .alias("tf")))
+
+
+@register("llm_maxsim_late_interaction", f"""
+WITH q AS (SELECT label AS qlabel, vec_id AS qid, embedding AS qv
+           FROM embeddings WHERE label < 3),
+d AS (SELECT label AS dlabel, vec_id AS did, embedding AS dv
+      FROM embeddings),
+best AS (
+  SELECT q.qlabel, q.qid, d.dlabel,
+         MAX({_cos_sql('q.qv', 'd.dv')}) AS maxcos
+  FROM q JOIN d ON q.qid <> d.did
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT qlabel, dlabel,
+         CAST(SUM(CAST(maxcos AS DECIMAL(27,12))) AS DOUBLE) AS s,
+         COUNT(*) AS n_query_vecs
+  FROM best GROUP BY 1, 2
+)
+SELECT qlabel, dlabel, n_query_vecs,
+       ROUND(s, 6) AS maxsim_score,
+       ROW_NUMBER() OVER (PARTITION BY qlabel
+                          ORDER BY s DESC, dlabel) AS rank
+FROM scored
+""")
+def llm_maxsim_late_interaction(spark, sf):
+    """ColBERT-style MaxSim late interaction between vector SETS:
+    treating each label's vectors as one multi-vector document, the
+    score of (query set, doc set) is the sum over query vectors of
+    each one's best cosine in the doc set -- the late-interaction
+    retrieval pattern that beats single-vector pooling.  MAX is
+    order-free, the per-pair sum is decimal-exact; the pair space is
+    vector x vector bounded (bucket it per the ANN entries at corpus
+    scale)."""
+    from .operators.similarity import cosine
+    emb = read_parallel(spark, sf, "embeddings")
+    q = (emb.where(F.col("label") < 3)
+         .select(F.col("label").alias("qlabel"),
+                 F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv")))
+    d = emb.select(F.col("label").alias("dlabel"),
+                   F.col("vec_id").alias("did"),
+                   F.col("embedding").alias("dv"))
+    best = (d.crossJoin(F.broadcast(q))
+            .where(F.col("qid") != F.col("did"))
+            .groupBy("qlabel", "qid", "dlabel")
+            .agg(F.max(cosine(F.col("qv"), F.col("dv")))
+                 .alias("maxcos")))
+    scored = (best.groupBy("qlabel", "dlabel")
+              .agg(F.sum(F.col("maxcos").cast("decimal(27,12)"))
+                   .cast("double").alias("s"),
+                   F.count(F.lit(1)).alias("n_query_vecs")))
+    w = Window.partitionBy("qlabel").orderBy(F.desc("s"), F.asc("dlabel"))
+    return (scored.select("qlabel", "dlabel", "n_query_vecs",
+                          F.round("s", 6).alias("maxsim_score"),
+                          F.row_number().over(w).alias("rank")))
