@@ -3185,3 +3185,77 @@ def llm_maxsim_late_interaction(spark, sf):
     return (scored.select("qlabel", "dlabel", "n_query_vecs",
                           F.round("s", 6).alias("maxsim_score"),
                           F.row_number().over(w).alias("rank")))
+
+
+@register("llm_contrastive_triplets", f"""
+WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
+                  label AS alabel
+           FROM embeddings WHERE vec_id < 8),
+pos AS (
+  SELECT anchor_id, alabel, neighbor_id AS positive_id, cos AS pos_cos
+  FROM (SELECT a.anchor_id, a.alabel, c.vec_id AS neighbor_id,
+               {_cos_sql('a.av', 'c.embedding')} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                                  ORDER BY {_cos_sql('a.av',
+                                                     'c.embedding')}
+                                           DESC, c.vec_id) AS r
+        FROM embeddings c, a
+        WHERE c.vec_id <> a.anchor_id AND c.label = a.alabel)
+  WHERE r = 1
+),
+neg AS (
+  SELECT anchor_id, neighbor_id AS negative_id, cos AS neg_cos
+  FROM (SELECT a.anchor_id, c.vec_id AS neighbor_id,
+               {_cos_sql('a.av', 'c.embedding')} AS cos,
+               ROW_NUMBER() OVER (PARTITION BY a.anchor_id
+                                  ORDER BY {_cos_sql('a.av',
+                                                     'c.embedding')}
+                                           DESC, c.vec_id) AS r
+        FROM embeddings c, a
+        WHERE c.vec_id <> a.anchor_id AND c.label <> a.alabel)
+  WHERE r = 1
+)
+SELECT p.anchor_id, p.alabel AS anchor_label,
+       p.positive_id, n.negative_id,
+       ROUND(p.pos_cos, 6) AS pos_cos, ROUND(n.neg_cos, 6) AS neg_cos,
+       ROUND(p.pos_cos - n.neg_cos, 6) AS margin
+FROM pos p JOIN neg n ON n.anchor_id = p.anchor_id
+""")
+def llm_contrastive_triplets(spark, sf):
+    """Contrastive training triplets: per anchor, the most-similar
+    SAME-label vector (positive) and the most-similar DIFFERENT-label
+    vector (hard negative), with the margin the triplet loss will see
+    -- the data-generation pass for embedding finetuning, composed
+    from the same scored kernels as llm_hard_negatives."""
+    from .operators.similarity import cosine, topk_per_query
+    emb = read_parallel(spark, sf, "embeddings")
+    a = (emb.where(F.col("vec_id") < 8)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("__av"),
+                 F.col("label").alias("alabel")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("__cv"),
+                   F.col("label").alias("nlabel"))
+    scored = (c.crossJoin(F.broadcast(a))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "alabel", "neighbor_id", "nlabel",
+                      cosine(F.col("__av"), F.col("__cv")).alias("cos"))
+              .localCheckpoint())
+    pos = (topk_per_query(scored.where(F.col("nlabel")
+                                       == F.col("alabel")), 1)
+           .select(F.col("query_id").alias("anchor_id"),
+                   F.col("alabel").alias("anchor_label"),
+                   F.col("neighbor_id").alias("positive_id"),
+                   F.col("cos").alias("pos_cos")))
+    neg = (topk_per_query(scored.where(F.col("nlabel")
+                                       != F.col("alabel")), 1)
+           .select(F.col("query_id").alias("anchor_id"),
+                   F.col("neighbor_id").alias("negative_id"),
+                   F.col("cos").alias("neg_cos")))
+    return (pos.join(neg, "anchor_id")
+            .select("anchor_id", "anchor_label", "positive_id",
+                    "negative_id",
+                    F.round("pos_cos", 6).alias("pos_cos"),
+                    F.round("neg_cos", 6).alias("neg_cos"),
+                    F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
+                    .alias("margin")))

@@ -1177,3 +1177,48 @@ def agg_bloom_custom(spark, sf):
         [(_BLOOM_M, _BLOOM_K, n_bits, n_members, n_flagged, n_fp, n_fn)],
         "m_bits int, k_hashes int, n_set_bits long, n_members long, "
         "n_flagged long, n_false_positives long, n_false_negatives long")
+
+
+@register("agg_mode", """
+WITH c AS (
+  SELECT n.n_name AS nation, l.l_returnflag AS flag,
+         COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, flag AS mode_returnflag, cnt AS mode_count
+FROM (SELECT nation, flag, cnt,
+             ROW_NUMBER() OVER (PARTITION BY nation
+                                ORDER BY cnt DESC, flag) AS r
+      FROM c) WHERE r = 1
+""")
+def agg_mode(spark, sf):
+    """Grouped MODE (most frequent value): the most common return flag
+    per customer nation -- the categorical argmax SQL's MODE()
+    expresses, as a count + deterministic-tie-break window (the same
+    two-step any engine-side mode compiles to; counts are map-side
+    combinable so nothing category-squared shuffles)."""
+    li = read_table(spark, sf, "lineitem").select("l_orderkey",
+                                                  "l_returnflag")
+    orders = read_table(spark, sf, "orders").select("o_orderkey",
+                                                    "o_custkey")
+    customer = read_table(spark, sf, "customer").select("c_custkey",
+                                                        "c_nationkey")
+    nation = read_table(spark, sf, "nation")
+    c = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(F.broadcast(customer),
+               F.col("o_custkey") == F.col("c_custkey"))
+         .join(F.broadcast(nation),
+               F.col("c_nationkey") == nation.n_nationkey)
+         .groupBy(F.col("n_name").alias("nation"),
+                  F.col("l_returnflag").alias("flag"))
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("nation").orderBy(F.desc("cnt"),
+                                             F.asc("flag"))
+    return (c.withColumn("__r", F.row_number().over(w))
+            .where(F.col("__r") == 1)
+            .select("nation", F.col("flag").alias("mode_returnflag"),
+                    F.col("cnt").alias("mode_count")))
