@@ -2297,3 +2297,88 @@ def g_voterank(spark, sf):
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= 3).select("src", "dst"))
     return voterank(Graph(g.vertices, top3), k=_VR_K)
+
+
+@register("g_graph_card", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+n AS (SELECT COUNT(*) AS n FROM verts),
+m AS (SELECT COUNT(*) AS m FROM top3),
+recip AS (
+  SELECT COUNT(*) AS r FROM top3 a
+  WHERE EXISTS (SELECT 1 FROM top3 b
+                WHERE b.src = a.dst AND b.dst = a.src)
+),
+ue AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM top3 WHERE src != dst),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b, a FROM ue),
+cc(root, id) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.root, e.b FROM cc r JOIN sym e ON e.a = r.id
+),
+comp AS (
+  SELECT id, MIN(root) AS label
+  FROM (SELECT id AS root, root AS id FROM cc) x GROUP BY id
+),
+ncomp AS (SELECT COUNT(DISTINCT label) AS c FROM comp),
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY 1, 2
+),
+paths AS (
+  SELECT COUNT(*) AS np, MAX(dist) AS diam, SUM(dist) AS sd
+  FROM mind WHERE dist > 0
+)
+SELECT (SELECT n FROM n) AS n_vertices,
+       (SELECT m FROM m) AS n_edges,
+       ROUND(CAST((SELECT m FROM m) AS DOUBLE)
+             / ((SELECT n FROM n) * ((SELECT n FROM n) - 1.0)), 8)
+         AS density,
+       ROUND(CAST((SELECT r FROM recip) AS DOUBLE)
+             / (SELECT m FROM m), 8) AS reciprocity,
+       (SELECT c FROM ncomp) AS n_components,
+       (SELECT diam FROM paths) AS directed_diameter,
+       ROUND(CAST((SELECT sd FROM paths) AS DOUBLE)
+             / (SELECT np FROM paths), 8) AS avg_path_len
+FROM (SELECT 1)
+""")
+def g_graph_card(spark, sf):
+    """One-row graph card for the top-3-partner digraph: order, size,
+    density, reciprocity, undirected component count, directed
+    diameter, mean shortest path -- the dataset-card analog for the
+    graph surface, composed from the SAME kernels the individual
+    entries verify (degrees, CC, multi-root BFS)."""
+    from .operators.graph import (Graph, _multi_root_bfs,
+                                  connected_components)
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst")
+            .localCheckpoint())
+    graph = Graph(g.vertices, top3)
+    n = g.vertices.count()
+    m = top3.count()
+    rev = top3.select(F.col("dst").alias("src"),
+                      F.col("src").alias("dst"))
+    recip = top3.join(rev, ["src", "dst"], "left_semi").count()
+    ncomp = (connected_components(graph)
+             .select("component").distinct().count())
+    closure = _multi_root_bfs(graph, None, 25, directed=True)
+    paths = (closure.where(F.col("dist") > 0)
+             .agg(F.count(F.lit(1)).alias("np"),
+                  F.max("dist").alias("diam"),
+                  F.sum("dist").alias("sd")).first())
+    return spark.createDataFrame(
+        [(n, m, round(m / (n * (n - 1.0)), 8), round(recip / m, 8),
+          ncomp, paths["diam"],
+          round(paths["sd"] / paths["np"], 8))],
+        "n_vertices long, n_edges long, density double, "
+        "reciprocity double, n_components long, "
+        "directed_diameter int, avg_path_len double")
