@@ -900,3 +900,95 @@ def ts_acf(spark, sf):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register("ts_deseasonalized_anomaly", """
+WITH hourly AS (
+  SELECT event_type, EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS hod,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS s
+  FROM events GROUP BY 1, 2
+),
+overall AS (
+  SELECT event_type,
+         CAST(SUM(CAST(n AS DECIMAL(27,4))) AS DOUBLE) AS tn,
+         CAST(SUM(CAST(s AS DECIMAL(27,4))) AS DOUBLE) AS ts
+  FROM hourly GROUP BY 1
+),
+idx AS (
+  SELECT h.event_type, h.hod,
+         (h.s / h.n) / (o.ts / o.tn) AS si
+  FROM hourly h JOIN overall o ON o.event_type = h.event_type
+),
+adj AS (
+  SELECT e.event_type,
+         CAST(e.value AS DOUBLE) / i.si AS v
+  FROM events e
+  JOIN idx i ON i.event_type = e.event_type
+            AND i.hod = EXTRACT(hour FROM CAST(e.ts AS TIMESTAMP))
+  WHERE i.si > 0
+),
+mom AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(v AS DECIMAL(27,4))
+                  * CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS s2
+  FROM adj GROUP BY 1
+),
+stats AS (
+  SELECT event_type, n, s1 / n AS mean,
+         sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS sd
+  FROM mom
+)
+SELECT a.event_type, s.n,
+       COUNT(*) FILTER (WHERE abs(a.v - s.mean) > 3 * s.sd)
+         AS n_anomalies,
+       ROUND(s.mean, 6) AS deseasonalized_mean
+FROM adj a JOIN stats s ON s.event_type = a.event_type
+GROUP BY a.event_type, s.n, s.mean, s.sd
+""")
+def ts_deseasonalized_anomaly(spark, sf):
+    """Deseasonalized anomaly counts: divide each value by its metric's
+    hour-of-day seasonal index (ts_seasonal_index), then 3-sigma count
+    on the adjusted series with decimal-exact moments -- the
+    composition that stops daily rhythm from masquerading as
+    anomalies.  Two dimension-sized aggregates + one broadcast-index
+    join; nothing event-squared."""
+    ev = read_table(spark, sf, "events")
+    from .operators.relational import dsum
+    v = F.col("value").cast("double")
+    hourly = (ev.groupBy("event_type",
+                         F.hour(F.col("ts").cast("timestamp"))
+                         .alias("hod"))
+              .agg(F.count(F.lit(1)).alias("n"), dsum(v).alias("s")))
+    overall = (hourly.groupBy("event_type")
+               .agg(dsum(F.col("n").cast("double")).alias("tn"),
+                    dsum(F.col("s")).alias("ts")))
+    idx = (hourly.join(F.broadcast(overall), "event_type")
+           .select("event_type", "hod",
+                   ((F.col("s") / F.col("n"))
+                    / (F.col("ts") / F.col("tn"))).alias("si")))
+    adj = (ev.select("event_type",
+                     F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+                     v.alias("v0"))
+           .join(F.broadcast(idx), ["event_type", "hod"])
+           .where(F.col("si") > 0)
+           .select("event_type", (F.col("v0") / F.col("si")).alias("v")))
+    dec = F.col("v").cast("decimal(27,4)")
+    mom = (adj.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(dec).cast("double").alias("s1"),
+                F.sum(dec * dec).cast("double").alias("s2")))
+    n = F.col("n").cast("double")
+    stats = mom.select("event_type", "n",
+                       (F.col("s1") / n).alias("mean"),
+                       F.sqrt((F.col("s2")
+                               - (F.col("s1") * F.col("s1")) / n)
+                              / (n - 1)).alias("sd"))
+    return (adj.join(F.broadcast(stats), "event_type")
+            .groupBy("event_type", "n", "mean", "sd")
+            .agg(F.count(F.when(F.abs(F.col("v") - F.col("mean"))
+                                > 3 * F.col("sd"), 1))
+                 .alias("n_anomalies"))
+            .select("event_type", "n", "n_anomalies",
+                    F.round("mean", 6).alias("deseasonalized_mean")))
