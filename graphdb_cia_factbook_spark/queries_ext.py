@@ -324,3 +324,54 @@ def mv_incremental_refresh(spark, sf):
         F.col("sum_o_totalprice").cast("double").alias("total_price"),
         (F.col("sum_o_totalprice").cast("double") / F.col("n_rows"))
         .alias("avg_price"))
+
+
+_JSONL_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "s1_records.jsonl")
+
+
+def _ensure_jsonl_blob() -> None:
+    """Synthesize a deterministic JSONL feed (the API-export format
+    next to the crawl blob): 200 records with nested-ish fields."""
+    import json as _json
+    recs = []
+    for i in range(200):
+        recs.append(_json.dumps(
+            {"rec_id": i, "country": f"COUNTRY_{i % 40:02d}",
+             "amount": (i * 37) % 1000,
+             "tag": "export" if i % 2 == 0 else "import"},
+            sort_keys=True))
+    content = "\n".join(recs) + "\n"
+    os.makedirs(os.path.dirname(_JSONL_PATH), exist_ok=True)
+    try:
+        with open(_JSONL_PATH) as fh:
+            if fh.read() == content:
+                return
+    except OSError:
+        pass
+    with open(_JSONL_PATH, "w") as fh:
+        fh.write(content)
+
+
+@register("s1_jsonl_source", f"""
+SELECT country, tag,
+       COUNT(*) AS n_records,
+       CAST(SUM(amount) AS BIGINT) AS total_amount
+FROM read_json_auto('{_JSONL_PATH}')
+GROUP BY 1, 2
+""")
+def s1_jsonl_source(spark, sf):
+    """JSONL (API-export) source: schema-DECLARED json lines read +
+    aggregate -- the semi-structured sibling of s1_text_crawl
+    (S1 family: ingest surfaces beyond parquet/CSV).  The Spark read
+    pins an explicit schema (never inference on 100 TB -- one pass
+    saved and no drift surprises); the file is a deterministic
+    synthesized feed generated at query time."""
+    _ensure_jsonl_blob()
+    schema = ("rec_id BIGINT, country STRING, amount BIGINT, "
+              "tag STRING")
+    df = spark.read.schema(schema).json(_JSONL_PATH)
+    return (df.groupBy("country", "tag")
+            .agg(F.count(F.lit(1)).alias("n_records"),
+                 F.sum("amount").cast("long").alias("total_amount")))
