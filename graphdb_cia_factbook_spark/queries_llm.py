@@ -3259,3 +3259,37 @@ def llm_contrastive_triplets(spark, sf):
                     F.round("neg_cos", 6).alias("neg_cos"),
                     F.round(F.col("pos_cos") - F.col("neg_cos"), 6)
                     .alias("margin")))
+
+
+@register("llm_chars_per_token", f"""
+WITH t AS (
+  SELECT lang, n_chars, len({TOKS}) AS n_tok FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n_chars AS DECIMAL(27,4))) AS BIGINT)
+         AS total_chars,
+       CAST(SUM(CAST(n_tok AS DECIMAL(27,4))) AS BIGINT)
+         AS total_tokens,
+       ROUND(CAST(SUM(CAST(n_chars AS DECIMAL(27,4))) AS DOUBLE)
+             / CAST(SUM(CAST(n_tok AS DECIMAL(27,4))) AS DOUBLE), 8)
+         AS chars_per_token
+FROM t GROUP BY lang
+""")
+def llm_chars_per_token(spark, sf):
+    """Chars-per-token ratio by language -- the fertility estimator
+    behind token-budget planning (CJK text runs ~1 char/token under
+    whitespace tokenization; the ratio calibrates corpus-size -> token
+    -count conversions per language).  One scan, language-sized
+    output."""
+    docs = read_parallel(spark, sf, "documents")
+    t = docs.select("lang", "n_chars",
+                    F.size(tokens(F.col("text"))).alias("n_tok"))
+    dc = F.col("n_chars").cast("decimal(27,4)")
+    dt = F.col("n_tok").cast("decimal(27,4)")
+    return (t.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(dc).cast("long").alias("total_chars"),
+                 F.sum(dt).cast("long").alias("total_tokens"),
+                 F.round(F.sum(dc).cast("double")
+                         / F.sum(dt).cast("double"), 8)
+                 .alias("chars_per_token")))

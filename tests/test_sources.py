@@ -217,3 +217,24 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     plan = buf.getvalue()
     assert "dynamicpruningexpression" in plan.lower()
     assert j.count() == li.where("l_returnflag = 'R'").count()
+
+
+def test_permissive_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """PERMISSIVE read with a _corrupt_record column: malformed rows
+    land in quarantine instead of failing the 100-TB job; clean rows
+    parse normally."""
+    p = tmp_path / "dirty.csv"
+    p.write_text("1,alpha,10.5\n"
+                 "2,beta,not_a_number\n"
+                 "3,gamma,7.25\n")
+    schema = ("id INT, name STRING, v DOUBLE, "
+              "_corrupt_record STRING")
+    df = (spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .csv(str(p)))
+    rows = df.collect()
+    ok = [r for r in rows if r["_corrupt_record"] is None]
+    bad = [r for r in rows if r["_corrupt_record"] is not None]
+    assert {r["id"] for r in ok} == {1, 3}
+    assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
