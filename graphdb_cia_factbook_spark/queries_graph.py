@@ -2382,3 +2382,52 @@ def g_graph_card(spark, sf):
         "n_vertices long, n_edges long, density double, "
         "reciprocity double, n_components long, "
         "directed_diameter int, avg_path_len double")
+
+
+@register("g_center_periphery", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY 1, 2
+),
+ecc AS (
+  SELECT root AS id, MAX(dist) AS eccentricity
+  FROM mind WHERE dist > 0 GROUP BY root
+),
+bounds AS (
+  SELECT MIN(eccentricity) AS radius, MAX(eccentricity) AS diameter
+  FROM ecc
+)
+SELECT e.id, e.eccentricity,
+       e.eccentricity = (SELECT radius FROM bounds) AS is_center,
+       e.eccentricity = (SELECT diameter FROM bounds) AS is_periphery
+FROM ecc e
+""")
+def g_center_periphery(spark, sf):
+    """Center/periphery classification: vertices whose eccentricity
+    equals the radius are the graph CENTER (best worst-case reach --
+    facility-location seeds); diameter-eccentricity vertices are the
+    PERIPHERY.  One multi-root BFS closure + two scalar bounds."""
+    from .operators.graph import Graph, closeness_centrality
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ecc = (closeness_centrality(Graph(g.vertices, top3))
+           .where(F.col("eccentricity").isNotNull())
+           .select("id", "eccentricity").localCheckpoint())
+    bounds = ecc.agg(F.min("eccentricity").alias("radius"),
+                     F.max("eccentricity").alias("diameter"))
+    return (ecc.crossJoin(F.broadcast(bounds))
+            .select("id", "eccentricity",
+                    (F.col("eccentricity") == F.col("radius"))
+                    .alias("is_center"),
+                    (F.col("eccentricity") == F.col("diameter"))
+                    .alias("is_periphery")))
