@@ -1512,3 +1512,47 @@ def agg_entropy(spark, sf):
                  F.round(F.sum((-p * F.log(p))
                                .cast("decimal(27,12)")).cast("double"),
                          8).alias("entropy_nats")))
+
+
+_DP_EPS = 1.0
+
+
+@register("dq_dp_counts", f"""
+WITH c AS (
+  SELECT c_nationkey AS nation, COUNT(*) AS true_count
+  FROM customer GROUP BY 1
+),
+u AS (
+  SELECT nation, true_count,
+         (('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR)), 1, 13))
+          ::BIGINT + 1.0) / {float((1 << 52) + 1)!r} AS uu
+  FROM c
+)
+SELECT nation, true_count,
+       ROUND(true_count
+             + CASE WHEN uu < 0.5
+                    THEN (1.0 / {_DP_EPS!r}) * ln(2.0 * uu)
+                    ELSE -(1.0 / {_DP_EPS!r}) * ln(2.0 * (1.0 - uu))
+               END, 6) AS dp_count
+FROM u
+""")
+def dq_dp_counts(spark, sf):
+    """Differential-privacy release mechanism (Laplace, sensitivity-1
+    counts, epsilon = 1): noise drawn by inverse-CDF from the keyed
+    md5 uniform -- REPLAYABLE noise, which is exactly what a pipeline
+    wants in tests/audits of its DP plumbing (swap the coin for a real
+    RNG at release time; the plan is identical).  The mechanism runs
+    scan-side per group; no row-level data leaves the aggregate."""
+    customer = read_table(spark, sf, "customer")
+    c = (customer.groupBy(F.col("c_nationkey").alias("nation"))
+         .agg(F.count(F.lit(1)).alias("true_count")))
+    uu = ((F.conv(F.substring(
+        F.md5(F.concat(F.lit("dp:"), F.col("nation").cast("string"))),
+        1, 13), 16, 10).cast("double") + 1.0)
+        / float((1 << 52) + 1))
+    b = 1.0 / _DP_EPS
+    noise = (F.when(uu < 0.5, F.lit(b) * F.log(2.0 * uu))
+             .otherwise(-F.lit(b) * F.log(2.0 * (1.0 - uu))))
+    return c.select("nation", "true_count",
+                    F.round(F.col("true_count") + noise, 6)
+                    .alias("dp_count"))

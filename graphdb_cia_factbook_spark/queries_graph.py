@@ -2431,3 +2431,43 @@ def g_center_periphery(spark, sf):
                     .alias("is_center"),
                     (F.col("eccentricity") == F.col("diameter"))
                     .alias("is_periphery")))
+
+
+@register("g_effective_diameter", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY 1, 2
+),
+pairs AS (SELECT dist FROM mind WHERE dist > 0)
+SELECT COUNT(*) AS n_reachable_pairs,
+       MAX(dist) AS diameter,
+       ROUND(quantile_cont(CAST(dist AS DOUBLE), 0.9), 6)
+         AS effective_diameter_90
+FROM pairs
+""")
+def g_effective_diameter(spark, sf):
+    """Effective (90th-percentile) diameter: the robust small-world
+    metric (the max-distance diameter is one weird pair; the 90th
+    percentile is what 'six degrees' measurements actually report).
+    Same BFS closure as g_diameter + one interpolated percentile."""
+    from .operators.graph import Graph, _multi_root_bfs
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    closure = _multi_root_bfs(Graph(g.vertices, top3), None, 25, True)
+    pairs = closure.where(F.col("dist") > 0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_reachable_pairs"),
+        F.max("dist").alias("diameter"),
+        F.round(F.percentile(F.col("dist").cast("double"),
+                             F.lit(0.9)), 6)
+        .alias("effective_diameter_90"))
