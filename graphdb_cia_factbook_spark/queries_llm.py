@@ -3293,3 +3293,88 @@ def llm_chars_per_token(spark, sf):
                  F.round(F.sum(dc).cast("double")
                          / F.sum(dt).cast("double"), 8)
                  .alias("chars_per_token")))
+
+
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("data", "trade", "world", "model")
+
+
+@register("llm_bm25", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS w FROM documents
+),
+dl AS (
+  SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len AS DECIMAL(27,4))) AS DOUBLE)
+         / COUNT(*) AS avglen
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN {repr(tuple(_BM25_TERMS))} GROUP BY 1, 2
+),
+df AS (
+  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(
+           ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5)
+                    / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1!r} + 1.0))
+           / (t.tf + {_BM25_K1!r}
+              * (1.0 - {_BM25_B!r}
+                 + {_BM25_B!r} * l.len / (SELECT avglen FROM stats)))
+           AS DECIMAL(27,12))) AS DOUBLE) AS score,
+         COUNT(*) AS n_matched_terms
+  FROM tf t
+  JOIN df d ON d.w = t.w
+  JOIN dl l ON l.doc_id = t.doc_id
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_matched_terms, ROUND(score, 8) AS bm25, rank
+FROM (SELECT doc_id, n_matched_terms, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored)
+WHERE rank <= 20
+""")
+def llm_bm25(spark, sf):
+    """BM25 ranking (k1 = 1.2, b = 0.75) of the corpus against a fixed
+    term query -- THE lexical-retrieval baseline every hybrid stack
+    pairs with dense ANN (fuse via llm_rank_fusion).  Robertson-Sparck
+    Jones idf, length-normalized tf saturation, decimal-exact per-doc
+    sums; only query-term postings shuffle."""
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+    tok = tok.localCheckpoint()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("len").cast("decimal(27,4)")).cast("double")
+         / F.count(F.lit(1))).alias("avglen"))
+    tf = (tok.where(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    j = (tf.join(F.broadcast(dfreq), "w")
+         .join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    k1, b = _BM25_K1, _BM25_B
+    term = (idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b
+                                   + b * F.col("len")
+                                   / F.col("avglen"))))
+    scored = (j.groupBy("doc_id")
+              .agg(F.sum(term.cast("decimal(27,12)")).cast("double")
+                   .alias("score"),
+                   F.count(F.lit(1)).alias("n_matched_terms")))
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 20)
+            .select("doc_id", "n_matched_terms",
+                    F.round("score", 8).alias("bm25"), "rank"))
