@@ -3378,3 +3378,69 @@ def llm_bm25(spark, sf):
             .where(F.col("rank") <= 20)
             .select("doc_id", "n_matched_terms",
                     F.round("score", 8).alias("bm25"), "rank"))
+
+
+_LC_CHUNK = 64
+
+
+@register("llm_lang_consistency", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+st AS (
+  SELECT doc_id,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_LC_CHUNK}))
+           AS cs,
+         toks AS full_toks
+  FROM tk
+),
+ch AS (
+  SELECT doc_id, cs,
+         full_toks[cs + 1 : cs + {_LC_CHUNK}] AS toks
+  FROM st
+),
+sc AS (SELECT doc_id, cs, {_LANG_SCORES} FROM ch),
+pred AS (SELECT doc_id, cs, {_langid_case()} AS p FROM sc),
+cnt AS (
+  SELECT doc_id, p, COUNT(*) AS c FROM pred GROUP BY 1, 2
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_chunks,
+         COUNT(*) FILTER (WHERE p != 'und') AS n_langs_detected,
+         MAX(c) AS top_c
+  FROM cnt GROUP BY 1
+)
+SELECT doc_id, n_chunks, n_langs_detected,
+       ROUND(CAST(top_c AS DOUBLE) / n_chunks, 8) AS majority_share,
+       n_langs_detected > 1 AS is_mixed
+FROM agg
+""")
+def llm_lang_consistency(spark, sf):
+    """Mixed-language detection: language-ID every {c}-token chunk of
+    a document and report how many languages appear and how dominant
+    the majority is -- code-switched / concatenated-crawl docs are the
+    curation hazard document-level langid cannot see.  Chunking +
+    scoring run inside codegen; only chunk-sized predictions
+    aggregate.""".replace("{c}", str(_LC_CHUNK))
+    from .operators.text import lang_id
+    docs = read_parallel(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    st = (docs.select("doc_id", toks.alias("full_toks"))
+          .select("doc_id", "full_toks",
+                  F.explode(F.sequence(
+                      F.lit(0),
+                      F.greatest(F.size("full_toks") - 1, F.lit(0)),
+                      F.lit(_LC_CHUNK))).alias("cs")))
+    chunk_text = F.array_join(
+        F.slice(F.col("full_toks"), F.col("cs") + 1, _LC_CHUNK), " ")
+    pred = st.select("doc_id", lang_id(chunk_text).alias("p"))
+    cnt = pred.groupBy("doc_id", "p").agg(F.count(F.lit(1)).alias("c"))
+    return (cnt.groupBy("doc_id")
+            .agg(F.sum("c").cast("long").alias("n_chunks"),
+                 F.count(F.when(F.col("p") != "und", 1))
+                 .alias("n_langs_detected"),
+                 F.max("c").alias("top_c"))
+            .select("doc_id", "n_chunks", "n_langs_detected",
+                    F.round(F.col("top_c").cast("double")
+                            / F.col("n_chunks"), 8)
+                    .alias("majority_share"),
+                    (F.col("n_langs_detected") > 1).alias("is_mixed")))

@@ -992,3 +992,37 @@ def ts_deseasonalized_anomaly(spark, sf):
                  .alias("n_anomalies"))
             .select("event_type", "n", "n_anomalies",
                     F.round("mean", 6).alias("deseasonalized_mean")))
+
+
+@register("ts_rate_shift", """
+WITH spans AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE event_id % 2 = 0) AS n0,
+         COUNT(*) FILTER (WHERE event_id % 2 = 1) AS n1
+  FROM events GROUP BY 1
+)
+SELECT event_type, n0, n1,
+       ROUND((CAST(n1 AS DOUBLE) - n0)
+             / sqrt(CAST(n0 + n1 AS DOUBLE)), 8) AS rate_z,
+       abs((CAST(n1 AS DOUBLE) - n0)
+           / sqrt(CAST(n0 + n1 AS DOUBLE))) > 3.0 AS shifted
+FROM spans WHERE n0 + n1 > 0
+""")
+def ts_rate_shift(spark, sf):
+    """Poisson rate-shift test per metric between the two
+    deterministic halves (event_id parity): under equal rates
+    (n1 - n0)/sqrt(n0 + n1) is approximately standard normal, so
+    |z| > 3 flags a volume shift -- the counting-side sibling of the
+    value-side PSI/Welch audits.  One grouped conditional count."""
+    ev = read_table(spark, sf, "events")
+    spans = (ev.groupBy("event_type")
+             .agg(F.count(F.when(F.pmod(F.col("event_id"), F.lit(2))
+                                 == 0, 1)).alias("n0"),
+                  F.count(F.when(F.pmod(F.col("event_id"), F.lit(2))
+                                 == 1, 1)).alias("n1")))
+    z = ((F.col("n1").cast("double") - F.col("n0"))
+         / F.sqrt((F.col("n0") + F.col("n1")).cast("double")))
+    return (spans.where(F.col("n0") + F.col("n1") > 0)
+            .select("event_type", "n0", "n1",
+                    F.round(z, 8).alias("rate_z"),
+                    (F.abs(z) > 3.0).alias("shifted")))
