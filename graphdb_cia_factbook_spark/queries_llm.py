@@ -3444,3 +3444,123 @@ def llm_lang_consistency(spark, sf):
                             / F.col("n_chunks"), 8)
                     .alias("majority_share"),
                     (F.col("n_langs_detected") > 1).alias("is_mixed")))
+
+
+@register("ml_classifier_report", f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t),
+pred AS (SELECT doc_id, lang AS actual, {_langid_case()} AS p FROM s),
+classes AS (SELECT DISTINCT actual AS cls FROM pred),
+m AS (
+  SELECT c.cls,
+         (SELECT COUNT(*) FROM pred
+          WHERE p = c.cls AND actual = c.cls) AS tp,
+         (SELECT COUNT(*) FROM pred
+          WHERE p = c.cls AND actual != c.cls) AS fp,
+         (SELECT COUNT(*) FROM pred
+          WHERE p != c.cls AND actual = c.cls) AS fn
+  FROM classes c
+)
+SELECT cls, tp, fp, fn,
+       ROUND(CASE WHEN tp + fp > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 8)
+         AS precision,
+       ROUND(CASE WHEN tp + fn > 0
+                  THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 8)
+         AS recall,
+       ROUND(CASE WHEN 2 * tp + fp + fn > 0
+                  THEN 2.0 * tp / (2.0 * tp + fp + fn)
+                  ELSE 0.0 END, 8) AS f1
+FROM m
+""")
+def ml_classifier_report(spark, sf):
+    """Per-class precision / recall / F1 of the heuristic language
+    classifier against ground truth -- the standard classifier report
+    completing the eval family (confusion matrix, AUC, kappa).  Exact
+    integer confusion counts, single IEEE ratios."""
+    from .operators.text import lang_id
+    docs = read_parallel(spark, sf, "documents")
+    pred = docs.select(F.col("lang").alias("actual"),
+                       lang_id(F.col("text")).alias("p"))
+    pred = pred.localCheckpoint()
+    classes = pred.select(F.col("actual").alias("cls")).distinct()
+    agg = (pred.crossJoin(F.broadcast(classes))
+           .groupBy("cls")
+           .agg(F.count(F.when((F.col("p") == F.col("cls"))
+                               & (F.col("actual") == F.col("cls")), 1))
+                .alias("tp"),
+                F.count(F.when((F.col("p") == F.col("cls"))
+                               & (F.col("actual") != F.col("cls")), 1))
+                .alias("fp"),
+                F.count(F.when((F.col("p") != F.col("cls"))
+                               & (F.col("actual") == F.col("cls")), 1))
+                .alias("fn")))
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return agg.select(
+        "cls", "tp", "fp", "fn",
+        F.round(F.when(tp + fp > 0, tp.cast("double") / (tp + fp))
+                .otherwise(0.0), 8).alias("precision"),
+        F.round(F.when(tp + fn > 0, tp.cast("double") / (tp + fn))
+                .otherwise(0.0), 8).alias("recall"),
+        F.round(F.when(2 * tp + fp + fn > 0,
+                       2.0 * tp / (2.0 * tp + fp + fn))
+                .otherwise(0.0), 8).alias("f1"))
+
+
+@register("ml_cohens_kappa", f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t),
+pred AS (SELECT lang AS actual, {_langid_case()} AS p FROM s),
+n AS (SELECT COUNT(*) AS n FROM pred),
+po AS (SELECT COUNT(*) AS agree FROM pred WHERE actual = p),
+marg AS (
+  SELECT COALESCE(a.cls, b.cls) AS cls,
+         COALESCE(a.ca, 0) AS ca, COALESCE(b.cp, 0) AS cp
+  FROM (SELECT actual AS cls, COUNT(*) AS ca FROM pred GROUP BY 1) a
+  FULL OUTER JOIN
+       (SELECT p AS cls, COUNT(*) AS cp FROM pred GROUP BY 1) b
+    ON a.cls = b.cls
+),
+pe AS (
+  SELECT CAST(SUM(CAST(ca * cp AS DECIMAL(27,4))) AS DOUBLE)
+         / ((SELECT n FROM n) * CAST((SELECT n FROM n) AS DOUBLE))
+           AS pe
+  FROM marg
+)
+SELECT (SELECT n FROM n) AS n_docs,
+       ROUND(CAST((SELECT agree FROM po) AS DOUBLE)
+             / (SELECT n FROM n), 8) AS p_observed,
+       ROUND((SELECT pe FROM pe), 8) AS p_expected,
+       ROUND((CAST((SELECT agree FROM po) AS DOUBLE)
+              / (SELECT n FROM n) - (SELECT pe FROM pe))
+             / (1.0 - (SELECT pe FROM pe)), 8) AS kappa
+FROM (SELECT 1)
+""")
+def ml_cohens_kappa(spark, sf):
+    """Cohen's kappa between the heuristic language classifier and the
+    ground-truth labels: chance-corrected agreement (accuracy alone
+    flatters classifiers on skewed label mixes).  Exact marginal
+    products through decimals; one row out."""
+    from .operators.text import lang_id
+    docs = read_parallel(spark, sf, "documents")
+    pred = docs.select(F.col("lang").alias("actual"),
+                       lang_id(F.col("text")).alias("p"))
+    pred = pred.localCheckpoint()
+    n = pred.count()
+    agree = pred.where(F.col("actual") == F.col("p")).count()
+    a = pred.groupBy(F.col("actual").alias("cls")).agg(
+        F.count(F.lit(1)).alias("ca"))
+    b = pred.groupBy(F.col("p").alias("cls")).agg(
+        F.count(F.lit(1)).alias("cp"))
+    marg = (a.join(b, "cls", "full_outer")
+            .select(F.coalesce("ca", F.lit(0)).alias("ca"),
+                    F.coalesce("cp", F.lit(0)).alias("cp")))
+    pe = marg.agg((F.sum((F.col("ca") * F.col("cp"))
+                         .cast("decimal(27,4)")).cast("double")
+                   / (float(n) * float(n))).alias("pe")).first()["pe"]
+    po = agree / n
+    kappa = (po - pe) / (1.0 - pe)
+    return spark.createDataFrame(
+        [(n, round(po, 8), round(pe, 8), round(kappa, 8))],
+        "n_docs long, p_observed double, p_expected double, "
+        "kappa double")
