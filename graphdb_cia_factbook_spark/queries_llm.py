@@ -3564,3 +3564,40 @@ def ml_cohens_kappa(spark, sf):
         [(n, round(po, 8), round(pe, 8), round(kappa, 8))],
         "n_docs long, p_observed double, p_expected double, "
         "kappa double")
+
+
+_SFT_P, _SFT_C, _SFT_MIN = 32, 96, 40
+
+
+@register("llm_sft_pairs", f"""
+WITH tk AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+SELECT doc_id,
+       array_to_string(toks[1 : {_SFT_P}], ' ') AS prompt,
+       array_to_string(toks[{_SFT_P} + 1 : {_SFT_P} + {_SFT_C}], ' ')
+         AS completion,
+       CAST(len(toks[1 : {_SFT_P}]) AS INT) AS n_prompt_tokens,
+       CAST(len(toks[{_SFT_P} + 1 : {_SFT_P} + {_SFT_C}]) AS INT)
+         AS n_completion_tokens,
+       len(toks) > {_SFT_P} + {_SFT_C} AS truncated
+FROM tk WHERE len(toks) >= {_SFT_MIN}
+""")
+def llm_sft_pairs(spark, sf):
+    """SFT example construction: split each (long-enough) document
+    into a {p}-token prompt and {c}-token completion with token
+    accounting and a truncation flag -- the instruction-tuning data
+    prep that feeds pack_sequences.  Pure slice/join codegen,
+    shuffle-free.""" \
+        .replace("{p}", str(_SFT_P)).replace("{c}", str(_SFT_C))
+    docs = read_parallel(spark, sf, "documents")
+    t = tokens(F.col("text"))
+    prompt = F.slice(t, 1, _SFT_P)
+    completion = F.slice(t, _SFT_P + 1, _SFT_C)
+    return (docs.where(F.size(t) >= _SFT_MIN)
+            .select("doc_id",
+                    F.array_join(prompt, " ").alias("prompt"),
+                    F.array_join(completion, " ").alias("completion"),
+                    F.size(prompt).cast("int")
+                    .alias("n_prompt_tokens"),
+                    F.size(completion).cast("int")
+                    .alias("n_completion_tokens"),
+                    (F.size(t) > _SFT_P + _SFT_C).alias("truncated")))
