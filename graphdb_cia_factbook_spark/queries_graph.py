@@ -2471,3 +2471,59 @@ def g_effective_diameter(spark, sf):
         F.round(F.percentile(F.col("dist").cast("double"),
                              F.lit(0.9)), 6)
         .alias("effective_diameter_90"))
+
+
+@register("g_motifs_directed", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ffl AS (
+  SELECT COUNT(*) AS n FROM top3 e1
+  JOIN top3 e2 ON e2.src = e1.dst
+  JOIN top3 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  WHERE e1.src != e2.dst
+),
+fbl AS (
+  SELECT COUNT(*) AS n FROM top3 e1
+  JOIN top3 e2 ON e2.src = e1.dst
+  JOIN top3 e3 ON e3.src = e2.dst AND e3.dst = e1.src
+  WHERE e1.src < e1.dst AND e1.src < e2.dst
+),
+mutual AS (
+  SELECT COUNT(*) AS n FROM top3 a
+  JOIN top3 b ON b.src = a.dst AND b.dst = a.src
+  WHERE a.src < a.dst
+)
+SELECT (SELECT n FROM ffl) AS feed_forward_loops,
+       (SELECT n FROM fbl) AS feedback_loops,
+       (SELECT n FROM mutual) AS mutual_dyads
+FROM (SELECT 1)
+""")
+def g_motifs_directed(spark, sf):
+    """Directed triad motif census on the top-3-partner digraph:
+    feed-forward loops (A->B->C with the A->C shortcut -- the
+    dominance motif), feedback 3-cycles (counted once via the
+    smallest-vertex anchor), and mutual dyads -- the motif-level
+    fingerprint undirected triangle counts cannot see.  Three
+    edge-keyed joins, never vertex-cubed."""
+    from .operators.graph import build_trade_graph
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    t3 = (g.edges.withColumn("rn", F.row_number().over(w))
+          .where(F.col("rn") <= 3).select("src", "dst")
+          .localCheckpoint())
+    e1 = t3.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = t3.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3f = t3.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    ffl = (e1.join(e2, "b").join(e3f, ["a", "c"])
+           .where(F.col("a") != F.col("c")).count())
+    e3b = t3.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    fbl = (e1.join(e2, "b").join(e3b, ["c", "a"])
+           .where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+           .count())
+    rev = t3.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mutual = (t3.join(rev, ["src", "dst"], "left_semi")
+              .where(F.col("src") < F.col("dst")).count())
+    return spark.createDataFrame(
+        [(ffl, fbl, mutual)],
+        "feed_forward_loops long, feedback_loops long, "
+        "mutual_dyads long")
