@@ -3601,3 +3601,48 @@ def llm_sft_pairs(spark, sf):
                     F.size(completion).cast("int")
                     .alias("n_completion_tokens"),
                     (F.size(t) > _SFT_P + _SFT_C).alias("truncated")))
+
+
+_VC_KS = (10, 100, 1000)
+
+
+@register("llm_vocab_coverage", f"""
+WITH tok AS (
+  SELECT unnest({TOKS}) AS w FROM documents
+),
+freq AS (
+  SELECT w, COUNT(*) AS c FROM tok GROUP BY 1
+),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS r,
+         CAST(SUM(CAST(c AS DECIMAL(27,4))) OVER () AS DOUBLE) AS tot
+  FROM freq
+),
+ks AS (SELECT unnest({list(_VC_KS)!r}) AS k)
+SELECT ks.k AS vocab_size,
+       ROUND(CAST(SUM(CAST(r.c AS DECIMAL(27,4))) AS DOUBLE)
+             / MAX(r.tot), 8) AS token_coverage
+FROM ks JOIN ranked r ON r.r <= ks.k
+GROUP BY ks.k
+""")
+def llm_vocab_coverage(spark, sf):
+    """Vocabulary coverage curve: what fraction of all token
+    OCCURRENCES the top-10/100/1000 types cover -- the Zipf-mass
+    measurement behind vocab-size decisions (a 1k vocab covering 95%
+    means subwords only earn their keep on the 5% tail).  One
+    token-sized count + a type-sized rank."""
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    w_rank = Window.orderBy(F.desc("c"), F.asc("w"))
+    ranked = (freq.withColumn("r", F.row_number().over(w_rank))
+              .withColumn("tot", F.sum(F.col("c").cast("decimal(27,4)"))
+                          .over(Window.partitionBy())
+                          .cast("double"))
+              .localCheckpoint())
+    ks = spark.createDataFrame([(k,) for k in _VC_KS], "k int")
+    return (F.broadcast(ks).join(ranked, ranked.r <= ks.k)
+            .groupBy(F.col("k").alias("vocab_size"))
+            .agg(F.round(F.sum(F.col("c").cast("decimal(27,4)"))
+                         .cast("double") / F.max("tot"), 8)
+                 .alias("token_coverage")))

@@ -1222,3 +1222,43 @@ def agg_mode(spark, sf):
             .where(F.col("__r") == 1)
             .select("nation", F.col("flag").alias("mode_returnflag"),
                     F.col("cnt").alias("mode_count")))
+
+
+@register("agg_percentile_disc", """
+WITH r AS (
+  SELECT o_orderstatus, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+  FROM orders
+)
+SELECT o_orderstatus,
+       MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                THEN o_totalprice END) AS median_disc,
+       MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                THEN o_totalprice END) AS p90_disc
+FROM r GROUP BY o_orderstatus
+""")
+def agg_percentile_disc(spark, sf):
+    """DISCRETE percentiles (actual dataset values, no interpolation):
+    the value at rank ceil(p*n) under a total order -- what SQL's
+    PERCENTILE_DISC returns and what you want when the percentile must
+    be a real observed value (price points, latencies).  Sibling of
+    the interpolated agg_median_quartiles."""
+    from pyspark.sql import Window as W
+    orders = read_table(spark, sf, "orders")
+    w = W.partitionBy("o_orderstatus").orderBy("o_totalprice",
+                                               "o_orderkey")
+    wn = W.partitionBy("o_orderstatus")
+    r = (orders.select("o_orderstatus", "o_totalprice", "o_orderkey")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("n", F.count(F.lit(1)).over(wn)))
+    return (r.groupBy("o_orderstatus")
+            .agg(F.max(F.when(F.col("rn")
+                              == F.ceil(0.5 * F.col("n")).cast("long"),
+                              F.col("o_totalprice")))
+                 .alias("median_disc"),
+                 F.max(F.when(F.col("rn")
+                              == F.ceil(0.9 * F.col("n")).cast("long"),
+                              F.col("o_totalprice")))
+                 .alias("p90_disc")))
