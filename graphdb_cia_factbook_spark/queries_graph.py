@@ -2527,3 +2527,82 @@ def g_motifs_directed(spark, sf):
         [(ffl, fbl, mutual)],
         "feed_forward_loops long, feedback_loops long, "
         "mutual_dyads long")
+
+
+@register("g_bowtie", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_COST_CTE.lstrip()},
+e AS (SELECT src, dst FROM top3 WHERE src != dst),
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM e
+  UNION
+  SELECT r.a, e.dst AS b FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+scc AS (
+  SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc_id
+  FROM verts v LEFT JOIN mutual m ON m.u = v.id
+  GROUP BY v.id
+),
+core AS (
+  SELECT scc_id FROM (
+    SELECT scc_id, COUNT(*) AS sz,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, scc_id) AS r
+    FROM scc GROUP BY scc_id) WHERE r = 1
+),
+core_ids AS (SELECT id FROM scc WHERE scc_id = (SELECT scc_id
+                                                FROM core)),
+into_core AS (
+  SELECT DISTINCT r.a AS id FROM reach r
+  JOIN core_ids c ON c.id = r.b
+),
+from_core AS (
+  SELECT DISTINCT r.b AS id FROM reach r
+  JOIN core_ids c ON c.id = r.a
+)
+SELECT v.id,
+       CASE WHEN v.id IN (SELECT id FROM core_ids) THEN 'CORE'
+            WHEN v.id IN (SELECT id FROM into_core) THEN 'IN'
+            WHEN v.id IN (SELECT id FROM from_core) THEN 'OUT'
+            ELSE 'OTHER' END AS bowtie_class
+FROM verts v
+""")
+def g_bowtie(spark, sf):
+    """Bow-tie macro-structure of the trade digraph (Broder et al.):
+    the largest strongly connected component is the CORE; IN reaches
+    it, OUT is reached from it, everything else is OTHER -- the
+    structural map that explains where flow can and cannot circulate.
+    Composes the verified SCC labels with the directed reachability
+    closure; all joins are closure-sized."""
+    from .operators.graph import (Graph, _multi_root_bfs,
+                                  strongly_connected_components)
+    g, top3 = _top3_cost(spark, sf)
+    graph = Graph(g.vertices, top3.select("src", "dst"))
+    scc = strongly_connected_components(graph).localCheckpoint()
+    w = Window.orderBy(F.desc("sz"), F.asc("scc_id"))
+    core_label = (scc.groupBy("scc_id")
+                  .agg(F.count(F.lit(1)).alias("sz"))
+                  .withColumn("__r", F.row_number().over(w))
+                  .where(F.col("__r") == 1).select("scc_id"))
+    core_ids = (scc.join(F.broadcast(core_label), "scc_id")
+                .select("id").localCheckpoint())
+    closure = _multi_root_bfs(graph, None, 25, directed=True) \
+        .where(F.col("dist") > 0).localCheckpoint()
+    into_core = (closure.join(core_ids.withColumnRenamed("id", "cid"),
+                              closure.id == F.col("cid"))
+                 .select(F.col("root").alias("id")).distinct())
+    from_core = (closure.join(core_ids.withColumnRenamed("id", "cid"),
+                              closure.root == F.col("cid"))
+                 .select(F.col("id")).distinct())
+    return (g.vertices.select("id")
+            .join(core_ids.withColumn("__core", F.lit(1)), "id", "left")
+            .join(into_core.withColumn("__in", F.lit(1)), "id", "left")
+            .join(from_core.withColumn("__out", F.lit(1)), "id", "left")
+            .select("id",
+                    F.when(F.col("__core").isNotNull(), "CORE")
+                    .when(F.col("__in").isNotNull(), "IN")
+                    .when(F.col("__out").isNotNull(), "OUT")
+                    .otherwise("OTHER").alias("bowtie_class")))
