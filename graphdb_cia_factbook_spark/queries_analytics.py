@@ -1556,3 +1556,72 @@ def dq_dp_counts(spark, sf):
     return c.select("nation", "true_count",
                     F.round(F.col("true_count") + noise, 6)
                     .alias("dp_count"))
+
+
+@register("agg_spearman", """
+WITH spend AS (
+  SELECT c.c_custkey, c.c_acctbal,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS total_spend
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey, c.c_acctbal
+),
+ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey)
+              AS DOUBLE) AS rx,
+         CAST(ROW_NUMBER() OVER (ORDER BY total_spend, c_custkey)
+              AS DOUBLE) AS ry
+  FROM spend
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(rx AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(ry AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(rx AS DECIMAL(27,4))
+                  * CAST(ry AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(rx AS DECIMAL(27,4))
+                  * CAST(rx AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(ry AS DECIMAL(27,4))
+                  * CAST(ry AS DECIMAL(27,4))) AS DOUBLE) AS syy
+  FROM ranked
+)
+SELECT n,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 8)
+         AS spearman_rho
+FROM mom
+""")
+def agg_spearman(spark, sf):
+    """Spearman rank correlation between account balance and total
+    spend: Pearson over RANKS (exact integers under a keyed total
+    order, so ties are deterministic) with decimal-exact moments --
+    the monotone-association test that ignores outliers and scale,
+    next to the parametric agg_stats_corr."""
+    from pyspark.sql import Window as W
+    from .operators.relational import dsum
+    customer = read_table(spark, sf, "customer")
+    orders = read_table(spark, sf, "orders")
+    spend = (customer.join(orders,
+                           customer.c_custkey == orders.o_custkey)
+             .groupBy("c_custkey", "c_acctbal")
+             .agg(dsum(F.col("o_totalprice")).alias("total_spend")))
+    rx = F.row_number().over(W.orderBy("c_acctbal", "c_custkey")) \
+        .cast("double")
+    ry = F.row_number().over(W.orderBy("total_spend", "c_custkey")) \
+        .cast("double")
+    ranked = spend.select(rx.alias("rx"), ry.alias("ry"))
+    dx = F.col("rx").cast("decimal(27,4)")
+    dy = F.col("ry").cast("decimal(27,4)")
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"))
+    n = F.col("n").cast("double")
+    rho = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+           / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return mom.select("n", F.round(rho, 8).alias("spearman_rho"))
