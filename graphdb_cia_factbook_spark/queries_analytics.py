@@ -1625,3 +1625,120 @@ def agg_spearman(spark, sf):
            / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
                     * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
     return mom.select("n", F.round(rho, 8).alias("spearman_rho"))
+
+
+@register("agg_ks_test", """
+WITH s AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         event_id % 2 AS half, event_id
+  FROM events
+),
+tot AS (
+  SELECT event_type,
+         COUNT(*) FILTER (WHERE half = 0) AS n0,
+         COUNT(*) FILTER (WHERE half = 1) AS n1
+  FROM s GROUP BY 1
+),
+cum AS (
+  SELECT s.event_type,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY s.event_type
+                    ORDER BY v, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.n0 AS f0,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY s.event_type
+                    ORDER BY v, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / t.n1 AS f1
+  FROM s JOIN tot t ON t.event_type = s.event_type
+)
+SELECT c.event_type, t.n0, t.n1,
+       ROUND(MAX(abs(c.f0 - c.f1)), 8) AS ks_statistic
+FROM cum c JOIN tot t ON t.event_type = c.event_type
+GROUP BY c.event_type, t.n0, t.n1
+""")
+def agg_ks_test(spark, sf):
+    """Two-sample Kolmogorov-Smirnov statistic per metric between the
+    parity halves: max |empirical-CDF difference| over the pooled
+    total order -- the distribution-free shift test next to Welch
+    (means) and PSI (binned shares).  Exact integer cumulative counts;
+    one ordered window per metric."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    s = ev.select("event_type", F.col("value").cast("double").alias("v"),
+                  F.pmod(F.col("event_id"), F.lit(2)).alias("half"),
+                  "event_id")
+    tot = (s.groupBy("event_type")
+           .agg(F.count(F.when(F.col("half") == 0, 1)).alias("n0"),
+                F.count(F.when(F.col("half") == 1, 1)).alias("n1")))
+    w = (W.partitionBy("event_type").orderBy("v", "event_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    cum = (s.join(F.broadcast(tot), "event_type")
+           .select("event_type", "n0", "n1",
+                   (F.sum(F.when(F.col("half") == 0, 1)
+                          .otherwise(0)).over(w).cast("double")
+                    / F.col("n0")).alias("f0"),
+                   (F.sum(F.when(F.col("half") == 1, 1)
+                          .otherwise(0)).over(w).cast("double")
+                    / F.col("n1")).alias("f1")))
+    return (cum.groupBy("event_type", "n0", "n1")
+            .agg(F.round(F.max(F.abs(F.col("f0") - F.col("f1"))), 8)
+                 .alias("ks_statistic")))
+
+
+@register("ml_gains_table", """
+WITH scored AS (
+  SELECT CAST(value AS DOUBLE) AS score,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         event_id
+  FROM events
+),
+deciled AS (
+  SELECT y,
+         NTILE(10) OVER (ORDER BY score DESC, event_id) AS decile
+  FROM scored
+),
+per AS (
+  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS positives
+  FROM deciled GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(positives) AS DOUBLE) AS tp FROM per)
+SELECT decile, n, positives,
+       ROUND(CAST(SUM(positives) OVER (ORDER BY decile
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / (SELECT tp FROM tot), 8)
+         AS cum_capture_rate,
+       ROUND((CAST(positives AS DOUBLE) / n)
+             / ((SELECT tp FROM tot)
+                / CAST(SUM(n) OVER () AS DOUBLE)), 8) AS lift
+FROM per
+""")
+def ml_gains_table(spark, sf):
+    """Decile gains table: rank events by score (value), cut into 10
+    equal bins, report each bin's positive capture and lift vs the
+    base rate -- the campaign-targeting readout next to ml_auc (AUC
+    summarizes, the gains table tells you WHERE to cut).  NTILE over
+    a deterministic total order; exact integer counts."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    scored = ev.select(
+        F.col("value").cast("double").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        .alias("y"), "event_id")
+    dec = scored.select(
+        "y", F.ntile(10).over(W.orderBy(F.desc("score"),
+                                        F.asc("event_id")))
+        .alias("decile"))
+    per = (dec.groupBy("decile")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("y").cast("long").alias("positives"))
+           .localCheckpoint())
+    w_cum = W.orderBy("decile").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.partitionBy()
+    tp = F.sum("positives").over(w_all).cast("double")
+    tn = F.sum("n").over(w_all).cast("double")
+    return per.select(
+        "decile", "n", "positives",
+        F.round(F.sum("positives").over(w_cum).cast("double") / tp, 8)
+        .alias("cum_capture_rate"),
+        F.round((F.col("positives").cast("double") / F.col("n"))
+                / (tp / tn), 8).alias("lift"))
