@@ -1026,3 +1026,62 @@ def ts_rate_shift(spark, sf):
             .select("event_type", "n0", "n1",
                     F.round(z, 8).alias("rate_z"),
                     (F.abs(z) > 3.0).alias("shifted")))
+
+
+_COV_HOLD_US = 5 * 60 * 1000000  # each event covers 5 minutes
+
+
+@register("ts_interval_coverage", f"""
+WITH iv AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+         epoch_us(CAST(ts AS TIMESTAMP)) + {_COV_HOLD_US} AS e
+  FROM events
+),
+ordered AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS prev_max_e
+  FROM iv
+),
+segs AS (
+  SELECT user_id,
+         CASE WHEN prev_max_e IS NULL OR prev_max_e < s
+              THEN e - s
+              ELSE GREATEST(e - prev_max_e, 0) END AS covered
+  FROM ordered
+)
+SELECT user_id,
+       COUNT(*) AS n_intervals,
+       CAST(SUM(covered) AS BIGINT) AS covered_micros,
+       ROUND(CAST(SUM(covered) AS DOUBLE) / 60000000.0, 6)
+         AS covered_minutes
+FROM segs GROUP BY user_id
+""")
+def ts_interval_coverage(spark, sf):
+    """Interval-union coverage per user: each event opens a 5-minute
+    activity window; overlapping windows must not double-count, so
+    each interval contributes only the part past the running max end
+    (the sweep-line union-length trick -- one ordered window, exact
+    integer microseconds).  The billing/SLA 'active time' metric that
+    naive duration sums overstate."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    mic = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = ev.select("user_id", mic.alias("s"),
+                   (mic + _COV_HOLD_US).alias("e"))
+    w = (W.partitionBy("user_id").orderBy("s", "e")
+         .rowsBetween(W.unboundedPreceding, -1))
+    ordered = iv.withColumn("prev_max_e", F.max("e").over(w))
+    covered = (F.when(F.col("prev_max_e").isNull()
+                      | (F.col("prev_max_e") < F.col("s")),
+                      F.col("e") - F.col("s"))
+               .otherwise(F.greatest(F.col("e") - F.col("prev_max_e"),
+                                     F.lit(0))))
+    return (ordered.select("user_id", covered.alias("covered"))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("covered").cast("long").alias("covered_micros"),
+                 F.round(F.sum("covered").cast("double") / 60000000.0,
+                         6).alias("covered_minutes")))
