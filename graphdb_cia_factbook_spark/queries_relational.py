@@ -1262,3 +1262,73 @@ def agg_percentile_disc(spark, sf):
                               == F.ceil(0.9 * F.col("n")).cast("long"),
                               F.col("o_totalprice")))
                  .alias("p90_disc")))
+
+
+@register("rel_fifo_match", """
+WITH sup AS (
+  SELECT l_partkey AS part, l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(27,4)) AS qty,
+         SUM(CAST(l_quantity AS DECIMAL(27,4))) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM lineitem WHERE l_returnflag = 'N' AND l_partkey < 50
+),
+dem AS (
+  SELECT l_partkey AS part, l_orderkey, l_linenumber,
+         CAST(l_quantity AS DECIMAL(27,4)) AS qty,
+         SUM(CAST(l_quantity AS DECIMAL(27,4))) OVER (
+           PARTITION BY l_partkey
+           ORDER BY l_shipdate, l_orderkey, l_linenumber
+           ROWS UNBOUNDED PRECEDING) AS cum_end
+  FROM lineitem WHERE l_returnflag = 'R' AND l_partkey < 50
+)
+SELECT s.part,
+       s.l_orderkey AS supply_order, s.l_linenumber AS supply_line,
+       d.l_orderkey AS demand_order, d.l_linenumber AS demand_line,
+       CAST(LEAST(s.cum_end, d.cum_end)
+            - GREATEST(s.cum_end - s.qty, d.cum_end - d.qty)
+            AS DOUBLE) AS matched_qty
+FROM sup s JOIN dem d
+  ON d.part = s.part
+ AND s.cum_end - s.qty < d.cum_end
+ AND d.cum_end - d.qty < s.cum_end
+""")
+def rel_fifo_match(spark, sf):
+    """FIFO lot matching: returned units (flag R) consume shipped lots
+    (flag N) of the same part in ship-date order -- the classic
+    inventory/accounting allocation, solved set-wise by laying both
+    sides on a cumulative-quantity axis and joining on INTERVAL
+    OVERLAP (each match = the overlap length; no loops, no mutable
+    ledger).  Decimal-exact running sums; the join is part-keyed and
+    band-limited, never lot x lot."""
+    from pyspark.sql import Window as W
+    li = read_table(spark, sf, "lineitem")
+    base = li.where(F.col("l_partkey") < 50)
+    w = (W.partitionBy("l_partkey")
+         .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+         .rowsBetween(W.unboundedPreceding, 0))
+    qty = F.col("l_quantity").cast("decimal(27,4)")
+
+    def side(flag, prefix):
+        return (base.where(F.col("l_returnflag") == flag)
+                .select(F.col("l_partkey").alias("part"),
+                        F.col("l_orderkey").alias(f"{prefix}_order"),
+                        F.col("l_linenumber").alias(f"{prefix}_line"),
+                        qty.alias(f"{prefix}_qty"),
+                        F.sum(qty).over(w).alias(f"{prefix}_end")))
+
+    s, d = side("N", "supply"), side("R", "demand")
+    return (s.join(d, "part")
+            .where((F.col("supply_end") - F.col("supply_qty")
+                    < F.col("demand_end"))
+                   & (F.col("demand_end") - F.col("demand_qty")
+                      < F.col("supply_end")))
+            .select("part", "supply_order", "supply_line",
+                    "demand_order", "demand_line",
+                    (F.least("supply_end", "demand_end")
+                     - F.greatest(F.col("supply_end")
+                                  - F.col("supply_qty"),
+                                  F.col("demand_end")
+                                  - F.col("demand_qty")))
+                    .cast("double").alias("matched_qty")))
