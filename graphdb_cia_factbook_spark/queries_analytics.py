@@ -1742,3 +1742,72 @@ def ml_gains_table(spark, sf):
         .alias("cum_capture_rate"),
         F.round((F.col("positives").cast("double") / F.col("n"))
                 / (tp / tn), 8).alias("lift"))
+
+
+@register("dq_rules", """
+SELECT 'orders_totalprice_positive' AS rule,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+         AS n_violations,
+       (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+         AS passed
+UNION ALL
+SELECT 'lineitem_discount_in_unit_range',
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1),
+       (SELECT COUNT(*) FROM lineitem
+        WHERE l_discount < 0 OR l_discount > 1) = 0
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0),
+       (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0) = 0
+UNION ALL
+SELECT 'orders_custkey_exists',
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL),
+       (SELECT COUNT(*) FROM orders o
+        LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE c.c_custkey IS NULL) = 0
+UNION ALL
+SELECT 'customer_nation_valid',
+       (SELECT COUNT(*) FROM customer cu
+        LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        WHERE n.n_nationkey IS NULL),
+       (SELECT COUNT(*) FROM customer cu
+        LEFT JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        WHERE n.n_nationkey IS NULL) = 0
+""")
+def dq_rules(spark, sf):
+    """Declarative expectation suite (Great-Expectations shape): five
+    named rules -- range checks, positivity, referential existence --
+    each reporting its violation count and pass flag in one result
+    (the run-on-every-load contract the reference validates by hand,
+    README.md:30-33).  Each rule is one scan-side count or anti-join;
+    rules share scans when Catalyst can collapse them."""
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    customer = read_table(spark, sf, "customer")
+    nation = read_table(spark, sf, "nation")
+
+    def row(name, cnt):
+        return (name, cnt, cnt == 0)
+
+    rows = [
+        row("orders_totalprice_positive",
+            orders.where(F.col("o_totalprice") <= 0).count()),
+        row("lineitem_discount_in_unit_range",
+            lineitem.where((F.col("l_discount") < 0)
+                           | (F.col("l_discount") > 1)).count()),
+        row("lineitem_quantity_positive",
+            lineitem.where(F.col("l_quantity") <= 0).count()),
+        row("orders_custkey_exists",
+            orders.join(customer,
+                        orders.o_custkey == customer.c_custkey,
+                        "left_anti").count()),
+        row("customer_nation_valid",
+            customer.join(nation,
+                          customer.c_nationkey == nation.n_nationkey,
+                          "left_anti").count()),
+    ]
+    return spark.createDataFrame(
+        rows, "rule string, n_violations long, passed boolean")
