@@ -3646,3 +3646,56 @@ def llm_vocab_coverage(spark, sf):
             .agg(F.round(F.sum(F.col("c").cast("decimal(27,4)"))
                          .cast("double") / F.max("tot"), 8)
                  .alias("token_coverage")))
+
+
+@register("llm_dedup_savings", f"""
+WITH t AS (
+  SELECT doc_id, source, {NORM_MD5} AS f, len({TOKS}) AS n_tok
+  FROM documents
+),
+kept AS (
+  SELECT source, f, MIN(doc_id) AS keeper,
+         CAST(SUM(n_tok) AS BIGINT) AS grp_tokens,
+         COUNT(*) AS grp_docs
+  FROM t GROUP BY source, f
+),
+keep_tok AS (
+  SELECT k.source, k.f, t.n_tok AS keeper_tokens,
+         k.grp_tokens, k.grp_docs
+  FROM kept k JOIN t ON t.doc_id = k.keeper
+)
+SELECT source,
+       CAST(SUM(grp_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(grp_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(keeper_tokens) AS BIGINT) AS tokens_after,
+       ROUND(1.0 - CAST(SUM(keeper_tokens) AS DOUBLE)
+             / SUM(grp_tokens), 8) AS token_savings
+FROM keep_tok GROUP BY source
+""")
+def llm_dedup_savings(spark, sf):
+    """Dedup impact report: per source, how many TOKENS exact dedup
+    removes (duplicate groups keep their min-id survivor) -- the
+    compute-savings readout that justifies a dedup pass before paying
+    for training tokens.  Fingerprint-keyed aggregates only."""
+    from .operators.text import fingerprint, tokens as tokfn
+    docs = read_parallel(spark, sf, "documents")
+    t = docs.select("doc_id", "source",
+                    fingerprint(F.col("text")).alias("f"),
+                    F.size(tokfn(F.col("text"))).alias("n_tok"))
+    t = t.localCheckpoint()
+    kept = (t.groupBy("source", "f")
+            .agg(F.min("doc_id").alias("keeper"),
+                 F.sum("n_tok").cast("long").alias("grp_tokens"),
+                 F.count(F.lit(1)).alias("grp_docs")))
+    keep_tok = (kept.join(t.select(F.col("doc_id").alias("keeper"),
+                                   F.col("n_tok").alias("keeper_tokens")),
+                          "keeper"))
+    return (keep_tok.groupBy("source")
+            .agg(F.sum("grp_docs").cast("long").alias("n_docs"),
+                 F.sum("grp_tokens").cast("long").alias("tokens_before"),
+                 F.sum("keeper_tokens").cast("long")
+                 .alias("tokens_after"),
+                 F.round(F.lit(1.0)
+                         - F.sum("keeper_tokens").cast("double")
+                         / F.sum("grp_tokens"), 8)
+                 .alias("token_savings")))
