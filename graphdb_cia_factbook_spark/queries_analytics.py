@@ -596,13 +596,13 @@ weighted AS (
   SELECT b, value, CASE {whens} ELSE 9 END AS w FROM rep
 ),
 means AS (
-  SELECT b, CAST(SUM(CAST(value * w AS DECIMAL(27,6))) AS DOUBLE)
+  SELECT b, CAST(SUM(CAST(value * w AS DECIMAL(18,6))) AS DOUBLE)
             / CAST(SUM(w) AS DOUBLE) AS m
   FROM weighted GROUP BY b
 ),
 sorted AS (SELECT list(ROUND(m, 8) ORDER BY ROUND(m, 8)) AS ms FROM means),
 overall AS (
-  SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+  SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
          / COUNT(value) AS mean
   FROM events
 )
@@ -1811,3 +1811,108 @@ def dq_rules(spark, sf):
     ]
     return spark.createDataFrame(
         rows, "rule string, n_violations long, passed boolean")
+
+
+_OLS_MOMENTS = """
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(y  AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x1 * x1 AS DECIMAL(38,0))) AS DOUBLE) AS s11,
+         CAST(SUM(CAST(x1 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s12,
+         CAST(SUM(CAST(x2 * x2 AS DECIMAL(38,0))) AS DOUBLE) AS s22,
+         CAST(SUM(CAST(x1 * y AS DECIMAL(38,0))) AS DOUBLE) AS s1y,
+         CAST(SUM(CAST(x2 * y AS DECIMAL(38,0))) AS DOUBLE) AS s2y,
+         CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+"""
+
+
+@register("ml_ols_2var", f"""
+WITH feats AS (
+  SELECT o.o_orderkey,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS x1,
+         CAST(SUM(CAST(round(l.l_discount * 100)
+                       AS BIGINT)) AS BIGINT) AS x2,
+         CAST(MAX(CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS BIGINT) AS y
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderkey
+),
+m AS ({{_OLS_MOMENTS}} FROM feats),
+solved AS (
+  SELECT n, sy, syy,
+         (n * (s11 * s22 - s12 * s12)
+          - s1 * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s12 - s11 * s2)) AS det,
+         (sy * (s11 * s22 - s12 * s12)
+          - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y)) AS det0,
+         (n * (s1y * s22 - s12 * s2y)
+          - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) AS det1,
+         (n * (s11 * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2)) AS det2,
+         s1, s2, s1y, s2y
+  FROM m
+)
+SELECT n,
+       ROUND(det0 / det, 6) AS b0,
+       ROUND(det1 / det, 6) AS b1,
+       ROUND(det2 / det, 6) AS b2,
+       ROUND(1.0 - (syy - (det0 / det) * sy - (det1 / det) * s1y
+                    - (det2 / det) * s2y)
+             / (syy - sy * sy / n), 8) AS r2
+FROM solved
+""".replace("{_OLS_MOMENTS}", _OLS_MOMENTS))
+def ml_ols_2var(spark, sf):
+    """Two-feature OLS by exact normal equations: order price (cents)
+    regressed on (total quantity, total discount cents), solved in
+    closed form with Cramer's rule -- every moment is an EXACT integer
+    (quantities, cents) summed through decimal(38,0), so the 3x3
+    solve sees bit-identical inputs on any engine and partitioning;
+    no iterative solver, constant post-aggregate work.  The
+    multivariate upgrade of agg_trend_slope."""
+    orders = read_table(spark, sf, "orders")
+    lineitem = read_table(spark, sf, "lineitem")
+    feats = (orders.join(lineitem,
+                         orders.o_orderkey == lineitem.l_orderkey)
+             .groupBy(orders.o_orderkey)
+             .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                  .cast("bigint").alias("x1"),
+                  F.sum(F.round(F.col("l_discount") * 100)
+                        .cast("bigint")).cast("bigint").alias("x2"),
+                  F.max(F.round(F.col("o_totalprice") * 100)
+                        .cast("bigint")).cast("bigint").alias("y")))
+    d0 = lambda e: F.sum(e.cast("decimal(38,0)")).cast("double")
+    x1, x2, y = F.col("x1"), F.col("x2"), F.col("y")
+    m = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        d0(x1).alias("s1"), d0(x2).alias("s2"), d0(y).alias("sy"),
+        d0(x1 * x1).alias("s11"), d0(x1 * x2).alias("s12"),
+        d0(x2 * x2).alias("s22"), d0(x1 * y).alias("s1y"),
+        d0(x2 * y).alias("s2y"), d0(y * y).alias("syy"))
+    n, s1, s2, sy = (F.col("n").cast("double"), F.col("s1"),
+                     F.col("s2"), F.col("sy"))
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    det = (n * (s11 * s22 - s12 * s12)
+           - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12)
+            - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y)
+            - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12)
+            - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    b0, b1, b2 = det0 / det, det1 / det, det2 / det
+    r2 = (F.lit(1.0) - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+          / (syy - sy * sy / n))
+    return m.select(F.col("n"),
+                    F.round(b0, 6).alias("b0"),
+                    F.round(b1, 6).alias("b1"),
+                    F.round(b2, 6).alias("b2"),
+                    F.round(r2, 8).alias("r2"))
