@@ -1916,3 +1916,75 @@ def ml_ols_2var(spark, sf):
                     F.round(b1, 6).alias("b1"),
                     F.round(b2, 6).alias("b2"),
                     F.round(r2, 8).alias("r2"))
+
+
+@register("agg_cramers_v", """
+WITH obs AS (
+  SELECT cu.c_nationkey AS r, o.o_orderpriority AS c,
+         COUNT(*) AS n_rc
+  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+),
+marg AS (
+  SELECT o.r, o.c, o.n_rc,
+         rm.n_r, cm.n_c, t.n
+  FROM obs o
+  JOIN (SELECT r, SUM(n_rc) AS n_r FROM obs GROUP BY 1) rm
+    ON rm.r = o.r
+  JOIN (SELECT c, SUM(n_rc) AS n_c FROM obs GROUP BY 1) cm
+    ON cm.c = o.c
+  CROSS JOIN (SELECT SUM(n_rc) AS n FROM obs) t
+),
+chi AS (
+  SELECT CAST(SUM(CAST(
+           (n_rc - CAST(n_r * n_c AS DOUBLE) / n)
+           * (n_rc - CAST(n_r * n_c AS DOUBLE) / n)
+           / (CAST(n_r * n_c AS DOUBLE) / n)
+           AS DECIMAL(27,12))) AS DOUBLE) AS chi2,
+         MAX(n) AS n,
+         COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
+  FROM marg
+)
+SELECT n, nr AS n_rows_cat, nc AS n_cols_cat,
+       ROUND(chi2, 8) AS chi2,
+       ROUND(sqrt(chi2 / (n * LEAST(nr - 1, nc - 1))), 8)
+         AS cramers_v
+FROM chi
+""")
+def agg_cramers_v(spark, sf):
+    """Cramer's V association between customer nation and order
+    priority: chi-square over the contingency grid (exact integer
+    observed/marginal counts, decimal-exact cell sum) normalized to
+    [0, 1] -- the categorical-categorical dependence test next to
+    corr (numeric) and entropy (spread).  Grid-sized work after one
+    fact aggregate."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    obs = (orders.join(F.broadcast(
+        customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("r"),
+                 F.col("o_orderpriority").alias("c"))
+        .agg(F.count(F.lit(1)).alias("n_rc"))
+        .localCheckpoint())
+    rm = obs.groupBy("r").agg(F.sum("n_rc").alias("n_r"))
+    cm = obs.groupBy("c").agg(F.sum("n_rc").alias("n_c"))
+    t = obs.agg(F.sum("n_rc").alias("n"))
+    exp = (F.col("n_r") * F.col("n_c")).cast("double") / F.col("n")
+    cell = ((F.col("n_rc") - exp) * (F.col("n_rc") - exp) / exp)
+    chi = (obs.join(F.broadcast(rm), "r").join(F.broadcast(cm), "c")
+           .crossJoin(F.broadcast(t))
+           .agg(F.sum(cell.cast("decimal(27,12)")).cast("double")
+                .alias("chi2"),
+                F.max("n").alias("n"),
+                F.countDistinct("r").alias("nr"),
+                F.countDistinct("c").alias("nc")))
+    return chi.select(
+        "n", F.col("nr").alias("n_rows_cat"),
+        F.col("nc").alias("n_cols_cat"),
+        F.round("chi2", 8).alias("chi2"),
+        F.round(F.sqrt(F.col("chi2")
+                       / (F.col("n")
+                          * F.least(F.col("nr") - 1,
+                                    F.col("nc") - 1))), 8)
+        .alias("cramers_v"))

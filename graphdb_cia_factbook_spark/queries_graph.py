@@ -2606,3 +2606,53 @@ def g_bowtie(spark, sf):
                     .when(F.col("__in").isNotNull(), "IN")
                     .when(F.col("__out").isNotNull(), "OUT")
                     .otherwise("OTHER").alias("bowtie_class")))
+
+
+@register("g_local_bridges", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+common AS (
+  SELECT e.a, e.b, COUNT(*) AS n_common
+  FROM ue e
+  JOIN sym x ON x.a = e.a
+  JOIN sym y ON y.a = e.b AND y.b = x.b
+  GROUP BY e.a, e.b
+)
+SELECT e.a, e.b,
+       COALESCE(c.n_common, 0) AS n_common_neighbors,
+       COALESCE(c.n_common, 0) = 0 AS is_local_bridge
+FROM ue e LEFT JOIN common c ON c.a = e.a AND c.b = e.b
+""")
+def g_local_bridges(spark, sf):
+    """Local bridges (Granovetter's weak ties): undirected edges whose
+    endpoints share NO common neighbor -- removing one lengthens the
+    a-b path to > 2, so these are the shortcuts between otherwise
+    separate neighborhoods (the tie-strength theory workhorse).  One
+    wedge join per edge; the global-bridge strict form is g_bridges."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        undirected_edges)
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ue = (undirected_edges(top3).select("a", "b").distinct()
+          .localCheckpoint())
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
+    x = sym.select(F.col("a").alias("a"), F.col("b").alias("n1"))
+    y = sym.select(F.col("a").alias("b"), F.col("b").alias("n2"))
+    common = (ue.join(x, "a").join(y, "b")
+              .where(F.col("n1") == F.col("n2"))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    return (ue.join(common, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("n_common", F.lit(0))
+                    .alias("n_common_neighbors"),
+                    (F.coalesce("n_common", F.lit(0)) == 0)
+                    .alias("is_local_bridge")))

@@ -1085,3 +1085,40 @@ def ts_interval_coverage(spark, sf):
                  F.sum("covered").cast("long").alias("covered_micros"),
                  F.round(F.sum("covered").cast("double") / 60000000.0,
                          6).alias("covered_minutes")))
+
+
+@register("ts_stickiness", """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+monthly AS (
+  SELECT date_trunc('month', CAST(ts AS TIMESTAMP)) AS m,
+         COUNT(DISTINCT user_id) AS mau
+  FROM events GROUP BY 1
+)
+SELECT CAST(d.d AS VARCHAR) AS day, d.dau, m.mau,
+       ROUND(CAST(d.dau AS DOUBLE) / m.mau, 8) AS stickiness
+FROM daily d
+JOIN monthly m ON m.m = date_trunc('month', CAST(d.d AS TIMESTAMP))
+""")
+def ts_stickiness(spark, sf):
+    """DAU/MAU stickiness per day: daily distinct users over that
+    month's distinct users -- the engagement ratio product analytics
+    tracks next to cohort retention.  Two distinct-count aggregates +
+    one month-key join; exact integer ratio."""
+    ev = read_table(spark, sf, "events")
+    ts = F.col("ts").cast("timestamp")
+    daily = (ev.groupBy(ts.cast("date").alias("d"))
+             .agg(F.countDistinct("user_id").alias("dau")))
+    monthly = (ev.groupBy(F.date_trunc("month", ts).alias("m"))
+               .agg(F.countDistinct("user_id").alias("mau")))
+    return (daily.join(F.broadcast(monthly),
+                       F.date_trunc("month",
+                                    F.col("d").cast("timestamp"))
+                       == F.col("m"))
+            .select(F.col("d").cast("string").alias("day"),
+                    "dau", "mau",
+                    F.round(F.col("dau").cast("double")
+                            / F.col("mau"), 8).alias("stickiness")))
