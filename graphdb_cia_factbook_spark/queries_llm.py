@@ -3699,3 +3699,87 @@ def llm_dedup_savings(spark, sf):
                          - F.sum("keeper_tokens").cast("double")
                          / F.sum("grp_tokens"), 8)
                  .alias("token_savings")))
+
+
+@register("llm_token_entropy", f"""
+WITH tc AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest({TOKS}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n FROM tc GROUP BY 1)
+SELECT tc.doc_id, MAX(t.n) AS n_tokens,
+       COUNT(*) AS n_types,
+       ROUND(CAST(SUM(CAST(
+         -(CAST(tc.c AS DOUBLE) / t.n)
+          * ln(CAST(tc.c AS DOUBLE) / t.n)
+         AS DECIMAL(27,12))) AS DOUBLE), 8) AS token_entropy
+FROM tc JOIN tot t ON t.doc_id = tc.doc_id
+GROUP BY tc.doc_id
+""")
+def llm_token_entropy(spark, sf):
+    """Per-document token entropy: the smooth repetitiveness signal
+    (spam/keyword-stuffed docs sit far below ln(n_types); the hard-
+    threshold sibling is llm_repetition's top-token fraction).
+    Decimal-exact -p ln p sums over exact counts."""
+    docs = read_parallel(spark, sf, "documents")
+    tc = (docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    tot = tc.groupBy("doc_id").agg(F.sum("c").cast("long").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (tc.join(tot, "doc_id")
+            .groupBy("doc_id")
+            .agg(F.max("n").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.round(F.sum((-p * F.log(p))
+                               .cast("decimal(27,12)")).cast("double"),
+                         8).alias("token_entropy")))
+
+
+_RP_IN, _RP_OUT = 64, 8
+
+
+def _rp_signs(j: int) -> list:
+    """Deterministic +-1 row j of the projection matrix: the sign of
+    md5('rp:{j}:{i}') -- reproducible anywhere, no RNG state."""
+    import hashlib
+    return [1.0 if int(hashlib.md5(f"rp:{j}:{i}".encode())
+                       .hexdigest()[0], 16) < 8 else -1.0
+            for i in range(_RP_IN)]
+
+
+def _rp_sql() -> str:
+    import math
+    cols = []
+    for j in range(_RP_OUT):
+        lits = ", ".join(str(v) for v in _rp_signs(j))
+        cols.append(
+            f"ROUND(list_reduce(list_concat([0.0::DOUBLE], "
+            f"list_transform(range(1, {_RP_IN} + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])), "
+            f"(a, x) -> a + x) / {math.sqrt(_RP_OUT)!r}, 6) AS proj_{j}")
+    return ("SELECT vec_id, " + ",\n       ".join(cols)
+            + "\nFROM embeddings")
+
+
+@register("llm_random_projection", _rp_sql())
+def llm_random_projection(spark, sf):
+    """Johnson-Lindenstrauss sign projection: 64-d embeddings projected
+    to {k} dimensions through a DETERMINISTIC +-1 matrix (md5-signed,
+    scaled 1/sqrt(k)) -- the distance-preserving dimensionality
+    reduction that needs no training and no shipped matrix (any worker
+    on any engine regenerates the same signs).  Each output dim is one
+    sequential fold inside codegen -- bit-equal to the DuckDB twin,
+    zero shuffles.""".replace("{k}", str(_RP_OUT))
+    import math
+    emb = read_parallel(spark, sf, "embeddings")
+    cols = []
+    for j in range(_RP_OUT):
+        signs = F.array(*[F.lit(v) for v in _rp_signs(j)])
+        prods = F.zip_with(F.col("embedding").cast("array<double>"),
+                           signs, lambda x, s: x * s)
+        fold = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
+        cols.append(F.round(fold / math.sqrt(_RP_OUT), 6)
+                    .alias(f"proj_{j}"))
+    return emb.select("vec_id", *cols)

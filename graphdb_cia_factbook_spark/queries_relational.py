@@ -1332,3 +1332,55 @@ def rel_fifo_match(spark, sf):
                                   F.col("demand_end")
                                   - F.col("demand_qty")))
                     .cast("double").alias("matched_qty")))
+
+
+@register("rel_date_spine", """
+WITH bounds AS (
+  SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+),
+spine AS (
+  SELECT unnest(generate_series(CAST(lo AS DATE), CAST(hi AS DATE),
+                                INTERVAL 1 DAY))::DATE AS d
+  FROM bounds
+),
+daily AS (
+  SELECT o_orderdate AS d, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT CAST(s.d AS VARCHAR) AS day,
+       CAST(EXTRACT(dow FROM s.d) AS INTEGER) AS day_of_week,
+       EXTRACT(dow FROM s.d) IN (0, 6) AS is_weekend,
+       COALESCE(dl.n_orders, 0) AS n_orders,
+       ROUND(COALESCE(dl.revenue, 0.0), 4) AS revenue,
+       dl.d IS NULL AS is_gap
+FROM spine s LEFT JOIN daily dl ON dl.d = s.d
+""")
+def rel_date_spine(spark, sf):
+    """Calendar date spine: a COMPLETE day dimension generated over
+    the fact range (sequence + explode, never a physical calendar
+    table to forget to extend), left-joined to daily revenue so gap
+    days exist as zero rows -- the warehouse utility under every
+    correct day-over-day comparison.  Spine is range-sized; facts
+    aggregate once."""
+    from .operators.relational import dsum
+    orders = read_table(spark, sf, "orders")
+    bounds = orders.agg(F.min("o_orderdate").alias("lo"),
+                        F.max("o_orderdate").alias("hi"))
+    spine = (bounds.select(F.explode(F.sequence(
+        F.col("lo").cast("date"), F.col("hi").cast("date"),
+        F.expr("INTERVAL 1 DAY"))).alias("d")))
+    daily = (orders.groupBy(F.col("o_orderdate").alias("d"))
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  dsum(F.col("o_totalprice")).alias("revenue")))
+    dow = F.dayofweek(F.col("d")) - 1  # Spark: Sun=1 -> DuckDB dow Sun=0
+    return (spine.join(daily.withColumnRenamed("d", "dd"),
+                       spine.d == F.col("dd"), "left")
+            .select(F.col("d").cast("string").alias("day"),
+                    dow.cast("int").alias("day_of_week"),
+                    dow.isin(0, 6).alias("is_weekend"),
+                    F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+                    F.round(F.coalesce("revenue", F.lit(0.0)), 4)
+                    .alias("revenue"),
+                    F.col("dd").isNull().alias("is_gap")))
