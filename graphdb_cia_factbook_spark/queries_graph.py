@@ -2656,3 +2656,74 @@ def g_local_bridges(spark, sf):
                     .alias("n_common_neighbors"),
                     (F.coalesce("n_common", F.lit(0)) == 0)
                     .alias("is_local_bridge")))
+
+
+@register("g_rank_agreement", f"""
+WITH {EDGES_CTE},
+deg AS (
+  SELECT v.id,
+         COALESCE(o.d, 0) AS out_deg,
+         COALESCE(o.amt, 0.0) AS out_amount
+  FROM verts v
+  LEFT JOIN (SELECT src, COUNT(*) AS d,
+                    CAST(SUM(CAST(amount AS DECIMAL(27,4))) AS DOUBLE)
+                      AS amt
+             FROM edges GROUP BY 1) o ON o.src = v.id
+),
+ranked AS (
+  SELECT id,
+         ROW_NUMBER() OVER (ORDER BY out_deg, id) AS rx,
+         ROW_NUMBER() OVER (ORDER BY out_amount, id) AS ry
+  FROM deg
+),
+pairs AS (
+  SELECT CASE WHEN (a.rx - b.rx) * (a.ry - b.ry) > 0 THEN 1
+              WHEN (a.rx - b.rx) * (a.ry - b.ry) < 0 THEN -1
+              ELSE 0 END AS s
+  FROM ranked a JOIN ranked b ON a.id < b.id
+)
+SELECT COUNT(*) AS n_pairs,
+       CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS concordant,
+       CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS discordant,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 8) AS kendall_tau
+FROM pairs
+""")
+def g_rank_agreement(spark, sf):
+    """Kendall tau between the out-degree and export-volume rankings
+    of nations: do the two notions of 'biggest trader' order countries
+    the same way?  Exact concordant/discordant pair counts (the
+    all-pairs join is vertex-squared -- fine on dimension-sized
+    rankings, sample at web scale); completes the rank-statistics
+    family next to Spearman."""
+    g = build_trade_graph(spark, sf)
+    from pyspark.sql import Window as W
+    deg = (g.vertices.select("id")
+           .join(g.edges.groupBy(F.col("src").alias("id"))
+                 .agg(F.count(F.lit(1)).alias("d"),
+                      F.sum(F.col("amount").cast("decimal(27,4)"))
+                      .cast("double").alias("amt")), "id", "left")
+           .select("id", F.coalesce("d", F.lit(0)).alias("out_deg"),
+                   F.coalesce("amt", F.lit(0.0)).alias("out_amount")))
+    ranked = deg.select(
+        "id",
+        F.row_number().over(W.orderBy("out_deg", "id")).alias("rx"),
+        F.row_number().over(W.orderBy("out_amount", "id")).alias("ry"))
+    a = ranked.select(F.col("id").alias("ia"), F.col("rx").alias("xa"),
+                      F.col("ry").alias("ya"))
+    b = ranked.select(F.col("id").alias("ib"), F.col("rx").alias("xb"),
+                      F.col("ry").alias("yb"))
+    s = (F.when((F.col("xa") - F.col("xb"))
+                * (F.col("ya") - F.col("yb")) > 0, 1)
+         .when((F.col("xa") - F.col("xb"))
+               * (F.col("ya") - F.col("yb")) < 0, -1).otherwise(0))
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(s.alias("s"))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long")
+        .alias("concordant"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long")
+        .alias("discordant"),
+        F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 8)
+        .alias("kendall_tau"))

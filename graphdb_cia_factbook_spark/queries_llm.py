@@ -3783,3 +3783,40 @@ def llm_random_projection(spark, sf):
         cols.append(F.round(fold / math.sqrt(_RP_OUT), 6)
                     .alias(f"proj_{j}"))
     return emb.select("vec_id", *cols)
+
+
+@register("llm_mutual_knn", f"""
+WITH scored AS (
+  SELECT q.vec_id AS a, c.vec_id AS b,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 64 AND c.vec_id < 64 AND q.vec_id <> c.vec_id
+),
+knn AS (
+  SELECT a, b FROM (
+    SELECT a, b,
+           ROW_NUMBER() OVER (PARTITION BY a
+                              ORDER BY cos DESC, b) AS r
+    FROM scored) WHERE r <= 3
+)
+SELECT k1.a, k1.b
+FROM knn k1 JOIN knn k2 ON k2.a = k1.b AND k2.b = k1.a
+WHERE k1.a < k1.b
+""")
+def llm_mutual_knn(spark, sf):
+    """Mutual k-NN graph edges (both endpoints rank each other top-3):
+    the symmetric backbone density-based clustering and UMAP-family
+    methods build on -- mutuality filters the asymmetric hubness that
+    plain kNN graphs suffer in high dimensions.  Built from the same
+    two-phase top-k kernel; the mutuality check is a candidate-sized
+    self-join."""
+    from .operators.similarity import brute_force_topk
+    emb = read_parallel(spark, sf, "embeddings") \
+        .where(F.col("vec_id") < 64)
+    knn = (brute_force_topk(emb, emb, k=3)
+           .select(F.col("query_id").alias("a"),
+                   F.col("neighbor_id").alias("b"))
+           .localCheckpoint())
+    rev = knn.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    return (knn.join(rev, ["a", "b"], "left_semi")
+            .where(F.col("a") < F.col("b")))

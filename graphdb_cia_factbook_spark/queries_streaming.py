@@ -1122,3 +1122,87 @@ def ts_stickiness(spark, sf):
                     "dau", "mau",
                     F.round(F.col("dau").cast("double")
                             / F.col("mau"), 8).alias("stickiness")))
+
+
+_DEB_TH, _DEB_COOLDOWN_US = 95.0, 3600 * 1000000
+
+
+@register("st_alert_debounce", f"""
+WITH ordered AS (
+  SELECT user_id,
+         list(epoch_us(CAST(ts AS TIMESTAMP))
+              ORDER BY ts, event_id) AS tsl,
+         list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vl
+  FROM events GROUP BY user_id
+),
+crossings AS (
+  SELECT user_id,
+         list_filter(
+           list_transform(range(1, len(vl) + 1),
+             i -> CASE WHEN vl[i] > {_DEB_TH!r}
+                        AND (i = 1 OR vl[i - 1] <= {_DEB_TH!r})
+                       THEN tsl[i] END),
+           x -> x IS NOT NULL) AS ct
+  FROM ordered
+),
+folded AS (
+  SELECT user_id, len(ct) AS n_raw_alerts,
+         list_reduce(
+           list_concat([[CAST(-9223372036854775807 AS DOUBLE), 0.0]],
+                       list_transform(ct, t -> [CAST(t AS DOUBLE),
+                                                0.0])),
+           (acc, x) -> CASE
+             WHEN x[1] - acc[1] >= {_DEB_COOLDOWN_US}
+             THEN [x[1], acc[2] + 1.0]
+             ELSE [acc[1], acc[2]] END) AS st
+  FROM crossings
+)
+SELECT user_id, CAST(n_raw_alerts AS BIGINT) AS n_raw_alerts,
+       CAST(st[2] AS BIGINT) AS n_debounced_alerts
+FROM folded WHERE n_raw_alerts > 0
+""")
+def st_alert_debounce(spark, sf):
+    """Alert debouncing: threshold UP-crossings (value rises above
+    {t}) suppressed within a 1-hour cooldown of the last KEPT alert --
+    inherently sequential (each keep decision moves the cooldown
+    anchor), so it runs as the house sequential fold per user: state
+    [last_kept_ts, n_kept] over the crossing list.  The pager
+    hygiene every alerting pipeline needs.""".replace(
+        "{t}", str(_DEB_TH))
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    pair = F.struct(F.col("ts").cast("timestamp").alias("t"),
+                    F.col("event_id").alias("e"),
+                    F.col("value").cast("double").alias("v"))
+    per = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(pair)).alias("__p")))
+    tsl = F.transform(F.col("__p"),
+                      lambda s: F.unix_micros(s["t"]))
+    vl = F.transform(F.col("__p"), lambda s: s["v"])
+    per = per.select("user_id", tsl.alias("tsl"), vl.alias("vl"))
+    idx = F.sequence(F.lit(1), F.size("vl"))
+    crossing_ts = F.filter(
+        F.transform(idx, lambda i: F.when(
+            (F.element_at("vl", i) > _DEB_TH)
+            & ((i == 1)
+               | (F.element_at("vl", i - 1) <= _DEB_TH)),
+            F.element_at("tsl", i))),
+        lambda x: x.isNotNull())
+    per = per.select("user_id", crossing_ts.alias("ct"))
+
+    def step(acc, t):
+        td = t.cast("double")
+        keep = td - F.element_at(acc, 1) >= _DEB_COOLDOWN_US
+        return F.array(
+            F.when(keep, td).otherwise(F.element_at(acc, 1)),
+            F.element_at(acc, 2) + F.when(keep, F.lit(1.0))
+            .otherwise(F.lit(0.0)))
+
+    st = F.aggregate("ct",
+                     F.array(F.lit(-9223372036854775807.0), F.lit(0.0)),
+                     step)
+    return (per.select("user_id",
+                       F.size("ct").cast("long").alias("n_raw_alerts"),
+                       F.element_at(st, 2).cast("long")
+                       .alias("n_debounced_alerts"))
+            .where(F.col("n_raw_alerts") > 0))
