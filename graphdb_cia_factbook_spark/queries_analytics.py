@@ -1988,3 +1988,82 @@ def agg_cramers_v(spark, sf):
                           * F.least(F.col("nr") - 1,
                                     F.col("nc") - 1))), 8)
         .alias("cramers_v"))
+
+
+@register("agg_theil", """
+WITH spend AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+           AS x
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey, c.c_nationkey
+),
+g AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS tot
+  FROM spend
+),
+total AS (
+  SELECT CAST(SUM(CAST((x / (g.tot / g.n))
+                       * ln(x / (g.tot / g.n))
+                       AS DECIMAL(27,12))) AS DOUBLE) / MAX(g.n)
+           AS t_total
+  FROM spend, g
+),
+nat AS (
+  SELECT nation, COUNT(*) AS n_k,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS tot_k
+  FROM spend GROUP BY 1
+),
+between_t AS (
+  SELECT CAST(SUM(CAST(
+           (CAST(nat.n_k AS DOUBLE) / g.n)
+           * ((nat.tot_k / nat.n_k) / (g.tot / g.n))
+           * ln((nat.tot_k / nat.n_k) / (g.tot / g.n))
+           AS DECIMAL(27,12))) AS DOUBLE) AS t_between
+  FROM nat, g
+)
+SELECT (SELECT MAX(n) FROM g) AS n_customers,
+       ROUND((SELECT t_total FROM total), 8) AS theil_total,
+       ROUND((SELECT t_between FROM between_t), 8) AS theil_between,
+       ROUND((SELECT t_total FROM total)
+             - (SELECT t_between FROM between_t), 8) AS theil_within
+FROM (SELECT 1)
+""")
+def agg_theil(spark, sf):
+    """Theil-T inequality index of customer spend with its
+    between/within-nation DECOMPOSITION (the property Gini lacks:
+    total = between-group + within-group exactly) -- how much spend
+    inequality is across countries vs inside them, straight from the
+    Factbook's economics theme.  Decimal-exact x ln x sums; group
+    tables are dimension-sized."""
+    from .operators.relational import dsum
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    spend = (orders.join(F.broadcast(
+        customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", F.col("c_nationkey").alias("nation"))
+        .agg(dsum(F.col("o_totalprice")).alias("x"))
+        .localCheckpoint())
+    g = spend.agg(F.count(F.lit(1)).alias("n"),
+                  dsum(F.col("x")).alias("tot")).first()
+    n, tot = g["n"], g["tot"]
+    mu = tot / n
+    t_total = (spend.agg(
+        (F.sum(((F.col("x") / mu) * F.log(F.col("x") / mu))
+               .cast("decimal(27,12)")).cast("double") / n)
+        .alias("t")).first()["t"])
+    nat = (spend.groupBy("nation")
+           .agg(F.count(F.lit(1)).alias("n_k"),
+                dsum(F.col("x")).alias("tot_k")))
+    mu_k = F.col("tot_k") / F.col("n_k")
+    t_between = (nat.agg(F.sum(
+        ((F.col("n_k").cast("double") / n) * (mu_k / mu)
+         * F.log(mu_k / mu)).cast("decimal(27,12)"))
+        .cast("double").alias("t")).first()["t"])
+    return spark.createDataFrame(
+        [(n, round(t_total, 8), round(t_between, 8),
+          round(t_total - t_between, 8))],
+        "n_customers long, theil_total double, theil_between double, "
+        "theil_within double")

@@ -1206,3 +1206,47 @@ def st_alert_debounce(spark, sf):
                        F.element_at(st, 2).cast("long")
                        .alias("n_debounced_alerts"))
             .where(F.col("n_raw_alerts") > 0))
+
+
+@register("st_disorder", """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP)) AS t,
+         LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+           PARTITION BY user_id ORDER BY event_id) AS prev_t
+  FROM events
+)
+SELECT user_id,
+       COUNT(prev_t) AS n_pairs,
+       COUNT(CASE WHEN t < prev_t THEN 1 END) AS n_inversions,
+       ROUND(CAST(COUNT(CASE WHEN t < prev_t THEN 1 END) AS DOUBLE)
+             / COUNT(prev_t), 8) AS inversion_rate,
+       CAST(COALESCE(MAX(CASE WHEN t < prev_t THEN prev_t - t END), 0)
+            AS BIGINT) AS max_backwards_micros
+FROM seq GROUP BY user_id
+HAVING COUNT(prev_t) > 0
+""")
+def st_disorder(spark, sf):
+    """Stream out-of-orderness audit per user: adjacent-arrival
+    (event_id order) timestamp inversions and the worst backwards jump
+    -- EXACTLY the measurement that sizes a watermark delay (set it
+    above max_backwards and bounded-state streaming drops nothing).
+    One lag window per key."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seq = ev.select("user_id", t.alias("t"),
+                    F.lag(t).over(w).alias("prev_t"))
+    inv = F.when(F.col("t") < F.col("prev_t"), 1)
+    back = F.when(F.col("t") < F.col("prev_t"),
+                  F.col("prev_t") - F.col("t"))
+    return (seq.groupBy("user_id")
+            .agg(F.count("prev_t").alias("n_pairs"),
+                 F.count(inv).alias("n_inversions"),
+                 F.round(F.count(inv).cast("double")
+                         / F.count("prev_t"), 8)
+                 .alias("inversion_rate"),
+                 F.coalesce(F.max(back), F.lit(0)).cast("long")
+                 .alias("max_backwards_micros"))
+            .where(F.col("n_pairs") > 0))
