@@ -2727,3 +2727,149 @@ def g_rank_agreement(spark, sf):
         .alias("discordant"),
         F.round(F.sum("s").cast("double") / F.count(F.lit(1)), 8)
         .alias("kendall_tau"))
+
+
+@register("g_constraint", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+deg AS (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+p AS (
+  SELECT s.a AS i, s.b AS j,
+         1.0 / CAST(d.d AS DOUBLE) AS pij
+  FROM sym s JOIN deg d ON d.id = s.a
+),
+indirect AS (
+  SELECT p1.i, p2.j,
+         CAST(SUM(CAST(p1.pij * p2.pij AS DECIMAL(27,12)))
+              AS DOUBLE) AS piq_pqj
+  FROM p p1 JOIN p p2 ON p2.i = p1.j
+  WHERE p2.j != p1.i
+  GROUP BY p1.i, p2.j
+),
+cterm AS (
+  SELECT d.i, (d.pij + COALESCE(ind.piq_pqj, 0.0))
+               * (d.pij + COALESCE(ind.piq_pqj, 0.0)) AS term
+  FROM p d
+  LEFT JOIN indirect ind ON ind.i = d.i AND ind.j = d.j
+)
+SELECT i AS id,
+       ROUND(CAST(SUM(CAST(term AS DECIMAL(27,12))) AS DOUBLE), 8)
+         AS constraint_score
+FROM cterm GROUP BY i
+""")
+def g_constraint(spark, sf):
+    """Burt's network constraint (structural holes): how redundant a
+    nation's trade contacts are -- high constraint means its partners
+    all trade with EACH OTHER (no brokerage opportunity); low means it
+    bridges holes.  c_i = sum_j (p_ij + sum_q p_iq p_qj)^2 over
+    uniform-weight proportions; the indirect term is one
+    proportion-table self-join, decimal-exact sums."""
+    from .operators.graph import undirected_edges
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ue = (undirected_edges(top3).select("a", "b").distinct()
+          .localCheckpoint())
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b"))).localCheckpoint()
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    p = (sym.join(deg.withColumnRenamed("id", "a"), "a")
+         .select(F.col("a").alias("i"), F.col("b").alias("j"),
+                 (F.lit(1.0) / F.col("d").cast("double")).alias("pij"))
+         .localCheckpoint())
+    p1 = p.select(F.col("i"), F.col("j").alias("q"),
+                  F.col("pij").alias("piq"))
+    p2 = p.select(F.col("i").alias("q"), F.col("j"),
+                  F.col("pij").alias("pqj"))
+    indirect = (p1.join(p2, "q")
+                .where(F.col("j") != F.col("i"))
+                .groupBy("i", "j")
+                .agg(F.sum((F.col("piq") * F.col("pqj"))
+                           .cast("decimal(27,12)")).cast("double")
+                     .alias("piq_pqj")))
+    term = ((F.col("pij") + F.coalesce("piq_pqj", F.lit(0.0)))
+            * (F.col("pij") + F.coalesce("piq_pqj", F.lit(0.0))))
+    return (p.join(indirect, ["i", "j"], "left")
+            .select(F.col("i").alias("id"), term.alias("term"))
+            .groupBy("id")
+            .agg(F.round(F.sum(F.col("term").cast("decimal(27,12)"))
+                         .cast("double"), 8).alias("constraint_score")))
+
+
+@register("g_degree_assortativity", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+deg AS (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY 1),
+ends AS (
+  SELECT CAST(da.d AS DOUBLE) AS x, CAST(db.d AS DOUBLE) AS y
+  FROM sym e JOIN deg da ON da.id = e.a JOIN deg db ON db.id = e.b
+),
+mom AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))
+                  * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS DECIMAL(27,4))
+                  * CAST(x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(27,4))
+                  * CAST(y AS DECIMAL(27,4))) AS DOUBLE) AS syy
+  FROM ends
+)
+SELECT n AS n_edge_ends,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 8)
+         AS degree_assortativity
+FROM mom
+""")
+def g_degree_assortativity(spark, sf):
+    """Newman degree assortativity: Pearson correlation of endpoint
+    DEGREES over every directed edge-end of the undirected top-3 graph
+    (positive = hubs befriend hubs, negative = hub-and-spoke) -- the
+    degree-mixing companion to the strength variant (g_assortativity)
+    and the rich-club coefficient.  Decimal-exact moments over exact
+    integer degrees."""
+    from .operators.graph import undirected_edges
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ue = (undirected_edges(top3).select("a", "b").distinct()
+          .localCheckpoint())
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("d"))
+    ends = (sym.join(deg.withColumnRenamed("id", "a")
+                     .withColumnRenamed("d", "x"), "a")
+            .join(deg.withColumnRenamed("id", "b")
+                  .withColumnRenamed("d", "y"), "b")
+            .select(F.col("x").cast("double").alias("x"),
+                    F.col("y").cast("double").alias("y")))
+    dx = F.col("x").cast("decimal(27,4)")
+    dy = F.col("y").cast("decimal(27,4)")
+    mom = ends.agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(dx).cast("double").alias("sx"),
+                   F.sum(dy).cast("double").alias("sy"),
+                   F.sum(dx * dy).cast("double").alias("sxy"),
+                   F.sum(dx * dx).cast("double").alias("sxx"),
+                   F.sum(dy * dy).cast("double").alias("syy"))
+    n = F.col("n").cast("double")
+    r = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+         / F.sqrt((n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                  * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return mom.select(F.col("n").alias("n_edge_ends"),
+                      F.round(r, 8).alias("degree_assortativity"))

@@ -3820,3 +3820,77 @@ def llm_mutual_knn(spark, sf):
     rev = knn.select(F.col("b").alias("a"), F.col("a").alias("b"))
     return (knn.join(rev, ["a", "b"], "left_semi")
             .where(F.col("a") < F.col("b")))
+
+
+_BF_BUDGET = 20000
+
+
+@register("llm_budget_fill", f"""
+WITH q AS (
+  SELECT doc_id, len({TOKS}) AS n_tok,
+         CAST(len(list_filter({TOKS}, x -> x IN ('the', 'a', 'of',
+              'and', 'to'))) AS DOUBLE) / greatest(len({TOKS}), 1)
+           AS stop_ratio
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, n_tok, stop_ratio,
+         SUM(n_tok) OVER (ORDER BY stop_ratio DESC, doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM q
+)
+SELECT doc_id, n_tok, ROUND(stop_ratio, 8) AS quality_proxy,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM ranked WHERE cum_tokens <= {_BF_BUDGET}
+""")
+def llm_budget_fill(spark, sf):
+    """Greedy token-budget fill: rank documents by a quality proxy
+    (stopword density -- higher = more natural prose here) and keep
+    the prefix that fits a {b}-token budget -- the selection step
+    between scoring and packing when the training budget, not the
+    corpus, is the constraint.  One ranking window + cumulative-sum
+    cut.""".replace("{b}", str(_BF_BUDGET))
+    from pyspark.sql import Window as W
+    docs = read_parallel(spark, sf, "documents")
+    t = tokens(F.col("text"))
+    stops = F.size(F.filter(t, lambda x: x.isin(
+        "the", "a", "of", "and", "to")))
+    q = docs.select("doc_id", F.size(t).alias("n_tok"),
+                    (stops.cast("double")
+                     / F.greatest(F.size(t), F.lit(1)))
+                    .alias("stop_ratio"))
+    w = (W.orderBy(F.desc("stop_ratio"), F.asc("doc_id"))
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (q.withColumn("cum_tokens", F.sum("n_tok").over(w))
+            .where(F.col("cum_tokens") <= _BF_BUDGET)
+            .select("doc_id", "n_tok",
+                    F.round("stop_ratio", 8).alias("quality_proxy"),
+                    F.col("cum_tokens").cast("long")
+                    .alias("cum_tokens")))
+
+
+@register("llm_lang_mismatch", f"""
+WITH t AS (SELECT doc_id, lang, {TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_LANG_SCORES} FROM t),
+pred AS (SELECT doc_id, lang AS labeled, {_langid_case()} AS detected
+         FROM s)
+SELECT labeled, detected, COUNT(*) AS n_docs,
+       MIN(doc_id) AS example_doc_id
+FROM pred
+WHERE labeled != detected AND detected != 'und'
+GROUP BY labeled, detected
+""")
+def llm_lang_mismatch(spark, sf):
+    """Label-vs-detector language disagreements (excluding abstains):
+    the mislabeled-metadata audit run before trusting upstream lang
+    tags for mixture decisions -- each (labeled, detected) cell with a
+    reproducible example doc.  Confusion-cell-sized output."""
+    from .operators.text import lang_id
+    docs = read_parallel(spark, sf, "documents")
+    pred = docs.select("doc_id", F.col("lang").alias("labeled"),
+                       lang_id(F.col("text")).alias("detected"))
+    return (pred.where((F.col("labeled") != F.col("detected"))
+                       & (F.col("detected") != "und"))
+            .groupBy("labeled", "detected")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("example_doc_id")))
