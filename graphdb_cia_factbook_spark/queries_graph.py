@@ -2718,7 +2718,10 @@ def g_rank_agreement(spark, sf):
                 * (F.col("ya") - F.col("yb")) > 0, 1)
          .when((F.col("xa") - F.col("xb"))
                * (F.col("ya") - F.col("yb")) < 0, -1).otherwise(0))
-    pairs = a.join(b, F.col("ia") < F.col("ib")).select(s.alias("s"))
+    # ranking tables are dimension-sized: broadcast one side so the
+    # non-equi pair join plans as BroadcastNestedLoop, never Cartesian
+    pairs = (a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+             .select(s.alias("s")))
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long")
