@@ -2067,3 +2067,103 @@ def agg_theil(spark, sf):
           round(t_total - t_between, 8))],
         "n_customers long, theil_total double, theil_between double, "
         "theil_within double")
+
+
+@register("agg_eta_squared", """
+WITH x AS (
+  SELECT cu.c_nationkey AS grp, CAST(o.o_totalprice AS DOUBLE) AS v
+  FROM orders o JOIN customer cu ON cu.c_custkey = o.o_custkey
+),
+g AS (
+  SELECT grp, COUNT(*) AS n_g,
+         CAST(SUM(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS s_g
+  FROM x GROUP BY 1
+),
+tot AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(v AS DECIMAL(27,4))
+                  * CAST(v AS DECIMAL(27,4))) AS DOUBLE) AS ss
+  FROM x
+),
+parts AS (
+  SELECT (SELECT ss - s * s / n FROM tot) AS sst,
+         (SELECT CAST(SUM(CAST(s_g * s_g / n_g AS DECIMAL(27,6)))
+                 AS DOUBLE) FROM g)
+         - (SELECT s * s / n FROM tot) AS ssb,
+         (SELECT COUNT(*) FROM g) AS k,
+         (SELECT n FROM tot) AS n
+)
+SELECT n, k AS n_groups,
+       ROUND(ssb / sst, 8) AS eta_squared,
+       ROUND((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 8)
+         AS f_statistic
+FROM parts
+""")
+def agg_eta_squared(spark, sf):
+    """One-way ANOVA effect size: how much of order-price variance the
+    customer's nation explains (eta^2 = between-group / total sum of
+    squares) with the F statistic -- the does-this-dimension-matter
+    test behind feature triage.  All sums decimal-exact; group table
+    is dimension-sized."""
+    orders = read_table(spark, sf, "orders")
+    customer = read_table(spark, sf, "customer")
+    x = (orders.join(F.broadcast(
+        customer.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"))
+        .select(F.col("c_nationkey").alias("grp"),
+                F.col("o_totalprice").cast("double").alias("v"))
+        .localCheckpoint())
+    dv = F.col("v").cast("decimal(27,4)")
+    tot = x.agg(F.count(F.lit(1)).alias("n"),
+                F.sum(dv).cast("double").alias("s"),
+                F.sum(dv * dv).cast("double").alias("ss")).first()
+    n, s, ss = tot["n"], tot["s"], tot["ss"]
+    sst = ss - s * s / n
+    g = (x.groupBy("grp")
+         .agg(F.count(F.lit(1)).alias("n_g"),
+              F.sum(dv).cast("double").alias("s_g")))
+    ssb_row = g.agg(F.sum((F.col("s_g") * F.col("s_g")
+                           / F.col("n_g")).cast("decimal(27,6)"))
+                    .cast("double").alias("b"),
+                    F.count(F.lit(1)).alias("k")).first()
+    ssb = ssb_row["b"] - s * s / n
+    k = ssb_row["k"]
+    return spark.createDataFrame(
+        [(n, k, round(ssb / sst, 8),
+          round((ssb / (k - 1)) / ((sst - ssb) / (n - k)), 8))],
+        "n long, n_groups long, eta_squared double, f_statistic double")
+
+
+@register("dq_sequence_gaps", """
+WITH seq AS (
+  SELECT event_id,
+         LAG(event_id) OVER (ORDER BY event_id) AS prev_id
+  FROM events
+)
+SELECT COUNT(*) + 1 AS n_ids,
+       MIN(prev_id) IS NOT NULL AS has_rows,
+       CAST(SUM(event_id - prev_id - 1) AS BIGINT) AS n_missing,
+       CAST(MAX(event_id - prev_id - 1) AS BIGINT) AS largest_gap,
+       COUNT(CASE WHEN event_id - prev_id > 1 THEN 1 END) AS n_gaps
+FROM seq WHERE prev_id IS NOT NULL
+""")
+def dq_sequence_gaps(spark, sf):
+    """Sequence-continuity audit: missing ids in the event_id ledger
+    (total missing, gap count, largest hole) -- the completeness check
+    for anything that should be gap-free (ledgers, offsets, invoice
+    numbers).  One ordered lag window; at 100 TB partition the
+    sequence into ranges and lag within ranges + one boundary pass --
+    same counts."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    seq = ev.select("event_id",
+                    F.lag("event_id").over(W.orderBy("event_id"))
+                    .alias("prev_id"))
+    d = F.col("event_id") - F.col("prev_id") - 1
+    return (seq.where(F.col("prev_id").isNotNull())
+            .agg((F.count(F.lit(1)) + 1).alias("n_ids"),
+                 (F.min("prev_id").isNotNull()).alias("has_rows"),
+                 F.sum(d).cast("long").alias("n_missing"),
+                 F.max(d).cast("long").alias("largest_gap"),
+                 F.count(F.when(d > 0, 1)).alias("n_gaps")))
