@@ -2876,3 +2876,60 @@ def g_degree_assortativity(spark, sf):
                   * (n * F.col("syy") - F.col("sy") * F.col("sy"))))
     return mom.select(F.col("n").alias("n_edge_ends"),
                       F.round(r, 8).alias("degree_assortativity"))
+
+
+@register("g_centralization", f"""
+WITH {EDGES_CTE},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+deg AS (
+  SELECT v.id, COALESCE(d.d, 0) AS d
+  FROM verts v
+  LEFT JOIN (SELECT a AS id, COUNT(*) AS d FROM sym GROUP BY 1) d
+    ON d.id = v.id
+),
+s AS (
+  SELECT COUNT(*) AS n, MAX(d) AS dmax,
+         CAST(SUM(d) AS BIGINT) AS dsum
+  FROM deg
+)
+SELECT n, dmax AS max_degree,
+       ROUND(CAST(dsum AS DOUBLE) / n, 8) AS mean_degree,
+       ROUND(CAST(n * dmax - dsum AS DOUBLE)
+             / ((n - 1.0) * (n - 2.0)), 8)
+         AS degree_centralization
+FROM s
+""")
+def g_centralization(spark, sf):
+    """Freeman degree centralization of the undirected top-3 graph:
+    how star-like the network is (1 = perfect star, 0 = regular) --
+    the one-number hub-dominance summary computed as the normalized
+    deviation of degrees from the maximum.  Exact integer degree
+    sums."""
+    from .operators.graph import undirected_edges
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ue = undirected_edges(top3).select("a", "b").distinct()
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b")))
+    deg = (g.vertices.select("id")
+           .join(sym.groupBy(F.col("a").alias("id"))
+                 .agg(F.count(F.lit(1)).alias("d")), "id", "left")
+           .select(F.coalesce("d", F.lit(0)).alias("d")))
+    s = deg.agg(F.count(F.lit(1)).alias("n"),
+                F.max("d").alias("dmax"),
+                F.sum("d").cast("long").alias("dsum"))
+    return s.select(
+        "n", F.col("dmax").alias("max_degree"),
+        F.round(F.col("dsum").cast("double") / F.col("n"), 8)
+        .alias("mean_degree"),
+        F.round((F.col("n") * F.col("dmax") - F.col("dsum"))
+                .cast("double")
+                / ((F.col("n") - 1.0) * (F.col("n") - 2.0)), 8)
+        .alias("degree_centralization"))
