@@ -2167,3 +2167,52 @@ def dq_sequence_gaps(spark, sf):
                  F.sum(d).cast("long").alias("n_missing"),
                  F.max(d).cast("long").alias("largest_gap"),
                  F.count(F.when(d > 0, 1)).alias("n_gaps")))
+
+
+@register("rfm_segments", """
+WITH base AS (
+  SELECT user_id,
+         MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+         COUNT(*) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(27,4))) AS DOUBLE) AS monetary
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id
+),
+scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY last_ts, user_id) AS r,
+         NTILE(5) OVER (ORDER BY freq, user_id) AS f,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m
+  FROM base
+)
+SELECT r AS r_score, f AS f_score, m AS m_score,
+       COUNT(*) AS n_users,
+       r * 100 + f * 10 + m AS rfm_code
+FROM scored GROUP BY r, f, m
+""")
+def rfm_segments(spark, sf):
+    """RFM segmentation: purchase recency / frequency / monetary
+    quintiles per user, aggregated to segment cells -- the classic
+    customer-value grid (555 = best).  NTILE over deterministic total
+    orders; the per-user pass is one grouped aggregate, the grid is
+    125 cells at any scale."""
+    from pyspark.sql import Window as W
+    from .operators.relational import dsum
+    ev = read_table(spark, sf, "events")
+    base = (ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.max(F.col("ts").cast("timestamp")).alias("last_ts"),
+                 F.count(F.lit(1)).alias("freq"),
+                 dsum(F.col("value")).alias("monetary")))
+    scored = base.select(
+        "user_id",
+        F.ntile(5).over(W.orderBy("last_ts", "user_id")).alias("r"),
+        F.ntile(5).over(W.orderBy("freq", "user_id")).alias("f"),
+        F.ntile(5).over(W.orderBy("monetary", "user_id")).alias("m"))
+    return (scored.groupBy(F.col("r").alias("r_score"),
+                           F.col("f").alias("f_score"),
+                           F.col("m").alias("m_score"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .select("r_score", "f_score", "m_score", "n_users",
+                    (F.col("r_score") * 100 + F.col("f_score") * 10
+                     + F.col("m_score")).alias("rfm_code")))

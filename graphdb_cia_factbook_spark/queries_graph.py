@@ -2933,3 +2933,53 @@ def g_centralization(spark, sf):
                 .cast("double")
                 / ((F.col("n") - 1.0) * (F.col("n") - 2.0)), 8)
         .alias("degree_centralization"))
+
+
+@register("g_hop_plot", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+reach(root, id, dist) AS (
+  SELECT id, id, 0 FROM verts
+  UNION
+  SELECT r.root, e.dst, r.dist + 1
+  FROM reach r JOIN top3 e ON e.src = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach GROUP BY 1, 2
+),
+hist AS (
+  SELECT dist, COUNT(*) AS n_pairs FROM mind WHERE dist > 0 GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_pairs) AS DOUBLE) AS t FROM hist)
+SELECT h.dist AS hop, h.n_pairs,
+       ROUND(CAST(SUM(h.n_pairs) OVER (ORDER BY h.dist
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS DOUBLE) / (SELECT t FROM tot), 8)
+         AS cum_pair_fraction
+FROM hist h
+""")
+def g_hop_plot(spark, sf):
+    """Hop plot of the top-3-partner digraph: reachable-pair counts by
+    shortest distance with the cumulative fraction -- the
+    neighborhood-growth curve (how fast the small world saturates)
+    that effective-diameter reads one point from.  Same BFS closure,
+    distance-histogram-sized output."""
+    from .operators.graph import Graph, _multi_root_bfs
+    from pyspark.sql import Window as W
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    closure = _multi_root_bfs(Graph(g.vertices, top3), None, 25, True)
+    hist = (closure.where(F.col("dist") > 0)
+            .groupBy(F.col("dist").alias("hop"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .localCheckpoint())
+    tot = hist.agg(F.sum("n_pairs").cast("double").alias("t"))
+    w_cum = W.orderBy("hop").rowsBetween(W.unboundedPreceding, 0)
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("hop", "n_pairs",
+                    F.round(F.sum("n_pairs").over(w_cum).cast("double")
+                            / F.col("t"), 8)
+                    .alias("cum_pair_fraction")))

@@ -3894,3 +3894,31 @@ def llm_lang_mismatch(spark, sf):
             .groupBy("labeled", "detected")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.min("doc_id").alias("example_doc_id")))
+
+
+@register("llm_source_overlap", f"""
+WITH fp AS (
+  SELECT DISTINCT source, {NORM_MD5} AS f FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_docs
+FROM fp a JOIN fp b ON a.f = b.f AND a.source < b.source
+GROUP BY 1, 2
+""")
+def llm_source_overlap(spark, sf):
+    """Cross-source duplication matrix: how many exact-duplicate
+    documents each PAIR of sources shares (normalized-md5
+    fingerprints) -- the provenance-overlap audit that catches one
+    crawl re-packaged as another before both are counted as
+    independent data.  Fingerprint-keyed join, df naturally bounded
+    by sources-per-fingerprint."""
+    from .operators.text import fingerprint
+    docs = read_parallel(spark, sf, "documents")
+    fp = (docs.select("source", fingerprint(F.col("text")).alias("f"))
+          .distinct().localCheckpoint())
+    a = fp.select(F.col("source").alias("source_a"), "f")
+    b = fp.select(F.col("source").alias("source_b"), "f")
+    return (a.join(b, "f")
+            .where(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared_docs")))
