@@ -1384,3 +1384,53 @@ def rel_date_spine(spark, sf):
                     F.round(F.coalesce("revenue", F.lit(0.0)), 4)
                     .alias("revenue"),
                     F.col("dd").isNull().alias("is_gap")))
+
+
+@register("rel_abc_analysis", """
+WITH rev AS (
+  SELECT p.p_brand AS item,
+         CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                       AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  GROUP BY 1
+),
+ranked AS (
+  SELECT item, revenue,
+         SUM(revenue) OVER (ORDER BY revenue DESC, item
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(revenue) OVER () AS tot
+  FROM rev
+)
+SELECT item, ROUND(revenue, 4) AS revenue,
+       ROUND(cum_rev / tot, 8) AS cum_share,
+       CASE WHEN cum_rev / tot <= 0.8 THEN 'A'
+            WHEN cum_rev / tot <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+""")
+def rel_abc_analysis(spark, sf):
+    """ABC (Pareto) classification of brands by revenue: the running
+    cumulative-share cut at 80%/95% -- the inventory-prioritization
+    classic (A items get the attention; C items get automation).
+    Decimal-exact revenue sums; the ranking window runs over the
+    brand-sized aggregate, never fact rows."""
+    from pyspark.sql import Window as W
+    from .operators.relational import dsum
+    li = read_table(spark, sf, "lineitem")
+    part = read_table(spark, sf, "part").select("p_partkey", "p_brand")
+    rev = (li.join(F.broadcast(part),
+                   li.l_partkey == part.p_partkey)
+           .groupBy(F.col("p_brand").alias("item"))
+           .agg(dsum(F.col("l_extendedprice")
+                     * (1 - F.col("l_discount"))).alias("revenue")))
+    w = (W.orderBy(F.desc("revenue"), F.asc("item"))
+         .rowsBetween(W.unboundedPreceding, 0))
+    wt = W.partitionBy()
+    ranked = (rev.withColumn("cum_rev", F.sum("revenue").over(w))
+              .withColumn("tot", F.sum("revenue").over(wt)))
+    share = F.col("cum_rev") / F.col("tot")
+    return ranked.select(
+        "item", F.round("revenue", 4).alias("revenue"),
+        F.round(share, 8).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B")
+        .otherwise("C").alias("abc_class"))

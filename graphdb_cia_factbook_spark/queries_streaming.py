@@ -1250,3 +1250,53 @@ def st_disorder(spark, sf):
                  F.coalesce(F.max(back), F.lit(0)).cast("long")
                  .alias("max_backwards_micros"))
             .where(F.col("n_pairs") > 0))
+
+
+@register("ts_durbin_watson", """
+WITH e0 AS (
+  SELECT event_type, ts, event_id,
+         CAST(value AS DOUBLE)
+         - (CAST(SUM(CAST(value AS DECIMAL(27,4))) OVER (
+              PARTITION BY event_type) AS DOUBLE)
+            / COUNT(*) OVER (PARTITION BY event_type)) AS e
+  FROM events
+),
+resid AS (
+  SELECT event_type, e,
+         LAG(e) OVER (PARTITION BY event_type
+                      ORDER BY ts, event_id) AS e_prev
+  FROM e0
+)
+SELECT event_type, COUNT(e_prev) AS n_pairs,
+       ROUND(CAST(SUM(CAST((e - e_prev) * (e - e_prev)
+                           AS DECIMAL(27,6))) AS DOUBLE)
+             / CAST(SUM(CAST(e * e AS DECIMAL(27,6))) AS DOUBLE), 8)
+         AS durbin_watson
+FROM resid WHERE e_prev IS NOT NULL
+GROUP BY event_type
+""")
+def ts_durbin_watson(spark, sf):
+    """Durbin-Watson statistic per metric: serial correlation of
+    mean-residuals in event-time order (~2 = independent, <2 =
+    positive autocorrelation) -- the regression-residual diagnostic
+    next to ts_acf.  The mean comes from a decimal-exact window so
+    residuals are engine-identical; squared-difference sums are
+    decimal-cast."""
+    from pyspark.sql import Window as W
+    ev = read_table(spark, sf, "events")
+    wp = W.partitionBy("event_type")
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    mean = (F.sum(F.col("value").cast("decimal(27,4)")).over(wp)
+            .cast("double") / F.count(F.lit(1)).over(wp))
+    e = F.col("value").cast("double") - mean
+    resid = ev.select("event_type", e.alias("e"),
+                      F.lag(e).over(wo).alias("e_prev"))
+    d = F.col("e") - F.col("e_prev")
+    return (resid.where(F.col("e_prev").isNotNull())
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum((d * d).cast("decimal(27,6)"))
+                         .cast("double")
+                         / F.sum((F.col("e") * F.col("e"))
+                                 .cast("decimal(27,6)"))
+                         .cast("double"), 8).alias("durbin_watson")))
