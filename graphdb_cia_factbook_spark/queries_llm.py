@@ -3922,3 +3922,57 @@ def llm_source_overlap(spark, sf):
             .where(F.col("source_a") < F.col("source_b"))
             .groupBy("source_a", "source_b")
             .agg(F.count(F.lit(1)).alias("n_shared_docs")))
+
+
+@register("llm_neardup_distance_audit", f"""
+WITH blk AS (
+  SELECT DISTINCT doc_id,
+         md5(substr(text, i * {_BLK} + 1, {_BLK})) AS bh
+  FROM documents,
+       unnest(range(0, CAST(floor(length(text) / {_BLK}) AS BIGINT)))
+         AS u(i)
+),
+rare AS (
+  SELECT b.doc_id, b.bh FROM blk b
+  JOIN (SELECT bh FROM blk GROUP BY bh
+        HAVING COUNT(*) <= {_BLK_DF}) r ON r.bh = b.bh
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM rare a JOIN rare b ON a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_BLK_MIN}
+)
+SELECT p.id_a, p.id_b,
+       levenshtein(da.text, db.text) AS edit_distance,
+       ROUND(CAST(levenshtein(da.text, db.text) AS DOUBLE)
+             / GREATEST(length(da.text), length(db.text)), 8)
+         AS normalized_distance
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+""")
+def llm_neardup_distance_audit(spark, sf):
+    """Near-duplicate DISTANCE audit: for every block-dedup candidate
+    pair, the exact edit distance and its length-normalized form --
+    quantifies HOW different the 'duplicates' are (drives the keep vs
+    merge vs ignore threshold).  Expensive exact distance runs only on
+    the candidate-pair set the cheap block hashes produced -- the
+    filter-then-verify discipline end to end."""
+    from .operators.dedup import block_dedup_pairs
+    docs = read_parallel(spark, sf, "documents").localCheckpoint()
+    pairs = block_dedup_pairs(docs, block_chars=_BLK,
+                              min_shared=_BLK_MIN,
+                              max_block_df=_BLK_DF) \
+        .select("id_a", "id_b")
+    da = docs.select(F.col("doc_id").alias("id_a"),
+                     F.col("text").alias("__ta"))
+    db = docs.select(F.col("doc_id").alias("id_b"),
+                     F.col("text").alias("__tb"))
+    lev = F.levenshtein(F.col("__ta"), F.col("__tb"))
+    return (pairs.join(da, "id_a").join(db, "id_b")
+            .select("id_a", "id_b", lev.alias("edit_distance"),
+                    F.round(lev.cast("double")
+                            / F.greatest(F.length("__ta"),
+                                         F.length("__tb")), 8)
+                    .alias("normalized_distance")))
