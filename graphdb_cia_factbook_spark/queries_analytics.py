@@ -2216,3 +2216,52 @@ def rfm_segments(spark, sf):
             .select("r_score", "f_score", "m_score", "n_users",
                     (F.col("r_score") * 100 + F.col("f_score") * 10
                      + F.col("m_score")).alias("rfm_code")))
+
+
+@register("anomaly_tukey", """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(CAST(value AS DOUBLE), 0.25) AS q1,
+         quantile_cont(CAST(value AS DOUBLE), 0.75) AS q3
+  FROM events GROUP BY 1
+)
+SELECT e.event_type, COUNT(*) AS n,
+       ROUND(q.q1, 6) AS q1, ROUND(q.q3, 6) AS q3,
+       COUNT(CASE WHEN CAST(e.value AS DOUBLE)
+                       < q.q1 - 1.5 * (q.q3 - q.q1)
+                    OR CAST(e.value AS DOUBLE)
+                       > q.q3 + 1.5 * (q.q3 - q.q1)
+                  THEN 1 END) AS n_outliers,
+       COUNT(CASE WHEN CAST(e.value AS DOUBLE)
+                       < q.q1 - 3.0 * (q.q3 - q.q1)
+                    OR CAST(e.value AS DOUBLE)
+                       > q.q3 + 3.0 * (q.q3 - q.q1)
+                  THEN 1 END) AS n_far_outliers
+FROM events e JOIN q ON q.event_type = e.event_type
+GROUP BY e.event_type, q.q1, q.q3
+""")
+def anomaly_tukey(spark, sf):
+    """Tukey-fence (boxplot) outlier audit per metric: counts beyond
+    1.5x and 3x IQR -- the third member of the outlier family
+    (z-score: parametric; MAD: robust center; Tukey: quartile
+    fences).  Exact interpolated quartiles broadcast back over one
+    scan."""
+    ev = read_table(spark, sf, "events")
+    v = F.col("value").cast("double")
+    q = (ev.groupBy("event_type")
+         .agg(F.percentile(v, F.lit(0.25)).alias("q1"),
+              F.percentile(v, F.lit(0.75)).alias("q3")))
+    iqr = F.col("q3") - F.col("q1")
+    out = ((v < F.col("q1") - 1.5 * iqr)
+           | (v > F.col("q3") + 1.5 * iqr))
+    far = ((v < F.col("q1") - 3.0 * iqr)
+           | (v > F.col("q3") + 3.0 * iqr))
+    return (ev.join(F.broadcast(q), "event_type")
+            .groupBy("event_type", "q1", "q3")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count(F.when(out, 1)).alias("n_outliers"),
+                 F.count(F.when(far, 1)).alias("n_far_outliers"))
+            .select("event_type", "n",
+                    F.round("q1", 6).alias("q1"),
+                    F.round("q3", 6).alias("q3"),
+                    "n_outliers", "n_far_outliers"))

@@ -2983,3 +2983,99 @@ def g_hop_plot(spark, sf):
                     F.round(F.sum("n_pairs").over(w_cum).cast("double")
                             / F.col("t"), 8)
                     .alias("cum_pair_fraction")))
+
+
+@register("g_small_world", f"""
+WITH RECURSIVE {EDGES_CTE.lstrip()},
+{_TOP3_CTE.lstrip()},
+ue AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM top3 WHERE src != dst
+),
+sym AS (SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue),
+wedges AS (
+  SELECT x.a AS u, x.b AS c, y.b AS v
+  FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+),
+tri AS (
+  SELECT COUNT(*) AS closed FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM sym e
+                WHERE e.a = w.c AND e.b = w.v)
+),
+wt AS (SELECT COUNT(*) AS total FROM wedges),
+reach(root, id, dist) AS (
+  SELECT a, b, 1 FROM sym
+  UNION
+  SELECT r.root, e.b, r.dist + 1
+  FROM reach r JOIN sym e ON e.a = r.id
+  WHERE r.dist < 25
+),
+mind AS (
+  SELECT root, id, MIN(dist) AS dist FROM reach
+  WHERE root != id GROUP BY 1, 2
+),
+lstat AS (
+  SELECT CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS l_actual FROM mind
+),
+gstat AS (
+  SELECT CAST((SELECT COUNT(*) FROM verts) AS DOUBLE) AS n,
+         2.0 * (SELECT COUNT(*) FROM ue)
+         / CAST((SELECT COUNT(*) FROM verts) AS DOUBLE) AS k
+)
+SELECT ROUND((SELECT CAST(closed AS DOUBLE) FROM tri)
+             / (SELECT total FROM wt), 8) AS clustering_c,
+       ROUND((SELECT k FROM gstat) / (SELECT n FROM gstat), 8)
+         AS c_random,
+       ROUND((SELECT l_actual FROM lstat), 8) AS path_l,
+       ROUND(ln((SELECT n FROM gstat)) / ln((SELECT k FROM gstat)), 8)
+         AS l_random,
+       ROUND(((SELECT CAST(closed AS DOUBLE) FROM tri)
+              / (SELECT total FROM wt)
+              / ((SELECT k FROM gstat) / (SELECT n FROM gstat)))
+             / ((SELECT l_actual FROM lstat)
+                / (ln((SELECT n FROM gstat))
+                   / ln((SELECT k FROM gstat)))), 8)
+         AS small_world_sigma
+FROM (SELECT 1)
+""")
+def g_small_world(spark, sf):
+    """Small-world coefficient sigma = (C/C_rand)/(L/L_rand) with the
+    analytic Erdos-Renyi baselines (C_rand = <k>/n, L_rand =
+    ln n / ln <k>): sigma >> 1 = Watts-Strogatz small world (clustered
+    AND short).  Composes the verified transitivity and
+    undirected-path kernels into the one-number regime test."""
+    from .operators.graph import Graph, _multi_root_bfs, undirected_edges
+    g = build_trade_graph(spark, sf)
+    w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
+    top3 = (g.edges.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3).select("src", "dst"))
+    ue = (undirected_edges(top3).select("a", "b").distinct()
+          .localCheckpoint())
+    sym = ue.union(ue.select(F.col("b").alias("a"),
+                             F.col("a").alias("b"))).localCheckpoint()
+    x = sym.select(F.col("a").alias("u"), F.col("b").alias("c"))
+    y = sym.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    wedges = (x.join(y, "u").where(F.col("c") < F.col("v"))
+              .localCheckpoint())
+    closer = sym.select(F.col("a").alias("c"), F.col("b").alias("v"))
+    closed = wedges.join(closer, ["c", "v"], "left_semi").count()
+    total = wedges.count()
+    n = g.vertices.count()
+    m = ue.count()
+    k = 2.0 * m / n
+    closure = _multi_root_bfs(Graph(g.vertices, top3), None, 25,
+                              directed=False)
+    lrow = (closure.where(F.col("dist") > 0)
+            .agg((F.sum("dist").cast("double")
+                  / F.count(F.lit(1))).alias("l")).first())
+    import math
+    c_actual = closed / total
+    c_rand = k / n
+    l_actual = lrow["l"]
+    l_rand = math.log(n) / math.log(k)
+    sigma = (c_actual / c_rand) / (l_actual / l_rand)
+    return spark.createDataFrame(
+        [(round(c_actual, 8), round(c_rand, 8), round(l_actual, 8),
+          round(l_rand, 8), round(sigma, 8))],
+        "clustering_c double, c_random double, path_l double, "
+        "l_random double, small_world_sigma double")
