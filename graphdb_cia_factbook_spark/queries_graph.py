@@ -3079,3 +3079,46 @@ def g_small_world(spark, sf):
           round(l_rand, 8), round(sigma, 8))],
         "clustering_c double, c_random double, path_l double, "
         "l_random double, small_world_sigma double")
+
+
+@register("g_edge_weight_gini", f"""
+WITH {EDGES_CTE},
+ranked AS (
+  SELECT amount,
+         ROW_NUMBER() OVER (ORDER BY amount, src, dst) AS i,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(CAST(amount AS DECIMAL(27,4))) OVER () AS DOUBLE)
+           AS tot
+  FROM edges
+)
+SELECT MAX(n) AS n_edges,
+       ROUND((2.0 * CAST(SUM(CAST(i * amount AS DECIMAL(27,4)))
+                         AS DOUBLE))
+             / (MAX(n) * MAX(tot))
+             - (CAST(MAX(n) AS DOUBLE) + 1.0) / MAX(n), 8)
+         AS edge_weight_gini
+FROM ranked
+""")
+def g_edge_weight_gini(spark, sf):
+    """Gini concentration of trade-route weights: is world trade a few
+    giant corridors or many equal flows?  The edge-level companion to
+    the per-nation spend concentration (agg_concentration) -- the same
+    rank formula over the (amount, src, dst) total order, edge-table
+    sized."""
+    from pyspark.sql import Window as W
+    g = build_trade_graph(spark, sf)
+    w = W.orderBy("amount", "src", "dst")
+    wt = W.partitionBy()
+    ranked = (g.edges
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("n", F.count(F.lit(1)).over(wt))
+              .withColumn("tot", F.sum(F.col("amount")
+                                       .cast("decimal(27,4)"))
+                          .over(wt).cast("double")))
+    gini = (F.lit(2.0)
+            * F.sum((F.col("i") * F.col("amount"))
+                    .cast("decimal(27,4)")).cast("double")
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n").cast("double") + 1.0) / F.max("n"))
+    return ranked.agg(F.max("n").alias("n_edges"),
+                      F.round(gini, 8).alias("edge_weight_gini"))

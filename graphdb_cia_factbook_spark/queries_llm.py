@@ -3976,3 +3976,46 @@ def llm_neardup_distance_audit(spark, sf):
                             / F.greatest(F.length("__ta"),
                                          F.length("__tb")), 8)
                     .alias("normalized_distance")))
+
+
+@register("llm_label_balance", """
+WITH c AS (
+  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot, COUNT(*) AS k,
+             MAX(n) AS nmax, MIN(n) AS nmin
+      FROM c)
+SELECT (SELECT k FROM t) AS n_classes,
+       (SELECT CAST(nmax AS BIGINT) FROM t) AS largest_class,
+       (SELECT CAST(nmin AS BIGINT) FROM t) AS smallest_class,
+       ROUND(CAST((SELECT nmax FROM t) AS DOUBLE)
+             / (SELECT nmin FROM t), 8) AS imbalance_ratio,
+       ROUND(exp(CAST(SUM(CAST(
+         -(n / (SELECT tot FROM t))
+          * ln(n / (SELECT tot FROM t)) AS DECIMAL(27,12)))
+         AS DOUBLE)), 8) AS effective_n_classes
+FROM c
+""")
+def llm_label_balance(spark, sf):
+    """Label-balance report for the embedding training set: class
+    counts, max/min imbalance ratio, and the ENTROPY-effective number
+    of classes (exp of label entropy -- 10 balanced classes score 10;
+    one dominant class collapses toward 1) -- the check before
+    trusting accuracy or sampling uniformly.  Class-sized
+    aggregates."""
+    emb = read_parallel(spark, sf, "embeddings")
+    c = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n")) \
+        .localCheckpoint()
+    t = c.agg(F.sum("n").cast("double").alias("tot"),
+              F.count(F.lit(1)).alias("k"),
+              F.max("n").alias("nmax"),
+              F.min("n").alias("nmin")).first()
+    p = F.col("n") / t["tot"]
+    ent = c.agg(F.sum((-p * F.log(p)).cast("decimal(27,12)"))
+                .cast("double").alias("h")).first()["h"]
+    import math
+    return spark.createDataFrame(
+        [(t["k"], t["nmax"], t["nmin"],
+          round(t["nmax"] / t["nmin"], 8), round(math.exp(ent), 8))],
+        "n_classes long, largest_class long, smallest_class long, "
+        "imbalance_ratio double, effective_n_classes double")
