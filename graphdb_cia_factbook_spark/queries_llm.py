@@ -4019,3 +4019,120 @@ def llm_label_balance(spark, sf):
           round(t["nmax"] / t["nmin"], 8), round(math.exp(ent), 8))],
         "n_classes long, largest_class long, smallest_class long, "
         "imbalance_ratio double, effective_n_classes double")
+
+
+_QE_FEEDBACK_K, _QE_TERMS = 10, 10
+
+
+@register("llm_query_expansion", f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TOKS}) AS w FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS len FROM tok GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(len AS DECIMAL(27,4))) AS DOUBLE)
+         / COUNT(*) AS avglen
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, w, COUNT(*) AS tf FROM tok
+  WHERE w IN {repr(tuple(_BM25_TERMS))} GROUP BY 1, 2
+),
+df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         CAST(SUM(CAST(
+           ln(1.0 + ((SELECT n_docs FROM stats) - d.df + 0.5)
+                    / (d.df + 0.5))
+           * (t.tf * ({_BM25_K1!r} + 1.0))
+           / (t.tf + {_BM25_K1!r}
+              * (1.0 - {_BM25_B!r}
+                 + {_BM25_B!r} * l.len / (SELECT avglen FROM stats)))
+           AS DECIMAL(27,12))) AS DOUBLE) AS score
+  FROM tf t
+  JOIN df d ON d.w = t.w
+  JOIN dl l ON l.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+feedback AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+             AS r
+    FROM scored) WHERE r <= {_QE_FEEDBACK_K}
+),
+cand AS (
+  SELECT t.w, COUNT(*) AS fb_tf,
+         COUNT(DISTINCT t.doc_id) AS fb_df
+  FROM tok t JOIN feedback f ON f.doc_id = t.doc_id
+  WHERE t.w NOT IN {repr(tuple(_BM25_TERMS))}
+    AND length(t.w) >= 4
+  GROUP BY t.w
+),
+gdf AS (
+  SELECT w, COUNT(DISTINCT doc_id) AS g FROM tok GROUP BY 1
+)
+SELECT c.w AS expansion_term, c.fb_tf, c.fb_df,
+       ROUND(c.fb_tf * ln(CAST((SELECT n_docs FROM stats) AS DOUBLE)
+                          / g.g), 8) AS rm_weight,
+       ROW_NUMBER() OVER (
+         ORDER BY c.fb_tf * ln(CAST((SELECT n_docs FROM stats)
+                                    AS DOUBLE) / g.g) DESC, c.w)
+         AS term_rank
+FROM cand c JOIN gdf g ON g.w = c.w
+QUALIFY term_rank <= {_QE_TERMS}
+""")
+def llm_query_expansion(spark, sf):
+    """Pseudo-relevance-feedback query expansion (RM3-lite): take the
+    BM25 top-{k} documents for the seed query, rank their terms by
+    feedback-frequency x corpus idf, and emit the top expansion
+    candidates -- the zero-training recall booster classic IR stacks
+    run before a second retrieval pass.  Composes the verified BM25
+    scorer with token-sized counting; only query-term postings and
+    feedback-doc tokens shuffle.""".replace("{k}", str(_QE_FEEDBACK_K))
+    from pyspark.sql import Window as W
+    import math
+    docs = read_parallel(spark, sf, "documents")
+    tok = docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+    tok = tok.localCheckpoint()
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum(F.col("len").cast("decimal(27,4)")).cast("double")
+         / F.count(F.lit(1))).alias("avglen"))
+    tf = (tok.where(F.col("w").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    j = (tf.join(F.broadcast(dfreq), "w").join(dl, "doc_id")
+         .crossJoin(F.broadcast(stats)))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    term = (idf * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * F.col("len")
+                                   / F.col("avglen"))))
+    scored = (j.groupBy("doc_id")
+              .agg(F.sum(term.cast("decimal(27,12)")).cast("double")
+                   .alias("score")))
+    wfb = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    feedback = (scored.withColumn("__r", F.row_number().over(wfb))
+                .where(F.col("__r") <= _QE_FEEDBACK_K)
+                .select("doc_id"))
+    cand = (tok.join(feedback, "doc_id")
+            .where(~F.col("w").isin(*_BM25_TERMS)
+                   & (F.length("w") >= 4))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("fb_tf"),
+                 F.countDistinct("doc_id").alias("fb_df")))
+    gdf = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("g"))
+    n_docs = dl.count()
+    weight = (F.col("fb_tf")
+              * F.log(F.lit(float(n_docs)) / F.col("g")))
+    return (cand.join(gdf, "w")
+            .withColumn("rm_weight", F.round(weight, 8))
+            .withColumn("term_rank", F.row_number().over(
+                W.orderBy(F.desc(weight), F.asc("w"))))
+            .where(F.col("term_rank") <= _QE_TERMS)
+            .select(F.col("w").alias("expansion_term"), "fb_tf",
+                    "fb_df", "rm_weight", "term_rank"))
