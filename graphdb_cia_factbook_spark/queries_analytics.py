@@ -2265,3 +2265,42 @@ def anomaly_tukey(spark, sf):
                     F.round("q1", 6).alias("q1"),
                     F.round("q3", 6).alias("q3"),
                     "n_outliers", "n_far_outliers"))
+
+
+@register("agg_chi2_uniform_dow", """
+WITH c AS (
+  SELECT CAST(EXTRACT(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER)
+           AS dow,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS DOUBLE) AS tot, COUNT(*) AS k FROM c)
+SELECT (SELECT k FROM t) AS n_buckets,
+       ROUND(CAST(SUM(CAST(
+         (n - (SELECT tot FROM t) / (SELECT k FROM t))
+         * (n - (SELECT tot FROM t) / (SELECT k FROM t))
+         / ((SELECT tot FROM t) / (SELECT k FROM t))
+         AS DECIMAL(27,12))) AS DOUBLE), 8) AS chi2,
+       CAST(SUM(n) AS BIGINT) AS n_events
+FROM c
+""")
+def agg_chi2_uniform_dow(spark, sf):
+    """Chi-square goodness-of-fit of event volume against a UNIFORM
+    day-of-week profile: the is-there-weekly-structure test that
+    decides whether ts_seasonal_index-style adjustment is even needed
+    (chi2 >> df = yes).  Exact integer counts, decimal-exact cell
+    sum."""
+    ev = read_table(spark, sf, "events")
+    dow = (F.dayofweek(F.col("ts").cast("timestamp")) - 1).cast("int")
+    c = (ev.groupBy(dow.alias("dow"))
+         .agg(F.count(F.lit(1)).alias("n")).localCheckpoint())
+    t = c.agg(F.sum("n").cast("double").alias("tot"),
+              F.count(F.lit(1)).alias("k")).first()
+    exp = t["tot"] / t["k"]
+    cell = (F.col("n") - exp) * (F.col("n") - exp) / exp
+    out = c.agg(F.sum(cell.cast("decimal(27,12)")).cast("double")
+                .alias("chi2"),
+                F.sum("n").cast("long").alias("n_events")).first()
+    return spark.createDataFrame(
+        [(t["k"], round(out["chi2"], 8), out["n_events"])],
+        "n_buckets long, chi2 double, n_events long")

@@ -4136,3 +4136,70 @@ def llm_query_expansion(spark, sf):
             .where(F.col("term_rank") <= _QE_TERMS)
             .select(F.col("w").alias("expansion_term"), "fb_tf",
                     "fb_df", "rm_weight", "term_rank"))
+
+
+_BURST_TOP, _BURST_OUT = 100, 20
+
+
+@register("llm_term_burstiness", f"""
+WITH tc AS (
+  SELECT doc_id, w, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({TOKS}) AS w FROM documents)
+  GROUP BY 1, 2
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tc),
+top AS (
+  SELECT w, CAST(SUM(tf) AS BIGINT) AS total_tf,
+         COUNT(*) AS n_docs_with,
+         CAST(SUM(tf * tf) AS BIGINT) AS sum_sq
+  FROM tc GROUP BY w
+  ORDER BY SUM(tf) DESC, w LIMIT {_BURST_TOP}
+),
+vmr AS (
+  SELECT w, total_tf, n_docs_with,
+         (CAST(sum_sq AS DOUBLE)
+          - CAST(total_tf AS DOUBLE) * total_tf / (SELECT n FROM nd))
+         / ((SELECT n FROM nd) - 1)
+         / (CAST(total_tf AS DOUBLE) / (SELECT n FROM nd)) AS v
+  FROM top
+)
+SELECT w AS term, total_tf, n_docs_with,
+       ROUND(v, 8) AS burstiness_vmr, burst_rank
+FROM (SELECT w, total_tf, n_docs_with, v,
+             ROW_NUMBER() OVER (ORDER BY v DESC, w) AS burst_rank
+      FROM vmr)
+WHERE burst_rank <= {_BURST_OUT}
+""")
+def llm_term_burstiness(spark, sf):
+    """Term burstiness (variance-to-mean ratio over per-doc counts,
+    zeros included): content words CLUMP (high VMR -- a doc about a
+    topic repeats its terms) while function words spread evenly
+    (VMR ~ 1, Poisson) -- the dispersion statistic behind stopword
+    discovery and keyword weighting beyond raw idf.  Exact integer
+    tf moments over the top-100 frequent terms."""
+    docs = read_parallel(spark, sf, "documents")
+    tc = (docs.select("doc_id",
+                      F.explode(tokens(F.col("text"))).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf"))
+          .localCheckpoint())
+    n = tc.select("doc_id").distinct().count()
+    from pyspark.sql import Window as W
+    top = (tc.groupBy("w")
+           .agg(F.sum("tf").cast("long").alias("total_tf"),
+                F.count(F.lit(1)).alias("n_docs_with"),
+                F.sum(F.col("tf") * F.col("tf")).cast("long")
+                .alias("sum_sq"))
+           .orderBy(F.desc("total_tf"), F.asc("w")).limit(_BURST_TOP))
+    mean = F.col("total_tf").cast("double") / n
+    var = ((F.col("sum_sq").cast("double")
+            - F.col("total_tf").cast("double") * F.col("total_tf") / n)
+           / (n - 1))
+    vmr = var / mean
+    return (top.withColumn("v", vmr)
+            .withColumn("burst_rank", F.row_number().over(
+                W.orderBy(F.desc("v"), F.asc("w"))))
+            .where(F.col("burst_rank") <= _BURST_OUT)
+            .select(F.col("w").alias("term"), "total_tf",
+                    "n_docs_with",
+                    F.round("v", 8).alias("burstiness_vmr"),
+                    "burst_rank"))
