@@ -4203,3 +4203,47 @@ def llm_term_burstiness(spark, sf):
                     "n_docs_with",
                     F.round("v", 8).alias("burstiness_vmr"),
                     "burst_rank"))
+
+
+_SWEEP_THRESHOLDS = (0.5, 0.7, 0.9)
+
+
+@register("llm_dedup_threshold_sweep", f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+{_LSH_CAND_SQL},
+{_JACCARD_CTES.lstrip()},
+ths AS (SELECT unnest({list(_SWEEP_THRESHOLDS)!r}) AS th)
+SELECT ths.th AS threshold,
+       COUNT(CASE WHEN j.jaccard >= ths.th THEN 1 END) AS n_pairs,
+       COUNT(DISTINCT CASE WHEN j.jaccard >= ths.th
+                           THEN j.id_b END) AS n_docs_removed
+FROM ths LEFT JOIN jac j ON j.jaccard >= ths.th
+GROUP BY ths.th
+""")
+def llm_dedup_threshold_sweep(spark, sf):
+    """Dedup threshold-tuning sweep: pair and removed-doc counts at
+    jaccard >= 0.5 / 0.7 / 0.9 from ONE scoring pass over the LSH
+    candidate set -- the aggressiveness curve a curation team reads
+    before fixing the production threshold (score once, aggregate per
+    threshold; never re-run the pipeline per setting)."""
+    from .operators.dedup import ngram_jaccard_dedup
+    docs = read_parallel(spark, sf, "documents")
+    scored = (minhash_lsh_dedup(docs, num_hashes=_NUM_HASHES,
+                                bands=_BANDS, threshold=0.0,
+                                max_bucket_size=_LSH_BUCKET_CAP)
+              .select("id_a", "id_b", "jaccard").localCheckpoint())
+    ths = spark.createDataFrame([(t,) for t in _SWEEP_THRESHOLDS],
+                                "th double")
+    return (F.broadcast(ths)
+            .join(scored, scored.jaccard >= ths.th, "left")
+            .groupBy(F.col("th").alias("threshold"))
+            .agg(F.count(F.when(F.col("jaccard") >= F.col("th"), 1))
+                 .alias("n_pairs"),
+                 F.countDistinct(F.when(F.col("jaccard")
+                                        >= F.col("th"),
+                                        F.col("id_b")))
+                 .alias("n_docs_removed")))
