@@ -54,6 +54,12 @@ HEADLINE = [
     "llm_mmr_rerank",        # greedy MMR diversified re-rank
     "hier_subtree_rollup",   # pointer-doubling recursive hierarchy
     "ts_cusum",              # sequential CUSUM change detection
+    # round 4 additions (r4 gate surface representatives; the list
+    # stays a strict superset of every earlier round's HEADLINE)
+    "llm_pack_sequences",    # sharded prefix-sum sequence packing
+    "q8_market_share",       # 8-table join, share-of-total by year (Q8)
+    "dq_psi",                # population-stability drift report
+    "agg_skyline",           # Pareto skyline (dominance anti-join)
 ]
 
 

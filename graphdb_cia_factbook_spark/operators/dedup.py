@@ -513,7 +513,8 @@ def block_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     cannot materialize a quadratic pair space.  Everything is pure
     Catalyst -- no Python, one block-keyed shuffle, pair space bounded
     by df_cap^2 per block hash."""
-    n_blocks = F.floor(F.length(F.col(text_col)) / block_chars)
+    n_blocks = F.expr(
+        f"CAST(length({text_col}) AS BIGINT) DIV {int(block_chars)}")
     hashed = (df.select(F.col(id_col), F.col(text_col),
                         n_blocks.alias("__nb"))
               # guard: Spark sequence(0, -1) would count DOWN; docs

@@ -26,6 +26,7 @@ Scale design (the part GDS does in closed-source memory):
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -33,6 +34,20 @@ from pyspark.sql import functions as F
 
 from ..sources import assert_unique_key, read_table
 from .relational import dsum
+
+
+def _warn_hop_budget(fn_name: str, max_hops: int) -> None:
+    """A BFS-family loop ran out of hop budget with a LIVE frontier:
+    the closure is truncated, and downstream consumers (bridges,
+    betweenness, diameter) would silently treat unreached vertices as
+    unreachable (ADVICE round 3).  All call sites iterate to frontier
+    exhaustion in the normal case -- the budget is a runaway backstop
+    -- so hitting it is always worth a loud signal."""
+    warnings.warn(
+        f"{fn_name}: hop budget {max_hops} exhausted with a non-empty "
+        f"frontier; vertices beyond {max_hops} hops are missing from "
+        "the result. Raise max_hops (the loop stops by itself at "
+        "frontier exhaustion).", RuntimeWarning, stacklevel=3)
 
 
 @dataclass
@@ -521,6 +536,8 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    else:
+        _warn_hop_budget("bfs_hops", max_hops)
     return (graph.vertices.select("id")
             .join(visited, "id", "left")
             .select("id", "dist"))
@@ -560,6 +577,8 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    else:
+        _warn_hop_budget("_multi_root_bfs", max_hops)
     return visited
 
 
@@ -1130,6 +1149,8 @@ def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    else:
+        _warn_hop_budget("_multi_root_bfs_paths", max_hops)
     return visited
 
 
@@ -1448,15 +1469,22 @@ def eigenvector_centrality(graph: Graph, max_iter: int = 15) -> DataFrame:
              .join(y, "id", "left")
              .select("id", F.coalesce("y", F.lit(0.0)).alias("y")))
         m = y.agg(F.max("y").alias("m"))
+        # zero-guard (ADVICE round 3): on an edgeless graph, or any
+        # DAG once iterations exceed the longest path (nilpotent
+        # adjacency), y collapses to all zeros -- rescaling by MAX(y)
+        # would turn every vertex into NULL/NaN.  Degrade to zeros.
         x = (y.crossJoin(F.broadcast(m))
-             .select("id", (F.col("y") / F.col("m")).alias("x"))
+             .select("id", F.when(F.col("m") > 0,
+                                  F.col("y") / F.col("m"))
+                     .otherwise(F.lit(0.0)).alias("x"))
              .localCheckpoint(eager=False))
     norm = x.agg(F.sqrt(F.sum((F.col("x") * F.col("x"))
                               .cast("decimal(27,12)")).cast("double"))
                  .alias("n"))
     return (x.crossJoin(F.broadcast(norm))
-            .select("id", F.round(F.col("x") / F.col("n"), 8)
-                    .alias("eigenvector")))
+            .select("id", F.when(F.col("n") > 0,
+                                 F.round(F.col("x") / F.col("n"), 8))
+                    .otherwise(F.lit(0.0)).alias("eigenvector")))
 
 
 def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
@@ -1742,6 +1770,9 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
             break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
+    else:
+        # truncation here would mark far-apart endpoints as bridges
+        _warn_hop_budget("bridges", max_hops)
     reached = (visited.where(F.col("id") == F.col("eb"))
                .select("ea", "eb", F.lit(True).alias("__r")))
     return (ue.join(reached, (ue.a == reached.ea) & (ue.b == reached.eb),

@@ -88,13 +88,20 @@ def pack_sequences(df: DataFrame, budget: int, n_shards: int = 8,
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     cum = F.sum(count_col).over(w)
-    start = (cum - F.col(count_col)).cast("long")
-    end = (cum - 1).cast("long")
+    b = int(budget)
+    # integer DIV, never floor(double-division): the double round-trip
+    # is exact at these magnitudes but is the one step whose result
+    # could drift across engine builds; DIV keeps the whole pipeline
+    # in 64-bit integer arithmetic end to end (non-negative operands,
+    # so truncation == floor on both engines).
     return (df.withColumn("shard", shard.cast("int"))
+            .withColumn("_start", (cum - F.col(count_col)).cast("long"))
+            .withColumn("_end", (cum - 1).cast("long"))
             .select(id_col, "shard", F.col(count_col).alias("n_tokens"),
-                    F.floor(start / budget).cast("long").alias("seq_first"),
-                    F.floor(end / budget).cast("long").alias("seq_last"),
-                    F.pmod(start, F.lit(budget)).cast("long")
+                    F.expr(f"_start DIV {b}").cast("long")
+                    .alias("seq_first"),
+                    F.expr(f"_end DIV {b}").cast("long").alias("seq_last"),
+                    F.pmod(F.col("_start"), F.lit(b)).cast("long")
                     .alias("start_offset")))
 
 
@@ -132,10 +139,12 @@ def length_bucket_batches(df: DataFrame, batch_size: int,
     coin = sample_hash_coin(F.col(id_col), salt)
     w = Window.partitionBy("bucket").orderBy(coin, id_col)
     rn = F.row_number().over(w) - 1
+    bs = int(batch_size)
     return (df.withColumn("bucket", bucket)
+            .withColumn("_rn", rn.cast("long"))
             .select(id_col, F.col(count_col).alias("n_tokens"), "bucket",
-                    F.floor(rn / batch_size).cast("long").alias("batch_id"),
-                    F.pmod(rn, F.lit(batch_size)).cast("long")
+                    F.expr(f"_rn DIV {bs}").cast("long").alias("batch_id"),
+                    F.pmod(F.col("_rn"), F.lit(bs)).cast("long")
                     .alias("pos_in_batch")))
 
 

@@ -615,10 +615,10 @@ FROM sorted s, overall o
 @register("boot_mean_ci", _boot_sql())
 def boot_mean_ci(spark, sf):
     """Poisson-bootstrap 95% CI for the mean event value: every row
-    enters each of {B} replicas with hash-decided Poisson(1)
+    enters each of ``_BOOT_B`` replicas with hash-decided Poisson(1)
     multiplicity -- the coordination-free, replayable bootstrap that
     scales to 100 TB (one pass, no resampling shuffle).  See
-    operators.sampling.poisson_bootstrap_mean_ci.""".format(B=_BOOT_B)
+    operators.sampling.poisson_bootstrap_mean_ci."""
     from .operators.sampling import poisson_bootstrap_mean_ci
     ev = read_table(spark, sf, "events")
     return poisson_bootstrap_mean_ci(ev, "value", "event_id",
@@ -699,7 +699,7 @@ def hier_subtree_rollup(spark, sf):
     customer = read_table(spark, sf, "customer")
     par = (customer.where(F.col("c_custkey") >= 10)
            .select(F.col("c_custkey").alias("node"),
-                   F.floor(F.col("c_custkey") / 10).cast("long")
+                   F.expr("c_custkey DIV 10").cast("long")
                    .alias("parent")))
     clo = ancestor_closure(par)
     return (clo.join(customer.select(F.col("c_custkey").alias("node"),

@@ -375,3 +375,120 @@ def s1_jsonl_source(spark, sf):
     return (df.groupBy("country", "tag")
             .agg(F.count(F.lit(1)).alias("n_records"),
                  F.sum("amount").cast("long").alias("total_amount")))
+
+
+# ---------------------------------------------------------------------------
+# S3/S5 sink round-trips (VERDICT round 3 item 8): the three sink-side
+# ops previously verified only by pytest get oracle-checkable entries.
+# Each writes to a scratch dir under spark-warehouse/ (gitignored),
+# reads its own output back, and returns content a DuckDB oracle can
+# recompute from the SOURCE tables -- so the official gate verifies the
+# write+read round-trip preserved every value, not just that the write
+# succeeded.
+# ---------------------------------------------------------------------------
+
+_SINK_RT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "spark-warehouse", "_sink_rt")
+
+
+def _sink_path(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(_SINK_RT_DIR, name, tag)
+
+
+@register("s3_csv_roundtrip", """
+SELECT n.n_nationkey, n.n_name, r.r_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+""")
+def s3_csv_roundtrip(spark, sf):
+    """S3 CSV sink round-trip (scrape_cia.py:86-87's df.to_csv):
+    nation x region written through sources.write_csv, read back with
+    a DECLARED schema (headers on, no inference), returned verbatim --
+    the oracle recomputes the same 25 rows from the source tables, so
+    a green row proves the CSV layer is lossless for the exported
+    types."""
+    from .sources import read_csv, write_csv
+    from pyspark.sql import types as T
+    out = _sink_path("s3_csv", sf)
+    nation = read_table(spark, sf, "nation")
+    region = read_table(spark, sf, "region")
+    df = (nation.join(region,
+                      nation.n_regionkey == region.r_regionkey)
+          .select("n_nationkey", "n_name", "r_name"))
+    write_csv(df, out)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.LongType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("r_name", T.StringType()),
+    ])
+    return read_csv(spark, out, schema, header=True)
+
+
+@register("s5_compaction_roundtrip", """
+SELECT CAST((COUNT(*) + 2047) // 2048 AS BIGINT) AS n_files,
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,4))) AS DOUBLE)
+         AS total_price
+FROM orders WHERE o_orderstatus = 'F'
+""")
+def s5_compaction_roundtrip(spark, sf):
+    """Small-file compaction round-trip: finished orders written as 16
+    deliberately-tiny files, compacted to ceil(rows/2048) files via
+    sources.compact_files (round-robin repartition + atomic tmp-dir
+    rename), read back and reduced to (file count, row count,
+    decimal-exact price total).  The oracle recomputes all three from
+    the source table -- file count included, since the sizing formula
+    is pure integer arithmetic over COUNT(*)."""
+    from .sources import compact_files
+    out = _sink_path("s5_compact", sf)
+    src = (read_table(spark, sf, "orders")
+           .where(F.col("o_orderstatus") == "F"))
+    src.repartition(16).write.mode("overwrite").parquet(out)
+    n_files = compact_files(spark, out, target_rows_per_file=2048)
+    from .operators.relational import dsum
+    back = spark.read.parquet(out)
+    return (back.agg(F.count(F.lit(1)).alias("n_rows"),
+                     dsum(F.col("o_totalprice")).alias("total_price"))
+            .select(F.lit(n_files).cast("long").alias("n_files"),
+                    "n_rows", "total_price"))
+
+
+@register("s3_clustered_write", """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(27,4))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY 1
+""")
+def s3_clustered_write(spark, sf):
+    """Cluster-by write round-trip: lineitem written through
+    sources.write_clustered (range-partition on l_shipdate + sort
+    within files -- the layout that makes parquet min/max footers
+    selective for the dominant predicate at 100 TB), read back and
+    aggregated per ship month.  The builder ALSO asserts the
+    structural property the oracle cannot see: per-file [min, max]
+    shipdate ranges must not overlap (file-count-sized stats, one
+    tiny collect).  A green row proves content preservation; the
+    assert proves the clustering."""
+    from .sources import write_clustered
+    out = _sink_path("s3_clustered", sf)
+    li = read_table(spark, sf, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount")
+    write_clustered(li, out, cluster_by=["l_shipdate"], n_files=4)
+    back = spark.read.parquet(out)
+    stats = (back.groupBy(F.input_file_name().alias("f"))
+             .agg(F.min("l_shipdate").alias("lo"),
+                  F.max("l_shipdate").alias("hi"))
+             .orderBy("lo").collect())
+    for a, b in zip(stats, stats[1:]):
+        assert a.hi <= b.lo, (
+            f"clustered files overlap: {a.f} [..{a.hi}] vs "
+            f"{b.f} [{b.lo}..]")
+    from .operators.relational import dsum
+    return (back.groupBy(F.date_format("l_shipdate", "yyyy-MM")
+                         .alias("ship_month"))
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 dsum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("revenue")))

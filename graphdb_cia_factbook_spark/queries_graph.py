@@ -19,6 +19,36 @@ from .operators.graph import articlerank, build_trade_graph, pagerank
 from .operators.relational import dsum
 from .registry import register
 
+
+def _nation_vertex_count(default: int = 25) -> int:
+    """|V| of the trade graph = rows of the nation table, read from
+    the parquet FOOTER at import time (oracle SQL is generated at
+    module import, before any SparkSession exists; a footer read costs
+    microseconds and no engine).  The generated fixed-round oracles
+    (k-core peel, condensation levels, MIS/coloring rounds, Brandes
+    levels) are exact only while rounds >= |V| -- deriving the count
+    here means a larger synthetic nation table grows the oracles
+    automatically instead of invalidating them (VERDICT round 3 item
+    5).  The per-query asserts remain as the backstop for a driver
+    running a DIFFERENT sf_dir than the one visible here (nation is
+    scale-factor-invariant in TPC-H-style generators, so in practice
+    they agree)."""
+    import os
+    try:
+        import pyarrow.parquet as pq
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.01")
+        path = os.path.join(sf_dir, "nation.parquet")
+        if os.path.exists(path):
+            return max(default,
+                       int(pq.ParquetFile(path).metadata.num_rows))
+    except Exception:  # noqa: BLE001 -- footer read is best-effort
+        pass
+    return default
+
+
+_N_VERTS = _nation_vertex_count()
+
 # Shared edge definition (must mirror operators.graph.build_trade_graph
 # exactly: decimal-exact revenue sums, self-loops removed).
 EDGES_CTE = """
@@ -673,7 +703,7 @@ l{k} AS MATERIALIZED (
     return "".join(parts)
 
 
-_KCORE_K, _KCORE_ROUNDS = 4, 25
+_KCORE_K, _KCORE_ROUNDS = 4, _N_VERTS
 
 
 def _kcore_sql(k: int, rounds: int) -> str:
@@ -852,7 +882,7 @@ def g_diameter(spark, sf):
     return graph_diameter(Graph(g.vertices, top3))
 
 
-_CONDENSATION_ROUNDS = 25
+_CONDENSATION_ROUNDS = _N_VERTS
 
 
 def _condensation_sql(rounds: int) -> str:
@@ -964,11 +994,11 @@ _WALK_LEN = 4
 @register("g_random_walks", _walks_sql(_WALK_LEN))
 def g_random_walks(spark, sf):
     """EXT graph -> training-data op: deterministic random walks over
-    the top-3-partner digraph (one walk per vertex, {n} steps), next
-    hop chosen by a replayable md5 coin over the dst-ordered neighbor
-    rank -- the DeepWalk/node2vec sequence-generation stage with zero
-    seed state.  Oracle replays every step as generated SQL.""" \
-        .replace("{n}", str(_WALK_LEN))
+    the top-3-partner digraph (one walk per vertex, ``_WALK_LEN``
+    steps), next hop chosen by a replayable md5 coin over the
+    dst-ordered neighbor rank -- the DeepWalk/node2vec
+    sequence-generation stage with zero seed state.  Oracle replays
+    every step as generated SQL."""
     from .operators.graph import Graph, random_walks
     g = build_trade_graph(spark, sf)
     w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
@@ -1262,7 +1292,7 @@ top3 AS MATERIALIZED (
 #: level-synchronous path-count CTEs generated up to |V|-1 levels (a
 #: shortest path can never be longer); g_betweenness asserts the vertex
 #: count fits at query time (same guard style as g_kcore).
-_BETW_LEVELS = 25
+_BETW_LEVELS = _N_VERTS
 
 
 def _betweenness_sql(levels: int) -> str:
@@ -1538,7 +1568,7 @@ def g_mst(spark, sf):
     return boruvka_mst(g.vertices.select("id"), uw)
 
 
-_MIS_ROUNDS = 25
+_MIS_ROUNDS = _N_VERTS
 
 
 def _mis_sql(rounds: int) -> str:
@@ -1639,7 +1669,8 @@ def g_eigenvector(spark, sf):
     return eigenvector_centrality(g, max_iter=_EIG_ITERS)
 
 
-_TRUSS_K, _TRUSS_ROUNDS = 4, 75
+# truss peels EDGES: the top-3 digraph has <= 3|V| undirected edges
+_TRUSS_K, _TRUSS_ROUNDS = 4, 3 * _N_VERTS
 
 
 def _ktruss_sql(k: int, rounds: int) -> str:
@@ -1994,12 +2025,11 @@ SELECT {_RC_K} AS k,
          AS rich_club_coefficient
 """)
 def g_rich_club(spark, sf):
-    """Rich-club coefficient: edge density among the {k}
+    """Rich-club coefficient: edge density among the ``_RC_K``
     highest-degree nations of the undirected top-3 graph -- do the
     hubs trade with EACH OTHER more than chance (the network-science
     elite-interconnection metric).  Degree ranking + one
-    hub-restricted join; everything is dimension-sized.""" \
-        .replace("{k}", str(_RC_K))
+    hub-restricted join; everything is dimension-sized."""
     g = build_trade_graph(spark, sf)
     w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
     top3 = (g.edges.withColumn("rn", F.row_number().over(w))
@@ -2023,7 +2053,7 @@ def g_rich_club(spark, sf):
         "rich_club_coefficient double")
 
 
-_COLOR_ROUNDS, _COLOR_CANDS = 25, 26
+_COLOR_ROUNDS, _COLOR_CANDS = _N_VERTS, _N_VERTS + 1
 
 
 def _coloring_sql(rounds: int, cands: int) -> str:

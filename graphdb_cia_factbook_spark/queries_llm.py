@@ -673,16 +673,17 @@ c AS (
   FROM t
 )
 SELECT doc_id, CAST(shard AS INT) AS shard, n_tokens,
-       (cum - n_tokens) // {_PACK_BUDGET} AS seq_first,
-       (cum - 1) // {_PACK_BUDGET} AS seq_last,
-       (cum - n_tokens) % {_PACK_BUDGET} AS start_offset
+       CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_first,
+       CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS seq_last,
+       CAST((cum - n_tokens) % {_PACK_BUDGET} AS BIGINT) AS start_offset
 FROM c
 """)
 def llm_pack_sequences(spark, sf):
     """Training-example construction: concat-and-chunk sequence
     packing of the token stream into fixed {budget}-token sequences,
     sharded so the prefix sum never serializes through one partition.
-    Pure integer window arithmetic -- exact on both engines."""
+    Pure integer window arithmetic (integer DIV/pmod, never a
+    double-division round-trip) -- exact on every engine build."""
     from .operators.sampling import pack_sequences
     from .operators.text import token_count
     docs = (read_parallel(spark, sf, "documents")
@@ -691,6 +692,33 @@ def llm_pack_sequences(spark, sf):
                     .alias("n_tokens")))
     return pack_sequences(docs, budget=_PACK_BUDGET,
                           n_shards=_PACK_SHARDS)
+
+
+@register("llm_pack_cum_diag", f"""
+SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
+       CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+       SUM(CAST(len({TOKS}) AS BIGINT))
+         OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+FROM documents
+""")
+def llm_pack_cum_diag(spark, sf):
+    """Diagnostic companion to llm_pack_sequences: emits the raw
+    sharded prefix sums BEFORE any division, so a gate mismatch on the
+    packer bisects instantly -- if this row is green the divergence is
+    in the sequence-index arithmetic; if red it is in tokenization or
+    the window sum.  (Registered after round 3's environment-sensitive
+    hash mismatch on the packer; see VERDICT.md round 3.)"""
+    from .operators.text import token_count
+    w = (Window.partitionBy("shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (read_parallel(spark, sf, "documents")
+            .select("doc_id",
+                    F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS))
+                    .cast("int").alias("shard"),
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens"))
+            .withColumn("cum", F.sum("n_tokens").over(w).cast("long")))
 
 
 @register("llm_decontaminate", f"""
@@ -1725,12 +1753,12 @@ _BPE_MERGES = 5
 
 @register("llm_bpe_learn", _bpe_sql(_BPE_MERGES))
 def llm_bpe_learn(spark, sf):
-    """BPE tokenizer TRAINING: learn the first {n} merges from the
-    corpus vocabulary -- per merge one pair explode over the word
-    VOCABULARY (the corpus collapses to word counts once), a 1-row
-    struct-MIN argmax (no global sort), and a broadcast boundary-safe
-    literal replace.  Oracle replays every merge stage as generated
-    SQL.""".replace("{n}", str(_BPE_MERGES))
+    """BPE tokenizer TRAINING: learn the first ``_BPE_MERGES`` merges
+    from the corpus vocabulary -- per merge one pair explode over the
+    word VOCABULARY (the corpus collapses to word counts once), a
+    1-row struct-MIN argmax (no global sort), and a broadcast
+    boundary-safe literal replace.  Oracle replays every merge stage
+    as generated SQL."""
     from .operators.text import bpe_learn
     return bpe_learn(read_parallel(spark, sf, "documents"),
                      n_merges=_BPE_MERGES)
@@ -1875,9 +1903,9 @@ def llm_pca_power(spark, sf):
     """Top principal component of the embedding table by power
     iteration: decimal-exact covariance (the only heavy op -- one
     explode + one per-vector self-join, map-side combined into dim^2
-    cells), then {n} matvec+normalize rounds over the broadcast-sized
-    matrix.  The PCA-whitening prep step, replayed exactly by
-    generated oracle SQL.""".replace("{n}", str(_PCA_ITERS))
+    cells), then ``_PCA_ITERS`` matvec+normalize rounds over the
+    broadcast-sized matrix.  The PCA-whitening prep step, replayed
+    exactly by generated oracle SQL."""
     from .operators.similarity import pca_top_component
     return pca_top_component(read_parallel(spark, sf, "embeddings"),
                              iters=_PCA_ITERS)
@@ -2171,12 +2199,11 @@ FROM ranked WHERE rank <= {_PQ_K}""")
 @register("llm_ann_pq", _pq_sql())
 def llm_ann_pq(spark, sf):
     """Product-quantization ANN (Jegou et al. 2011): 64-dim vectors
-    compressed to {m} one-byte codes via per-subspace codebooks, then
-    max-inner-product top-{k} answered from codes + per-query lookup
-    tables (asymmetric distance computation).  The 64x index
-    compression that makes billion-vector search fit in memory; see
-    operators.similarity.pq_topk for the scale shape.""".format(
-        m=_PQ_M, k=_PQ_K)
+    compressed to ``_PQ_M`` one-byte codes via per-subspace codebooks,
+    then max-inner-product top-``_PQ_K`` answered from codes +
+    per-query lookup tables (asymmetric distance computation).  The
+    64x index compression that makes billion-vector search fit in
+    memory; see operators.similarity.pq_topk for the scale shape."""
     from .operators.similarity import pq_topk
     emb = read_parallel(spark, sf, "embeddings")
     return pq_topk(emb, emb.where(F.col("vec_id") < _PQ_QMAX),
@@ -2579,12 +2606,11 @@ GROUP BY 1, 2
 HAVING COUNT(*) >= {_BLK_MIN}
 """)
 def llm_block_dedup(spark, sf):
-    """CDC-style fixed-block dedup: documents sharing >= {m}
-    {b}-char block hashes -- the fixed-size-chunking pass storage/
-    backup systems run, with the standard hot-block df cap so
+    """CDC-style fixed-block dedup: documents sharing >= ``_BLK_MIN``
+    ``_BLK``-char block hashes -- the fixed-size-chunking pass
+    storage/backup systems run, with the standard hot-block df cap so
     boilerplate blocks never go quadratic.  See
-    operators.dedup.block_dedup_pairs.""" \
-        .replace("{m}", str(_BLK_MIN)).replace("{b}", str(_BLK))
+    operators.dedup.block_dedup_pairs."""
     from .operators.dedup import block_dedup_pairs
     docs = read_parallel(spark, sf, "documents")
     return block_dedup_pairs(docs, block_chars=_BLK,
@@ -3054,13 +3080,13 @@ FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
       FROM base)
 """)
 def llm_quota_allocate(spark, sf):
-    """Largest-remainder (Hamilton) apportionment of a {b}-doc
-    sampling budget across sources by total character weight: integer
-    quotas that sum EXACTLY to the budget, the fair-rounding step a
-    mixture sampler runs before fixed-size per-stratum sampling
-    (llm_fixed_sample consumes these quotas).  One source-sized
-    aggregate + one dimension-sized window; remainders tie-break on
-    source.""".replace("{b}", str(_QUOTA_BUDGET))
+    """Largest-remainder (Hamilton) apportionment of a
+    ``_QUOTA_BUDGET``-doc sampling budget across sources by total
+    character weight: integer quotas that sum EXACTLY to the budget,
+    the fair-rounding step a mixture sampler runs before fixed-size
+    per-stratum sampling (llm_fixed_sample consumes these quotas).
+    One source-sized aggregate + one dimension-sized window;
+    remainders tie-break on source."""
     from .operators.relational import dsum
     docs = read_parallel(spark, sf, "documents")
     w = (docs.groupBy("source")
@@ -3109,12 +3135,12 @@ FROM hashed h JOIN tot t ON t.doc_id = h.doc_id
 """)
 def llm_feature_hashing(spark, sf):
     """Feature hashing (the hashing trick): tokens map to a fixed
-    {d}-dimension space via md5-mod, giving every document a bounded
+    ``_FH_DIMS``-dimension space via md5-mod, giving every document a bounded
     sparse count vector with NO vocabulary table to build, ship, or
     keep consistent -- the featurization that scales to unbounded
     vocab at 100 TB (collisions are the accepted trade).  One
     token-sized shuffle; output is (doc, dim, count, tf) sparse
-    triplets.""".replace("{d}", str(_FH_DIMS))
+    triplets."""
     docs = read_parallel(spark, sf, "documents")
     tok = docs.select("doc_id",
                       F.explode(tokens(F.col("text"))).alias("w"))
@@ -3415,12 +3441,12 @@ SELECT doc_id, n_chunks, n_langs_detected,
 FROM agg
 """)
 def llm_lang_consistency(spark, sf):
-    """Mixed-language detection: language-ID every {c}-token chunk of
-    a document and report how many languages appear and how dominant
-    the majority is -- code-switched / concatenated-crawl docs are the
-    curation hazard document-level langid cannot see.  Chunking +
-    scoring run inside codegen; only chunk-sized predictions
-    aggregate.""".replace("{c}", str(_LC_CHUNK))
+    """Mixed-language detection: language-ID every ``_LC_CHUNK``-token
+    chunk of a document and report how many languages appear and how
+    dominant the majority is -- code-switched / concatenated-crawl
+    docs are the curation hazard document-level langid cannot see.
+    Chunking + scoring run inside codegen; only chunk-sized
+    predictions aggregate."""
     from .operators.text import lang_id
     docs = read_parallel(spark, sf, "documents")
     toks = tokens(F.col("text"))
@@ -3583,11 +3609,10 @@ FROM tk WHERE len(toks) >= {_SFT_MIN}
 """)
 def llm_sft_pairs(spark, sf):
     """SFT example construction: split each (long-enough) document
-    into a {p}-token prompt and {c}-token completion with token
-    accounting and a truncation flag -- the instruction-tuning data
-    prep that feeds pack_sequences.  Pure slice/join codegen,
-    shuffle-free.""" \
-        .replace("{p}", str(_SFT_P)).replace("{c}", str(_SFT_C))
+    into a ``_SFT_P``-token prompt and ``_SFT_C``-token completion
+    with token accounting and a truncation flag -- the
+    instruction-tuning data prep that feeds pack_sequences.  Pure
+    slice/join codegen, shuffle-free."""
     docs = read_parallel(spark, sf, "documents")
     t = tokens(F.col("text"))
     prompt = F.slice(t, 1, _SFT_P)
@@ -3766,12 +3791,12 @@ def _rp_sql() -> str:
 @register("llm_random_projection", _rp_sql())
 def llm_random_projection(spark, sf):
     """Johnson-Lindenstrauss sign projection: 64-d embeddings projected
-    to {k} dimensions through a DETERMINISTIC +-1 matrix (md5-signed,
-    scaled 1/sqrt(k)) -- the distance-preserving dimensionality
-    reduction that needs no training and no shipped matrix (any worker
-    on any engine regenerates the same signs).  Each output dim is one
-    sequential fold inside codegen -- bit-equal to the DuckDB twin,
-    zero shuffles.""".replace("{k}", str(_RP_OUT))
+    to ``_RP_OUT`` dimensions through a DETERMINISTIC +-1 matrix
+    (md5-signed, scaled 1/sqrt(k)) -- the distance-preserving
+    dimensionality reduction that needs no training and no shipped
+    matrix (any worker on any engine regenerates the same signs).
+    Each output dim is one sequential fold inside codegen -- bit-equal
+    to the DuckDB twin, zero shuffles."""
     import math
     emb = read_parallel(spark, sf, "embeddings")
     cols = []
@@ -3846,10 +3871,10 @@ FROM ranked WHERE cum_tokens <= {_BF_BUDGET}
 def llm_budget_fill(spark, sf):
     """Greedy token-budget fill: rank documents by a quality proxy
     (stopword density -- higher = more natural prose here) and keep
-    the prefix that fits a {b}-token budget -- the selection step
-    between scoring and packing when the training budget, not the
-    corpus, is the constraint.  One ranking window + cumulative-sum
-    cut.""".replace("{b}", str(_BF_BUDGET))
+    the prefix that fits a ``_BF_BUDGET``-token budget -- the
+    selection step between scoring and packing when the training
+    budget, not the corpus, is the constraint.  One ranking window +
+    cumulative-sum cut."""
     from pyspark.sql import Window as W
     docs = read_parallel(spark, sf, "documents")
     t = tokens(F.col("text"))
@@ -4084,12 +4109,12 @@ QUALIFY term_rank <= {_QE_TERMS}
 """)
 def llm_query_expansion(spark, sf):
     """Pseudo-relevance-feedback query expansion (RM3-lite): take the
-    BM25 top-{k} documents for the seed query, rank their terms by
-    feedback-frequency x corpus idf, and emit the top expansion
-    candidates -- the zero-training recall booster classic IR stacks
-    run before a second retrieval pass.  Composes the verified BM25
-    scorer with token-sized counting; only query-term postings and
-    feedback-doc tokens shuffle.""".replace("{k}", str(_QE_FEEDBACK_K))
+    BM25 top-``_QE_FEEDBACK_K`` documents for the seed query, rank
+    their terms by feedback-frequency x corpus idf, and emit the top
+    expansion candidates -- the zero-training recall booster classic
+    IR stacks run before a second retrieval pass.  Composes the
+    verified BM25 scorer with token-sized counting; only query-term
+    postings and feedback-doc tokens shuffle."""
     from pyspark.sql import Window as W
     import math
     docs = read_parallel(spark, sf, "documents")

@@ -1163,12 +1163,11 @@ FROM folded WHERE n_raw_alerts > 0
 """)
 def st_alert_debounce(spark, sf):
     """Alert debouncing: threshold UP-crossings (value rises above
-    {t}) suppressed within a 1-hour cooldown of the last KEPT alert --
-    inherently sequential (each keep decision moves the cooldown
-    anchor), so it runs as the house sequential fold per user: state
-    [last_kept_ts, n_kept] over the crossing list.  The pager
-    hygiene every alerting pipeline needs.""".replace(
-        "{t}", str(_DEB_TH))
+    ``_DEB_TH``) suppressed within a 1-hour cooldown of the last KEPT
+    alert -- inherently sequential (each keep decision moves the
+    cooldown anchor), so it runs as the house sequential fold per
+    user: state [last_kept_ts, n_kept] over the crossing list.  The
+    pager hygiene every alerting pipeline needs."""
     from pyspark.sql import Window as W
     ev = read_table(spark, sf, "events")
     pair = F.struct(F.col("ts").cast("timestamp").alias("t"),
@@ -1268,11 +1267,12 @@ resid AS (
   FROM e0
 )
 SELECT event_type, COUNT(e_prev) AS n_pairs,
-       ROUND(CAST(SUM(CAST((e - e_prev) * (e - e_prev)
-                           AS DECIMAL(27,6))) AS DOUBLE)
+       ROUND(CAST(SUM(CASE WHEN e_prev IS NOT NULL THEN
+                      CAST((e - e_prev) * (e - e_prev) AS DECIMAL(27,6))
+                      ELSE CAST(0 AS DECIMAL(27,6)) END) AS DOUBLE)
              / CAST(SUM(CAST(e * e AS DECIMAL(27,6))) AS DOUBLE), 8)
          AS durbin_watson
-FROM resid WHERE e_prev IS NOT NULL
+FROM resid
 GROUP BY event_type
 """)
 def ts_durbin_watson(spark, sf):
@@ -1281,7 +1281,10 @@ def ts_durbin_watson(spark, sf):
     positive autocorrelation) -- the regression-residual diagnostic
     next to ts_acf.  The mean comes from a decimal-exact window so
     residuals are engine-identical; squared-difference sums are
-    decimal-cast."""
+    decimal-cast.  The denominator sums e^2 over ALL residuals
+    (textbook DW), including each group's first row, whose lagged
+    difference cannot exist -- the numerator is conditional instead of
+    the rows being filtered (ADVICE round 3)."""
     from pyspark.sql import Window as W
     ev = read_table(spark, sf, "events")
     wp = W.partitionBy("event_type")
@@ -1292,11 +1295,12 @@ def ts_durbin_watson(spark, sf):
     resid = ev.select("event_type", e.alias("e"),
                       F.lag(e).over(wo).alias("e_prev"))
     d = F.col("e") - F.col("e_prev")
-    return (resid.where(F.col("e_prev").isNotNull())
-            .groupBy("event_type")
-            .agg(F.count(F.lit(1)).alias("n_pairs"),
-                 F.round(F.sum((d * d).cast("decimal(27,6)"))
-                         .cast("double")
+    num = F.when(F.col("e_prev").isNotNull(),
+                 (d * d).cast("decimal(27,6)")) \
+        .otherwise(F.lit(0).cast("decimal(27,6)"))
+    return (resid.groupBy("event_type")
+            .agg(F.count("e_prev").alias("n_pairs"),
+                 F.round(F.sum(num).cast("double")
                          / F.sum((F.col("e") * F.col("e"))
                                  .cast("decimal(27,6)"))
                          .cast("double"), 8).alias("durbin_watson")))

@@ -278,56 +278,37 @@ _PEAK_OUT = T.StructType([
 ])
 
 
+_PEAK_STATE = T.StructType([T.StructField("peak", T.DoubleType())])
+
+
 def user_value_peaks(events: DataFrame) -> DataFrame:
-    """Custom stateful operator on Spark 4's ``transformWithState``
-    API (arbitrary per-key state with typed state variables): emit a
-    row whenever a user's running max ``value`` increases.
+    """Custom stateful operator: emit a row whenever a user's running
+    max ``value`` increases (per-key ValueState semantics, incremental
+    emission, update mode).
 
-    Demonstrates the modern replacement for applyInPandasWithState --
-    explicit ValueState, incremental emission, update mode.
+    Runs on ``applyInPandasWithState`` -- the stateful-UDF API this
+    container supports end to end.  On a Spark 4 cluster with
+    ``google.protobuf`` available, the same processor is a mechanical
+    port to ``transformWithStateInPandas`` (getValueState("peak") +
+    handleInputRows; requires the RocksDB state-store provider) --
+    the API surface differs, the state machine here is identical.
+    The boundary is documented in COVERAGE.md §streaming."""
 
-    GATED STUB in this container: the transformWithState state-server
-    protocol needs ``google.protobuf``, which is not installed here;
-    the processor itself is complete and runs wherever protobuf is
-    available (requires the RocksDB state-store provider).
-    ``stateful_user_totals`` (applyInPandasWithState) is the tested
-    stateful path."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "transformWithStateInPandas needs google.protobuf (absent "
-            "in this container); use stateful_user_totals "
-            "(applyInPandasWithState) instead.") from exc
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    def update(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        prev = state.get[0] if state.exists else None
+        mx = None
+        for pdf in pdfs:
+            if len(pdf):
+                m = float(pdf["value"].max())
+                mx = m if mx is None else max(mx, m)
+        if mx is not None and (prev is None or mx > prev):
+            state.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "peak": [mx]})
 
-    class PeakTracker(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._peak = handle.getValueState(
-                "peak", T.StructType([T.StructField("v", T.DoubleType())]))
-
-        def handleInputRows(self, key, rows, timerValues):
-            mx = None
-            for pdf in rows:
-                if len(pdf):
-                    m = float(pdf["value"].max())
-                    mx = m if mx is None else max(mx, m)
-            if mx is None:
-                return
-            prev = self._peak.get()[0] if self._peak.exists() else None
-            if prev is None or mx > prev:
-                self._peak.update((mx,))
-                yield pd.DataFrame({"user_id": [key[0]], "peak": [mx]})
-
-        def close(self) -> None:
-            pass
-
-    return (events.groupBy("user_id").transformWithStateInPandas(
-        PeakTracker(), outputStructType=_PEAK_OUT,
-        outputMode="Update", timeMode="None"))
+    return (events.groupBy("user_id").applyInPandasWithState(
+        update, _PEAK_OUT, _PEAK_STATE, "update",
+        GroupStateTimeout.NoTimeout))
 
 
 def concurrency_peaks(events: DataFrame,

@@ -31,6 +31,16 @@ def test_priority_names_all_registered():
     assert not unknown, unknown
 
 
+def test_every_query_has_a_docstring():
+    """A triple-quoted-literal .replace(...) expression statement is
+    NOT a docstring (__doc__ is None and registry propagation copies
+    nothing) -- ADVICE round 3.  Pin that every registered entry
+    carries real documentation."""
+    qs = registry.queries()
+    bad = [n for n, f in qs.items() if not (f.__doc__ or "").strip()]
+    assert not bad, bad
+
+
 def test_bench_headline_names_are_registered():
     """Every bench.py HEADLINE query must exist in the registry --
     a rename or removal must fail fast here, not in the driver's

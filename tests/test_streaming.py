@@ -178,10 +178,7 @@ def test_dropduplicates_within_watermark(spark, batch_events, tmp_path):
     assert got.distinct().count() == got.count()
 
 
-def test_transform_with_state_peaks(spark, batch_events, tmp_path):
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithState state protocol needs protobuf")
+def test_user_value_peaks_stateful(spark, batch_events, tmp_path):
     from graphdb_cia_factbook_spark.streaming import user_value_peaks
     src = _split_events_files(tmp_path)
     from graphdb_cia_factbook_spark.streaming import stream_events_dir
@@ -200,19 +197,6 @@ def test_transform_with_state_peaks(spark, batch_events, tmp_path):
         assert all(p <= want[uid] for p in ps)
     # every user emits at least its first-seen peak
     assert set(by_user) == set(want)
-
-
-def test_transform_with_state_is_gated(spark, batch_events):
-    """Without protobuf the operator must fail loudly at build time,
-    not crash a streaming worker at runtime."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        pytest.skip("protobuf present; gate not exercised")
-    except ImportError:
-        pass
-    from graphdb_cia_factbook_spark.streaming import user_value_peaks
-    with pytest.raises(NotImplementedError):
-        user_value_peaks(batch_events)
 
 
 def test_concurrency_peaks_sweep_line(spark):

@@ -1,0 +1,189 @@
+"""Driver-hash parity harness (VERDICT round 3 item 7).
+
+The driver's correctness gate compares a VALUE HASH of the Spark
+result against the DuckDB oracle (sorted rows, canonical formatting).
+``check_oracle.py`` compares cell-by-cell with ``values_equal``, which
+is deliberately forgiving (``3 == 3.0`` passes) -- so a result that is
+value-equal but TYPE- or FORMATTING-divergent can be replica-green yet
+red under the driver's hash, which is exactly what happened to
+``llm_pack_sequences`` in round 3 (CORRECTNESS_r03.json: rows+schema
+match, hash mismatch; local replica bit-exact).
+
+This tool hashes both sides through ONE canonical serialization and
+compares the digests, catching the formatting-level divergence class
+pre-submission:
+
+- columns sorted by name, rows sorted by their serialized form,
+  sha256 over the concatenation (the shape every sane gate uses);
+- floats serialize via ``repr`` (shortest round-trip), with -0.0
+  canonicalized to 0.0 and NaN spelled literally;
+- integral values serialize WITHOUT a fractional part regardless of
+  the pandas dtype they arrived in (Spark's ``toPandas`` widens
+  nullable int columns to float64, DuckDB's ``fetchdf`` keeps Int64 --
+  that coercion asymmetry is pandas noise, not an engine divergence);
+- pandas dtype KINDS are still compared and reported as ``dtype:``
+  notes (int-vs-float kind drift on a fully-populated column is a real
+  engine-type divergence even when every value matches), so type
+  drift is visible without turning coercion noise into failures.
+
+Usage: python tools/hash_parity.py [sf_dir] [query_name ...]
+Exit 1 if any entry's canonical hashes differ.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def canon_value(v) -> str:
+    """Canonical, engine-independent string form of one cell."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
+            return "NaN"
+        if f == 0.0:
+            f = 0.0  # collapses -0.0
+        if math.isfinite(f) and f == int(f) and abs(f) < 2**53:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return "true" if v else "false"
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return canon_value(f)
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        # driver testdata is tz-naive micros; normalize to that
+        ts = pd.Timestamp(v)
+        if ts.tzinfo is not None:
+            ts = ts.tz_convert("UTC").tz_localize(None)
+        return ts.isoformat(timespec="microseconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(canon_value(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_hash(pdf: pd.DataFrame) -> tuple[str, list[str]]:
+    """(sha256 hex over sorted canonical rows, sorted column names)."""
+    cols = sorted(pdf.columns)
+    rows = ["\x1f".join(canon_value(r[c]) for c in cols)
+            for _, r in pdf.reindex(cols, axis=1).iterrows()]
+    rows.sort()
+    h = hashlib.sha256()
+    h.update(("\x1e".join(cols)).encode())
+    for r in rows:
+        h.update(b"\x1e")
+        h.update(r.encode())
+    return h.hexdigest(), cols
+
+
+def dtype_kinds(pdf: pd.DataFrame) -> dict[str, str]:
+    return {c: pdf[c].dtype.kind for c in pdf.columns}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    from graphdb_cia_factbook_spark.session import clear_scratch, get_spark
+    spark = get_spark("hash-parity")
+
+    n_ok = n_fail = n_noracle = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spdf = fn(spark, sf_dir).toPandas()
+            clear_scratch(spark)
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            n_noracle += 1
+            print(f"ROWS  {name}: no oracle [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            dpdf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sh, scols = canon_hash(spdf)
+        dh, dcols = canon_hash(dpdf)
+        notes = []
+        sk, dk = dtype_kinds(spdf), dtype_kinds(dpdf)
+        for c in sorted(set(sk) & set(dk)):
+            if sk[c] != dk[c]:
+                notes.append(f"dtype:{c}={sk[c]}/{dk[c]}")
+        note = (" " + ",".join(notes)) if notes else ""
+        if sh == dh:
+            n_ok += 1
+            print(f"OK    {name}: hash={sh[:12]}{note} "
+                  f"[{time.time()-t0:.1f}s]")
+        else:
+            n_fail += 1
+            detail = ""
+            if scols != dcols:
+                detail = f" cols spark={scols} duck={dcols}"
+            else:
+                # surface the first differing canonical row
+                srows = sorted("\x1f".join(
+                    canon_value(r[c]) for c in scols)
+                    for _, r in spdf.reindex(scols, axis=1).iterrows())
+                drows = sorted("\x1f".join(
+                    canon_value(r[c]) for c in dcols)
+                    for _, r in dpdf.reindex(dcols, axis=1).iterrows())
+                for a, b in zip(srows, drows):
+                    if a != b:
+                        detail = (f" first-diff spark={a.split(chr(31))} "
+                                  f"duck={b.split(chr(31))}")
+                        break
+                else:
+                    if len(srows) != len(drows):
+                        detail = f" nrows {len(srows)} vs {len(drows)}"
+            print(f"HASH  {name}: MISMATCH{note}{detail} "
+                  f"[{time.time()-t0:.1f}s]")
+    print(f"\n{n_ok} ok, {n_fail} hash-fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
