@@ -4272,3 +4272,179 @@ def llm_dedup_threshold_sweep(spark, sf):
                                         >= F.col("th"),
                                         F.col("id_b")))
                  .alias("n_docs_removed")))
+
+
+# ---------------------------------------------------------------------------
+# round 4: data-loader & curriculum surface
+# ---------------------------------------------------------------------------
+
+_SHUF_EPOCHS, _SHUF_SHARDS = 3, 8
+
+
+@register("llm_epoch_shuffle", f"""
+WITH e AS (SELECT unnest(range(0, {_SHUF_EPOCHS})) AS epoch)
+SELECT d.doc_id, CAST(e.epoch AS INT) AS epoch,
+       CAST(d.doc_id % {_SHUF_SHARDS} AS INT) AS shard,
+       ROW_NUMBER() OVER (
+         PARTITION BY e.epoch, d.doc_id % {_SHUF_SHARDS}
+         ORDER BY md5(CAST(e.epoch AS VARCHAR) || '|'
+                      || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+         AS position
+FROM documents d CROSS JOIN e
+""")
+def llm_epoch_shuffle(spark, sf):
+    """Deterministic per-epoch training-data shuffle: every epoch
+    re-orders each loader shard by a replayable md5 coin keyed on
+    (epoch, doc_id) -- the coordination-free epoch shuffle a
+    distributed data loader needs (any worker recomputes its own
+    order; no shared RNG state, no shuffle service).  Shard
+    assignment stays fixed (doc_id mod world size) and only the
+    WITHIN-shard order changes per epoch, exactly like a
+    DistributedSampler with set_epoch.
+
+    Scale shape: one explode (x epochs) + one window per (epoch,
+    shard) partition -- no global sort; shards are the
+    parallelism unit, so the plan is a single hash shuffle on keys
+    that are uniform by construction."""
+    epochs = F.array(*[F.lit(e) for e in range(_SHUF_EPOCHS)])
+    coin = F.md5(F.concat(F.col("epoch").cast("string"), F.lit("|"),
+                          F.col("doc_id").cast("string")))
+    w = (Window.partitionBy("epoch", "shard")
+         .orderBy(coin.asc(), F.col("doc_id").asc()))
+    return (read_parallel(spark, sf, "documents")
+            .select("doc_id", F.explode(epochs).alias("epoch"))
+            .withColumn("epoch", F.col("epoch").cast("int"))
+            .withColumn("shard",
+                        F.pmod(F.col("doc_id"), F.lit(_SHUF_SHARDS))
+                        .cast("int"))
+            .withColumn("position", F.row_number().over(w).cast("long")))
+
+
+_CURR_PHASES = 4
+
+
+@register("llm_curriculum_order", f"""
+WITH tk AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+h AS (
+  SELECT n_tokens, COUNT(*) AS cnt FROM tk GROUP BY 1
+),
+c AS (
+  SELECT n_tokens,
+         SUM(cnt) OVER (ORDER BY n_tokens
+                        ROWS UNBOUNDED PRECEDING) - cnt AS c_lt
+  FROM h
+),
+n AS (SELECT COUNT(*) AS total FROM tk)
+SELECT tk.doc_id, tk.n_tokens,
+       CAST((c.c_lt
+             + ROW_NUMBER() OVER (PARTITION BY tk.n_tokens
+                                  ORDER BY tk.doc_id) - 1)
+            AS BIGINT) AS curriculum_rank,
+       CAST(({_CURR_PHASES} * (c.c_lt
+             + ROW_NUMBER() OVER (PARTITION BY tk.n_tokens
+                                  ORDER BY tk.doc_id) - 1))
+            // n.total AS INT) AS phase
+FROM tk JOIN c ON c.n_tokens = tk.n_tokens CROSS JOIN n
+""")
+def llm_curriculum_order(spark, sf):
+    """Curriculum construction: rank documents easiest-first by a
+    difficulty proxy (token count -- short docs first, the standard
+    length curriculum) and cut the corpus into ``_CURR_PHASES``
+    training phases.  The global rank is NOT a global sort: the
+    difficulty key is discrete, so rank = (docs with smaller key,
+    from a key-sized cumulative histogram broadcast back) + (position
+    among equal-key docs, a partitioned window).  Phase = integer
+    rank*phases DIV N.  That is the histogram-quantile pattern that
+    scales to 100 TB where NTILE's single-ordered-window cannot.
+    All integer arithmetic -- engine-exact."""
+    from .operators.text import token_count
+    tk = (read_parallel(spark, sf, "documents")
+          .select("doc_id", token_count(F.col("text")).cast("long")
+                  .alias("n_tokens")))
+    h = tk.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (Window.orderBy("n_tokens")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = h.select("n_tokens",
+                 (F.sum("cnt").over(wcum) - F.col("cnt")).alias("c_lt"))
+    n = tk.agg(F.count(F.lit(1)).alias("total"))
+    wtie = Window.partitionBy("n_tokens").orderBy("doc_id")
+    ranked = (tk.join(F.broadcast(c), "n_tokens")
+              .withColumn("_rn", F.row_number().over(wtie) - 1)
+              .withColumn("curriculum_rank",
+                          (F.col("c_lt") + F.col("_rn")).cast("long")))
+    return (ranked.crossJoin(F.broadcast(n))
+            .select("doc_id", "n_tokens", "curriculum_rank",
+                    F.expr(f"({_CURR_PHASES} * curriculum_rank) "
+                           "DIV total").cast("int").alias("phase")))
+
+
+@register("llm_char_ppl", """
+WITH t AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS txt
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, substr(txt, CAST(i AS INT), 2) AS bigram,
+         substr(txt, CAST(i AS INT), 1) AS c1
+  FROM t, unnest(range(1, length(txt))) AS u(i)
+  WHERE length(txt) >= 2
+),
+bc AS (SELECT bigram, COUNT(*) AS cnt FROM bg GROUP BY 1),
+uc AS (SELECT c1, SUM(cnt) AS total
+       FROM (SELECT substr(bigram, 1, 1) AS c1, cnt FROM bc)
+       GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT substr(bigram, 2, 1)) AS vsize FROM bc)
+SELECT g.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(
+         -ln((bc.cnt + 1.0) / (uc.total + v.vsize))
+         AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 8) AS avg_nll
+FROM bg g
+JOIN bc ON bc.bigram = g.bigram
+JOIN uc ON uc.c1 = g.c1
+CROSS JOIN v
+GROUP BY g.doc_id
+""")
+def llm_char_ppl(spark, sf):
+    """Perplexity-proxy quality scoring (the CCNet-style filter): a
+    character-bigram language model TRAINED ON THE CORPUS scores every
+    document's average negative log-likelihood -- unusual character
+    statistics (boilerplate, encoding damage, non-prose) surface as
+    high avg_nll without any external model.  Add-one smoothing over
+    the observed charset.
+
+    Scale shape: the char explode is linear in bytes (the one
+    unavoidable pass); the bigram and context-count tables collapse to
+    charset^2 rows -- broadcast-sized at ANY corpus size -- so scoring
+    is two broadcast joins + one per-doc decimal-exact aggregate.  No
+    token-vocabulary table, no external LM shipped."""
+    t = (read_parallel(spark, sf, "documents")
+         .select("doc_id",
+                 F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                          r"\s+", " ")).alias("txt"))
+         .where(F.length("txt") >= 2))
+    bg = (t.select("doc_id",
+                   F.explode(F.sequence(
+                       F.lit(1), F.length("txt") - 1)).alias("i"),
+                   F.col("txt"))
+          .select("doc_id",
+                  F.expr("substring(txt, i, 2)").alias("bigram"),
+                  F.expr("substring(txt, i, 1)").alias("c1")))
+    bc = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    uc = (bc.select(F.substring("bigram", 1, 1).alias("c1"), "cnt")
+          .groupBy("c1").agg(F.sum("cnt").alias("total")))
+    v = bc.agg(F.countDistinct(F.substring("bigram", 2, 1))
+               .alias("vsize"))
+    nll = -F.log((F.col("cnt") + F.lit(1.0))
+                 / (F.col("total") + F.col("vsize")))
+    return (bg.join(F.broadcast(bc), "bigram")
+            .join(F.broadcast(uc), "c1")
+            .crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(nll.cast("decimal(27,12)"))
+                         .cast("double") / F.count(F.lit(1)), 8)
+                 .alias("avg_nll")))

