@@ -2304,3 +2304,58 @@ def agg_chi2_uniform_dow(spark, sf):
     return spark.createDataFrame(
         [(t["k"], round(out["chi2"], 8), out["n_events"])],
         "n_buckets long, chi2 double, n_events long")
+
+
+@register("ml_calibration", """
+WITH s AS (
+  SELECT GREATEST(0.0, LEAST(1.0,
+           0.5 + CAST(embedding[1] AS DOUBLE))) AS score,
+         CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+  FROM embeddings
+),
+b AS (
+  SELECT LEAST(CAST(FLOOR(score * 10.0) AS INT), 9) AS bin, score, y
+  FROM s
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(score AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(*), 8) AS avg_score,
+       CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate,
+       ROUND(ABS(CAST(SUM(CAST(score AS DECIMAL(27,12))) AS DOUBLE)
+                   / COUNT(*)
+                 - CAST(SUM(y) AS DOUBLE) / COUNT(*)), 8) AS gap
+FROM b GROUP BY bin
+""")
+def ml_calibration(spark, sf):
+    """Calibration (reliability) table for a probabilistic scorer:
+    bin predicted scores into 10 equal-width bins and compare each
+    bin's mean score to its empirical positive rate -- the per-bin
+    |confidence - accuracy| gaps are the terms of Expected
+    Calibration Error.  Score = the first embedding component mapped
+    affinely into [0, 1] (no transcendentals -- the clamp and shift
+    are IEEE-exact on both engines); positive class = label < 5.
+    Completes the classifier-evaluation family next to ml_auc and
+    ml_gains_table.
+
+    Scale shape: one partial-agg groupBy on a 10-value key; the
+    decimal score sum keeps avg_score engine-exact at any row
+    count."""
+    emb = read_table(spark, sf, "embeddings")
+    score = F.greatest(
+        F.lit(0.0),
+        F.least(F.lit(1.0),
+                F.lit(0.5) + F.col("embedding").getItem(0).cast("double")))
+    s = emb.select(score.alias("score"),
+                   F.when(F.col("label") < 5, 1).otherwise(0).alias("y"))
+    b = s.select(F.least(F.floor(F.col("score") * 10.0).cast("int"),
+                         F.lit(9)).alias("bin"),
+                 "score", "y")
+    avg = (F.sum(F.col("score").cast("decimal(27,12)")).cast("double")
+           / F.count(F.lit(1)))
+    pos = F.sum("y").cast("double") / F.count(F.lit(1))
+    return (b.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(avg, 8).alias("avg_score"),
+                 pos.alias("pos_rate"),
+                 F.round(F.abs(avg - pos), 8).alias("gap")))

@@ -4448,3 +4448,435 @@ def llm_char_ppl(spark, sf):
                  F.round(F.sum(nll.cast("decimal(27,12)"))
                          .cast("double") / F.count(F.lit(1)), 8)
                  .alias("avg_nll")))
+
+
+# ---------------------------------------------------------------------------
+# round 4 batch 2: retrieval evaluation, incremental dedup, audits,
+# shard manifests
+# ---------------------------------------------------------------------------
+
+_RE_K, _RE_NQ = 10, 32
+
+#: 1/log2(rank+1) discounts and their prefix sums, as 12-decimal
+#: literals shared VERBATIM by the Spark expression and the oracle so
+#: the decimal sums are bit-identical on both engines
+_RE_DISCOUNTS = [
+    "1.0", "0.630929753571", "0.5", "0.430676558073", "0.386852807235",
+    "0.356207187108", "0.333333333333", "0.315464876786",
+    "0.301029995664", "0.289064826318"]
+_RE_IDCG = [
+    "1.0", "1.630929753571", "2.130929753571", "2.561606311644",
+    "2.948459118879", "3.304666305987", "3.637999639320",
+    "3.953464516106", "4.254494511770", "4.543559338088"]
+
+_DCG_CASE = ("CAST(CASE rank "
+             + " ".join(f"WHEN {i + 1} THEN {d}"
+                        for i, d in enumerate(_RE_DISCOUNTS))
+             + " END AS DECIMAL(20,12))")
+
+
+def _idcg_case(operand: str) -> str:
+    return ("CAST(CASE LEAST(" + operand + f", {_RE_K}) "
+            + " ".join(f"WHEN {i + 1} THEN {v}"
+                       for i, v in enumerate(_RE_IDCG))
+            + " END AS DECIMAL(20,12))")
+
+
+@register("llm_retrieval_eval", f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+           FROM embeddings WHERE vec_id < {_RE_NQ}),
+lc AS (SELECT label, COUNT(*) AS n_lab FROM embeddings GROUP BY 1),
+scored AS (
+  SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+         c.label AS nlabel,
+         {_cos_sql('q.qv', 'c.embedding')} AS cos
+  FROM embeddings c, q WHERE c.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, qlabel,
+         CASE WHEN nlabel = qlabel THEN 1 ELSE 0 END AS rel,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+),
+per AS (
+  SELECT query_id, qlabel,
+         SUM(rel) AS hits,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         COALESCE(SUM(CASE WHEN rel = 1 THEN {_DCG_CASE} END),
+                  CAST(0 AS DECIMAL(20,12))) AS dcg
+  FROM ranked WHERE rank <= {_RE_K}
+  GROUP BY 1, 2
+)
+SELECT p.query_id,
+       CAST(l.n_lab - 1 AS BIGINT) AS n_rel,
+       CAST(p.hits AS BIGINT) AS hits_at_k,
+       CAST(p.hits AS DOUBLE) / {_RE_K} AS precision_at_k,
+       CAST(p.hits AS DOUBLE) / (l.n_lab - 1) AS recall_at_k,
+       COALESCE(1.0 / p.first_rel, 0.0) AS mrr_at_k,
+       ROUND(CAST(p.dcg AS DOUBLE)
+             / CAST({_idcg_case('l.n_lab - 1')} AS DOUBLE), 8)
+         AS ndcg_at_k
+FROM per p JOIN lc l ON l.label = p.qlabel
+""")
+def llm_retrieval_eval(spark, sf):
+    """Retrieval-quality evaluation over exact cosine top-10: per
+    query (32 held-out vectors, relevance = same ``label``), emit
+    hits@k, precision@k, recall@k, MRR@k, and nDCG@k -- the metric
+    suite a training-data pipeline runs to validate its retrieval
+    index before using it for dedup or curation.
+
+    Engine-exactness: the log2 discounts and their prefix sums (IDCG)
+    are shared 12-decimal literals summed as DECIMAL, never computed
+    via transcendentals at query time; every ratio is an exact
+    int/int -> double division.
+
+    Scale shape: the scoring is the llm_ann_brute broadcast plan (at
+    100 TB, swap in the IVF/LSH candidate path -- metrics are
+    downstream of ANY ranked list); metrics are one partial-agg
+    groupBy over Q * k rows, and the label-count table is
+    dimension-sized and broadcast."""
+    from .operators.similarity import cosine, topk_per_query
+    emb = read_parallel(spark, sf, "embeddings")
+    q = (emb.where(F.col("vec_id") < _RE_NQ)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("__qv"),
+                 F.col("label").alias("qlabel")))
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    scored = (emb.select(F.col("vec_id").alias("neighbor_id"),
+                         F.col("embedding").alias("__cv"),
+                         F.col("label").alias("nlabel"))
+              .crossJoin(F.broadcast(q))
+              .where(F.col("neighbor_id") != F.col("query_id"))
+              .select("query_id", "qlabel", "neighbor_id", "nlabel",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    ranked = (topk_per_query(scored, _RE_K)
+              .select("query_id", "qlabel", "rank",
+                      F.when(F.col("nlabel") == F.col("qlabel"), 1)
+                      .otherwise(0).alias("rel")))
+    per = (ranked.groupBy("query_id", "qlabel")
+           .agg(F.sum("rel").alias("hits"),
+                F.min(F.when(F.col("rel") == 1, F.col("rank")))
+                .alias("first_rel"),
+                F.coalesce(
+                    F.sum(F.when(F.col("rel") == 1, F.expr(_DCG_CASE))),
+                    F.lit(0).cast("decimal(20,12)")).alias("dcg")))
+    return (per.join(F.broadcast(lc.withColumnRenamed("label", "qlabel")),
+                     "qlabel")
+            .select(
+                "query_id",
+                (F.col("n_lab") - 1).cast("long").alias("n_rel"),
+                F.col("hits").cast("long").alias("hits_at_k"),
+                (F.col("hits").cast("double") / _RE_K)
+                .alias("precision_at_k"),
+                (F.col("hits").cast("double") / (F.col("n_lab") - 1))
+                .alias("recall_at_k"),
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0))
+                .alias("mrr_at_k"),
+                F.round(F.col("dcg").cast("double")
+                        / F.expr(_idcg_case("n_lab - 1"))
+                        .cast("double"), 8).alias("ndcg_at_k")))
+
+
+@register("llm_incremental_dedup", f"""
+WITH f AS (
+  SELECT doc_id, {NORM_MD5} AS fingerprint,
+         doc_id % 2 = 0 AS in_index
+  FROM documents
+),
+idx AS (SELECT DISTINCT fingerprint FROM f WHERE in_index),
+inc AS (SELECT doc_id, fingerprint FROM f WHERE NOT in_index),
+fb AS (SELECT fingerprint, MIN(doc_id) AS first_id
+       FROM inc GROUP BY 1)
+SELECT i.doc_id, i.fingerprint,
+       CASE WHEN x.fingerprint IS NOT NULL THEN 'dup_of_index'
+            WHEN i.doc_id > b.first_id THEN 'dup_in_batch'
+            ELSE 'admitted' END AS status
+FROM inc i
+LEFT JOIN idx x ON x.fingerprint = i.fingerprint
+JOIN fb b ON b.fingerprint = i.fingerprint
+""")
+def llm_incremental_dedup(spark, sf):
+    """Incremental (two-batch) dedup: admit a new crawl batch against
+    an EXISTING corpus index without re-deduplicating the corpus --
+    the steady-state shape of a production pipeline, where each
+    incoming batch is checked against the fingerprints of everything
+    already admitted.  Index = even doc_ids, batch = odd; each
+    incoming doc is classified ``dup_of_index`` (fingerprint already
+    admitted), ``dup_in_batch`` (an earlier doc in the same batch has
+    it), or ``admitted``.
+
+    Scale shape: only 32-byte fingerprints move -- one semi-join
+    against the index fingerprint set and one first-occurrence
+    groupBy within the batch; the index side never rescans document
+    text.  At 100 TB the index is a bucketed fingerprint table and
+    the join is bucket-local."""
+    from .operators.text import fingerprint
+    f = (read_parallel(spark, sf, "documents")
+         .select("doc_id", fingerprint(F.col("text")).alias("fingerprint"),
+                 (F.col("doc_id") % 2 == 0).alias("in_index")))
+    idx = f.where("in_index").select("fingerprint").distinct()
+    inc = f.where(~F.col("in_index")).select("doc_id", "fingerprint")
+    fb = inc.groupBy("fingerprint").agg(F.min("doc_id").alias("first_id"))
+    return (inc
+            .join(idx.withColumn("__hit", F.lit(1)), "fingerprint", "left")
+            .join(fb, "fingerprint")
+            .select("doc_id", "fingerprint",
+                    F.when(F.col("__hit").isNotNull(), "dup_of_index")
+                    .when(F.col("doc_id") > F.col("first_id"),
+                          "dup_in_batch")
+                    .otherwise("admitted").alias("status")))
+
+
+_EST_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+    for i in range(_NUM_HASHES))
+
+
+@register("llm_minhash_estimate_audit", f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh GROUP BY doc_id),
+bands AS (
+  {_BAND_SELECTS}
+),
+{_LSH_CAND_SQL},
+est AS (
+  SELECT c.id_a, c.id_b,
+         CAST({_EST_MATCH_SQL} AS DOUBLE) / {_NUM_HASHES}
+           AS est_jaccard
+  FROM cand c
+  JOIN sig a ON a.doc_id = c.id_a
+  JOIN sig b ON b.doc_id = c.id_b
+),
+{_JACCARD_CTES.lstrip()}
+SELECT e.id_a, e.id_b, e.est_jaccard,
+       COALESCE(j.jaccard, 0.0) AS exact_jaccard,
+       ROUND(ABS(e.est_jaccard - COALESCE(j.jaccard, 0.0)), 8)
+         AS abs_err
+FROM est e
+LEFT JOIN jac j ON j.id_a = e.id_a AND j.id_b = e.id_b
+""")
+def llm_minhash_estimate_audit(spark, sf):
+    """MinHash estimator audit: for every LSH candidate pair, compare
+    the signature-estimated Jaccard (matching components / 12) with
+    the exact shingle Jaccard -- the calibration report that tells
+    you whether the signature width is adequate BEFORE trusting the
+    estimate to drive deletion at scale.
+
+    Scale shape: candidates come from the capped banded buckets (the
+    production path), the estimate is a 12-term integer comparison on
+    two broadcast-joined signature rows, and the exact Jaccard runs
+    only over candidate docs (pair_jaccard's semi-join prune) --
+    never the corpus."""
+    from .operators.dedup import (lsh_bands, lsh_candidate_pairs,
+                                  minhash_signatures, pair_jaccard,
+                                  shingle_sets)
+    docs = read_parallel(spark, sf, "documents")
+    sh = shingle_sets(docs, "doc_id", "text", k=3)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=_NUM_HASHES)
+    bands = lsh_bands(sig, "doc_id", _BANDS, _ROWS_PER_BAND)
+    cand = lsh_candidate_pairs(bands, "doc_id",
+                               max_bucket_size=_LSH_BUCKET_CAP)
+    est = (cand
+           .join(sig.select(F.col("doc_id").alias("id_a"),
+                            *[F.col(f"h{i}").alias(f"a{i}")
+                              for i in range(_NUM_HASHES)]), "id_a")
+           .join(sig.select(F.col("doc_id").alias("id_b"),
+                            *[F.col(f"h{i}").alias(f"b{i}")
+                              for i in range(_NUM_HASHES)]), "id_b")
+           .select("id_a", "id_b",
+                   (sum((F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+                        for i in range(_NUM_HASHES)).cast("double")
+                    / _NUM_HASHES).alias("est_jaccard")))
+    exact = pair_jaccard(cand, sh, "doc_id")
+    return (est.join(exact, ["id_a", "id_b"], "left")
+            .select("id_a", "id_b", "est_jaccard",
+                    F.coalesce(F.col("jaccard"), F.lit(0.0))
+                    .alias("exact_jaccard"),
+                    F.round(F.abs(F.col("est_jaccard")
+                                  - F.coalesce(F.col("jaccard"),
+                                               F.lit(0.0))), 8)
+                    .alias("abs_err")))
+
+
+_MAN_SHARDS = 16
+
+#: 24-bit integer from the first 6 hex chars of an md5 -- built from
+#: position() folds so the identical text works on both engines (no
+#: hex-parse builtin shared by Spark SQL and DuckDB)
+_HEX24_SQL = " + ".join(
+    f"(POSITION(SUBSTR(fp, {j + 1}, 1) IN '0123456789abcdef') - 1)"
+    f" * {16 ** (5 - j)}" for j in range(6))
+
+
+@register("llm_shard_manifest", f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % {_MAN_SHARDS} AS INT) AS shard,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens, n_chars,
+         {NORM_MD5} AS fp
+  FROM documents
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id,
+       CAST(SUM({_HEX24_SQL}) AS BIGINT) AS checksum
+FROM d GROUP BY shard
+""")
+def llm_shard_manifest(spark, sf):
+    """Output-shard manifest (the WebDataset/tar-shard bookkeeping a
+    training job consumes): assign every document to one of
+    ``_MAN_SHARDS`` output shards and emit per-shard row counts,
+    token/byte totals, id ranges, and an ORDER-INSENSITIVE content
+    checksum (sum of 24-bit fingerprint prefixes -- a commutative
+    integer fold, so the manifest is identical no matter how the
+    shard's rows were partitioned when written).
+
+    Scale shape: one partial-agg groupBy on the shard key; nothing
+    but per-doc integers shuffle.  The commutative checksum is the
+    point -- an order-sensitive digest (md5 of concatenated rows)
+    would force a per-shard global sort."""
+    from .operators.text import fingerprint, token_count
+    d = (read_parallel(spark, sf, "documents")
+         .select("doc_id",
+                 F.pmod(F.col("doc_id"), F.lit(_MAN_SHARDS)).cast("int")
+                 .alias("shard"),
+                 token_count(F.col("text")).cast("long")
+                 .alias("n_tokens"),
+                 "n_chars",
+                 fingerprint(F.col("text")).alias("fp")))
+    return (d.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.sum("n_chars").cast("long").alias("total_chars"),
+                 F.min("doc_id").alias("min_doc_id"),
+                 F.max("doc_id").alias("max_doc_id"),
+                 F.sum(F.expr(_HEX24_SQL)).cast("long")
+                 .alias("checksum")))
+
+
+_RESUME_STEP = 137  # global steps already consumed at the checkpoint
+
+@register("llm_resume_skip", f"""
+WITH d AS (
+  SELECT doc_id, CAST(doc_id % {_SHUF_SHARDS} AS INT) AS shard
+  FROM documents
+),
+sz AS (SELECT shard, COUNT(*) AS n FROM d GROUP BY 1),
+st AS (
+  SELECT shard, n,
+         CAST({_RESUME_STEP} // n AS INT) AS epoch,
+         CAST({_RESUME_STEP} % n AS BIGINT) AS pos
+  FROM sz
+),
+ord AS (
+  SELECT d.doc_id, d.shard, s.epoch,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.shard
+           ORDER BY md5(CAST(s.epoch AS VARCHAR) || '|'
+                        || CAST(d.doc_id AS VARCHAR)), d.doc_id)
+           AS position
+  FROM d JOIN st s ON s.shard = d.shard
+)
+SELECT o.shard, CAST(s.n AS BIGINT) AS shard_size, s.epoch,
+       CAST(s.pos + 1 AS BIGINT) AS next_position,
+       o.doc_id AS next_doc_id
+FROM ord o
+JOIN st s ON s.shard = o.shard AND o.position = s.pos + 1
+""")
+def llm_resume_skip(spark, sf):
+    """Checkpoint-resume for the deterministic data loader: after
+    ``_RESUME_STEP`` global steps (one doc per shard per step),
+    compute -- WITHOUT replaying the stream -- which epoch each
+    loader shard is in, the offset inside that epoch, and the exact
+    next document it will emit.  Works because the epoch order is a
+    replayable md5(epoch, id) coin (llm_epoch_shuffle), so resume
+    state is one integer divmod per shard plus one windowed lookup.
+
+    Scale shape: shard sizes are a dimension-sized aggregate; the
+    next-doc lookup is one per-shard window over the current epoch's
+    coin order -- O(shard) work and O(1) checkpoint state, versus the
+    naive resume that re-streams S batches."""
+    shard = F.pmod(F.col("doc_id"), F.lit(_SHUF_SHARDS)).cast("int")
+    d = (read_parallel(spark, sf, "documents")
+         .select("doc_id", shard.alias("shard")))
+    sz = d.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    st = sz.select(
+        "shard", "n",
+        F.expr(f"{_RESUME_STEP} DIV n").cast("int").alias("epoch"),
+        F.pmod(F.lit(_RESUME_STEP), F.col("n")).cast("long").alias("pos"))
+    coin = F.md5(F.concat(F.col("epoch").cast("string"), F.lit("|"),
+                          F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(coin.asc(),
+                                            F.col("doc_id").asc())
+    ordd = (d.join(F.broadcast(st), "shard")
+            .withColumn("position", F.row_number().over(w)))
+    return (ordd.where(F.col("position") == F.col("pos") + 1)
+            .select("shard", F.col("n").cast("long").alias("shard_size"),
+                    "epoch",
+                    (F.col("pos") + 1).cast("long").alias("next_position"),
+                    F.col("doc_id").alias("next_doc_id")))
+
+
+#: per-language mixture strides: stride = LCM(weights)/weight, so the
+#: k-th doc of language L is scheduled at integer virtual time
+#: (k+1)*stride -- classic stride scheduling, exactly proportional to
+#: the weights over any long prefix
+_MIX_STRIDES = {"en": 1, "zh": 2, "es": 3, "de": 3, "fr": 6}
+_MIX_TAKE = 200
+
+_MIX_STRIDE_CASE = ("CASE lang "
+                    + " ".join(f"WHEN '{l}' THEN {s}"
+                               for l, s in sorted(_MIX_STRIDES.items()))
+                    + " ELSE 12 END")
+
+
+@register("llm_interleave_mixture", f"""
+WITH k AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS k,
+         {_MIX_STRIDE_CASE} AS stride
+  FROM documents
+),
+p AS (
+  SELECT doc_id, lang, k, CAST(k * stride AS BIGINT) AS vtime
+  FROM k
+),
+top AS (
+  SELECT doc_id, lang, k, vtime,
+         ROW_NUMBER() OVER (ORDER BY vtime, lang, k) AS position
+  FROM p
+)
+SELECT CAST(position AS BIGINT) AS position, doc_id, lang,
+       CAST(k AS BIGINT) AS k, vtime
+FROM top WHERE position <= {_MIX_TAKE}
+""")
+def llm_interleave_mixture(spark, sf):
+    """Deterministic weighted dataset interleaving (stride
+    scheduling): each language is a sub-dataset with a target mixture
+    weight; the k-th doc of language L is scheduled at integer
+    virtual time k * (LCM/weight), and the merged stream reads docs
+    in virtual-time order -- over any prefix the language proportions
+    converge to the weights, with no RNG and no coordination (any
+    worker can compute its own slice).  Emits the next
+    ``_MIX_TAKE``-doc schedule from the front of the stream.
+
+    Scale shape: per-language ranks are partitioned windows; the
+    global merge order is taken as a bounded top-k
+    (TakeOrderedAndProject -- never a full sort), because a loader
+    only ever materializes the next batch window, and all virtual
+    times are exact integers."""
+    stride = F.expr(_MIX_STRIDE_CASE)
+    wk = Window.partitionBy("lang").orderBy("doc_id")
+    p = (read_parallel(spark, sf, "documents")
+         .select("doc_id", "lang")
+         .withColumn("k", F.row_number().over(wk))
+         .withColumn("vtime", (F.col("k") * stride).cast("long")))
+    top = (p.orderBy("vtime", "lang", "k").limit(_MIX_TAKE))
+    w = Window.orderBy("vtime", "lang", "k")  # bounded: _MIX_TAKE rows
+    return (top.withColumn("position",
+                           F.row_number().over(w).cast("long"))
+            .select("position", "doc_id", "lang",
+                    F.col("k").cast("long").alias("k"), "vtime"))

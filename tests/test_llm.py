@@ -1064,3 +1064,145 @@ def test_char_ppl_flags_unusual_text(spark):
     assert rows and all(r.avg_nll > 0 for r in rows)
     import math
     assert all(math.isfinite(r.avg_nll) for r in rows)
+
+
+def test_retrieval_eval_metric_bounds(spark):
+    """All metrics in [0,1]; hits <= k; ndcg > 0 iff hits > 0; with
+    hits > 0 the MRR is at least 1/k."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_retrieval_eval"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.hits_at_k <= 10
+        for m in (r.precision_at_k, r.recall_at_k, r.mrr_at_k,
+                  r.ndcg_at_k):
+            assert 0.0 <= m <= 1.0, r
+        assert (r.ndcg_at_k > 0) == (r.hits_at_k > 0)
+        if r.hits_at_k > 0:
+            assert r.mrr_at_k >= 1.0 / 10
+        assert abs(r.precision_at_k - r.hits_at_k / 10.0) < 1e-12
+
+
+def test_incremental_dedup_partition_and_first_wins(spark):
+    """Every incoming doc is odd-id; per fingerprint at most one
+    'admitted' row and it carries the smallest doc_id among the
+    non-index rows of that fingerprint."""
+    from collections import defaultdict
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_incremental_dedup"](spark, SF).collect()
+    assert rows and all(r.doc_id % 2 == 1 for r in rows)
+    by_fp = defaultdict(list)
+    for r in rows:
+        by_fp[r.fingerprint].append(r)
+    for grp in by_fp.values():
+        statuses = {r.status for r in grp}
+        admitted = [r for r in grp if r.status == "admitted"]
+        if "dup_of_index" in statuses:
+            assert not admitted          # index hit blocks the batch
+            assert statuses == {"dup_of_index"}
+        else:
+            assert len(admitted) == 1
+            assert admitted[0].doc_id == min(r.doc_id for r in grp)
+
+
+def test_minhash_estimate_audit_bounds(spark):
+    """Estimates and exact Jaccards are in [0,1] and abs_err is the
+    rounded absolute difference."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_minhash_estimate_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert 0.0 <= r.exact_jaccard <= 1.0
+        assert abs(r.abs_err
+                   - round(abs(r.est_jaccard - r.exact_jaccard), 8)) \
+            < 1e-9
+
+
+def test_shard_manifest_accounts_for_every_doc(spark):
+    """Shard totals must add up to the corpus: doc counts, char
+    totals, and id ranges; checksum is order-insensitive by
+    construction (commutative sum), non-zero, and shard-dependent."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    rows = queries()["llm_shard_manifest"](spark, SF).collect()
+    docs = read_table(spark, SF, "documents")
+    n, chars = docs.count(), docs.agg(F.sum("n_chars")).first()[0]
+    assert sum(r.n_docs for r in rows) == n
+    assert sum(r.total_chars for r in rows) == chars
+    assert all(r.min_doc_id <= r.max_doc_id for r in rows)
+    assert all(r.min_doc_id % 16 == r.shard for r in rows)
+    assert len({r.checksum for r in rows}) > 1
+
+
+def test_calibration_bins_partition_corpus(spark):
+    """Calibration bins cover all embeddings exactly once; per-bin
+    scores stay inside the bin's nominal range (clamp aside) and the
+    gap equals |avg_score - pos_rate|."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    rows = queries()["ml_calibration"](spark, SF).collect()
+    emb = read_table(spark, SF, "embeddings")
+    assert sum(r.n for r in rows) == emb.count()
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert r.bin / 10.0 - 1e-9 <= r.avg_score
+        if r.bin < 9:
+            assert r.avg_score <= (r.bin + 1) / 10.0 + 1e-9
+        assert abs(r.gap - round(abs(r.avg_score - r.pos_rate), 8)) \
+            < 2e-8
+
+
+def test_resume_skip_matches_replay(spark):
+    """The O(1) resume state must agree with literally replaying the
+    epoch-shuffle stream: for each shard, consuming STEP docs from
+    the concatenated per-epoch orders lands exactly on the reported
+    (epoch, next_position, next_doc_id)."""
+    from graphdb_cia_factbook_spark.queries_llm import (_RESUME_STEP,
+                                                        _SHUF_SHARDS)
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    import hashlib
+    rows = {r.shard: r
+            for r in queries()["llm_resume_skip"](spark, SF).collect()}
+    docs = [r.doc_id for r in
+            read_table(spark, SF, "documents").select("doc_id").collect()]
+    assert set(rows) == set(range(_SHUF_SHARDS))
+    for shard, r in rows.items():
+        ids = [d for d in docs if d % _SHUF_SHARDS == shard]
+        n = len(ids)
+        assert r.shard_size == n
+        assert r.epoch == _RESUME_STEP // n
+        assert r.next_position == _RESUME_STEP % n + 1
+        coin = lambda d: (hashlib.md5(
+            f"{r.epoch}|{d}".encode()).hexdigest(), d)
+        order = sorted(ids, key=coin)
+        assert r.next_doc_id == order[_RESUME_STEP % n]
+
+
+def test_interleave_mixture_proportions(spark):
+    """Stride scheduling: positions are 1..TAKE; within the prefix
+    each language's doc count tracks TAKE/stride within 1 (the
+    stride-scheduling fairness bound), and per-language docs appear
+    in k order."""
+    from collections import Counter, defaultdict
+    from graphdb_cia_factbook_spark.queries_llm import (_MIX_STRIDES,
+                                                        _MIX_TAKE)
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = sorted(queries()["llm_interleave_mixture"](spark, SF)
+                  .collect(), key=lambda r: r.position)
+    assert [r.position for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) <= _MIX_TAKE
+    vmax = rows[-1].vtime
+    counts = Counter(r.lang for r in rows)
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r.k)
+    for lang, ks in by_lang.items():
+        assert ks == sorted(ks)                      # k order preserved
+        stride = _MIX_STRIDES[lang]
+        # docs of `lang` scheduled by vmax = floor(vmax/stride) capped
+        # by availability; the emitted count can lag by the boundary
+        # ties only
+        assert abs(counts[lang] - vmax // stride) <= len(_MIX_STRIDES)
