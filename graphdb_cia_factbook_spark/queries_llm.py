@@ -4880,3 +4880,126 @@ def llm_interleave_mixture(spark, sf):
                            F.row_number().over(w).cast("long"))
             .select("position", "doc_id", "lang",
                     F.col("k").cast("long").alias("k"), "vtime"))
+
+
+@register("llm_packing_efficiency", f"""
+WITH t AS (
+  SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+         CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+),
+p AS (
+  SELECT shard, n_tokens,
+         CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS seq_first,
+         CAST((cum - 1) // {_PACK_BUDGET} AS BIGINT) AS seq_last
+  FROM c
+)
+SELECT CAST(shard AS INT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(seq_last) + 1 AS BIGINT) AS n_seqs,
+       CAST((MAX(seq_last) + 1) * {_PACK_BUDGET} - SUM(n_tokens)
+            AS BIGINT) AS pad_tokens,
+       CAST((MAX(seq_last) + 1) * {_PACK_BUDGET} - SUM(n_tokens)
+            AS DOUBLE)
+         / CAST((MAX(seq_last) + 1) * {_PACK_BUDGET} AS DOUBLE)
+         AS pad_frac,
+       CAST(SUM(CASE WHEN seq_first <> seq_last THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_straddling
+FROM p GROUP BY shard
+""")
+def llm_packing_efficiency(spark, sf):
+    """Packing-efficiency report over the concat-and-chunk packer:
+    per shard, sequences produced, padding tokens (only the final
+    partial chunk pads -- the whole point of concat-and-chunk),
+    padding fraction, and how many documents straddle a sequence
+    boundary (the cross-attention-contamination count that decides
+    whether you need attention masking between packed docs).
+
+    Scale shape: one partial-agg groupBy over the packer's output --
+    integer arithmetic end to end, same window as the packer
+    itself."""
+    from .operators.sampling import pack_sequences
+    from .operators.text import token_count
+    docs = (read_parallel(spark, sf, "documents")
+            .select("doc_id",
+                    token_count(F.col("text")).cast("long")
+                    .alias("n_tokens")))
+    p = pack_sequences(docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS)
+    b = F.lit(_PACK_BUDGET)
+    n_seqs = F.max("seq_last") + 1
+    return (p.groupBy("shard")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 n_seqs.cast("long").alias("n_seqs"),
+                 (n_seqs * b - F.sum("n_tokens")).cast("long")
+                 .alias("pad_tokens"),
+                 ((n_seqs * b - F.sum("n_tokens")).cast("double")
+                  / (n_seqs * b).cast("double")).alias("pad_frac"),
+                 F.sum(F.when(F.col("seq_first") != F.col("seq_last"), 1)
+                       .otherwise(0)).cast("long").alias("n_straddling")))
+
+
+_CUR_MIN_TOKENS, _CUR_MIN_QUALITY = 15, 0.45
+
+
+@register("llm_curation_pipeline", f"""
+WITH fp AS (
+  SELECT doc_id, {NORM_MD5} AS fingerprint FROM documents
+),
+firsts AS (
+  SELECT fingerprint, MIN(doc_id) AS first_id FROM fp GROUP BY 1
+),{_QUALITY_M_CTE.format(toks=TOKS, stop=_STOP_EN)}
+SELECT f.doc_id,
+       CASE WHEN f.doc_id > fs.first_id THEN 'exact_dup'
+            WHEN mm.n_tok < {_CUR_MIN_TOKENS} THEN 'too_short'
+            WHEN qq.quality_score < {_CUR_MIN_QUALITY}
+              THEN 'low_quality'
+            ELSE 'kept' END AS status
+FROM fp f
+JOIN firsts fs ON fs.fingerprint = f.fingerprint
+JOIN m mm ON mm.doc_id = f.doc_id
+JOIN q qq ON qq.doc_id = f.doc_id
+""")
+def llm_curation_pipeline(spark, sf):
+    """End-to-end curation verdict per document -- the composed
+    pipeline a corpus actually runs, with the FIRST failing stage as
+    the recorded reject reason (the standard curation-report shape:
+    reasons must partition the corpus, so stage order is part of the
+    contract): exact-dup -> too-short -> low-quality -> kept.
+
+    Composes the already-verified stages (fingerprint dedup,
+    token-count gate, blended quality score) into one plan: Catalyst
+    fuses the three per-doc stages into the scan's codegen stage, and
+    the only shuffle is the 32-byte fingerprint groupBy -- adding
+    pipeline stages costs nothing at 100 TB until a stage needs its
+    own shuffle.
+
+    Reference parity: this is the Spark re-expression of the
+    reference's load-then-validate flow (preprocess_upload_neo4j.py
+    validates rows before upload); the stages themselves are the
+    LLM-era equivalents."""
+    from .operators.text import fingerprint, quality_metrics
+    docs = read_parallel(spark, sf, "documents")
+    fp = docs.select("doc_id",
+                     fingerprint(F.col("text")).alias("fingerprint"))
+    firsts = (fp.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("first_id")))
+    q = quality_metrics(docs).select("doc_id", "n_tokens",
+                                     "quality_score")
+    return (fp.join(firsts, "fingerprint")
+            .join(q, "doc_id")
+            .select("doc_id",
+                    F.when(F.col("doc_id") > F.col("first_id"),
+                           "exact_dup")
+                    .when(F.col("n_tokens") < _CUR_MIN_TOKENS,
+                          "too_short")
+                    .when(F.col("quality_score") < _CUR_MIN_QUALITY,
+                          "low_quality")
+                    .otherwise("kept").alias("status")))

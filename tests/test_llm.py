@@ -1206,3 +1206,32 @@ def test_interleave_mixture_proportions(spark):
         # by availability; the emitted count can lag by the boundary
         # ties only
         assert abs(counts[lang] - vmax // stride) <= len(_MIX_STRIDES)
+
+
+def test_packing_efficiency_accounting(spark):
+    """Per shard: total_tokens + pad_tokens == n_seqs * budget; the
+    straddling count is consistent with budget-sized chunks (a doc
+    longer than the budget must straddle)."""
+    from graphdb_cia_factbook_spark.queries_llm import _PACK_BUDGET
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_packing_efficiency"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.total_tokens + r.pad_tokens == r.n_seqs * _PACK_BUDGET
+        assert 0 <= r.pad_tokens < _PACK_BUDGET
+        assert 0.0 <= r.pad_frac < 1.0
+        assert 0 <= r.n_straddling <= r.n_docs
+
+
+def test_curation_pipeline_statuses_partition(spark):
+    """Every doc gets exactly one status; duplicates beyond the first
+    occurrence are 'exact_dup'; the kept set is non-empty and every
+    status value is legal."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    rows = queries()["llm_curation_pipeline"](spark, SF).collect()
+    n = read_table(spark, SF, "documents").count()
+    assert len(rows) == n
+    legal = {"exact_dup", "too_short", "low_quality", "kept"}
+    assert {r.status for r in rows} <= legal
+    assert any(r.status == "kept" for r in rows)
