@@ -5003,3 +5003,177 @@ def llm_curation_pipeline(spark, sf):
                     .when(F.col("quality_score") < _CUR_MIN_QUALITY,
                           "low_quality")
                     .otherwise("kept").alias("status")))
+
+
+_TILE = 16  # ViT-style square patch edge, pixels
+
+@register("mm_tile_manifest", f"""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+       CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+       CAST((doc_id % 640 + 1 + {_TILE - 1}) // {_TILE} AS BIGINT)
+         AS n_tiles_x,
+       CAST((doc_id % 480 + 1 + {_TILE - 1}) // {_TILE} AS BIGINT)
+         AS n_tiles_y,
+       CAST(((doc_id % 640 + 1 + {_TILE - 1}) // {_TILE})
+            * ((doc_id % 480 + 1 + {_TILE - 1}) // {_TILE}) AS BIGINT)
+         AS n_tiles,
+       CAST(((doc_id % 640 + 1 + {_TILE - 1}) // {_TILE}) * {_TILE}
+            - (doc_id % 640 + 1) AS BIGINT) AS pad_x,
+       CAST(((doc_id % 480 + 1 + {_TILE - 1}) // {_TILE}) * {_TILE}
+            - (doc_id % 480 + 1) AS BIGINT) AS pad_y
+FROM documents
+""")
+def mm_tile_manifest(spark, sf):
+    """ViT-style patch-grid manifest: for every image, the number of
+    16x16 tiles along each axis (ceil division), the total
+    patch count (= the vision-transformer sequence length), and the
+    per-axis padding the tiler must add.  The dimensions come from
+    the PNG HEADER decode (mm_png_meta's pure-Catalyst hex parse) --
+    composing the decode with downstream planning WITHOUT touching
+    pixel data, which is the whole economics of preprocessing a
+    100-TB image corpus.
+
+    Scale shape: zero shuffles -- header parse + integer ceil-div all
+    fuse into the scan's codegen stage."""
+    from .operators.multimodal import media_table, png_metadata
+    docs = read_parallel(spark, sf, "documents")
+    payload = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.format_string("%08x", F.col("doc_id") % 640 + 1),
+        F.format_string("%08x", F.col("doc_id") % 480 + 1),
+        F.lit("08"),
+        F.when(F.col("doc_id") % 3 == 0, "02")
+        .when(F.col("doc_id") % 3 == 1, "06").otherwise("00")))
+    meta = png_metadata(media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "p"))
+    w, h = F.col("width"), F.col("height")
+    tx = F.expr(f"(width + {_TILE - 1}) DIV {_TILE}")
+    ty = F.expr(f"(height + {_TILE - 1}) DIV {_TILE}")
+    return meta.select(
+        "media_id",
+        w.cast("long").alias("width"), h.cast("long").alias("height"),
+        tx.cast("long").alias("n_tiles_x"),
+        ty.cast("long").alias("n_tiles_y"),
+        (tx * ty).cast("long").alias("n_tiles"),
+        (tx * _TILE - w).cast("long").alias("pad_x"),
+        (ty * _TILE - h).cast("long").alias("pad_y"))
+
+
+_ABL_SALT = "abl1"
+_ABL_TIERS = (10, 25, 50)  # percent sizes of the nested subsets
+
+
+def _abl_thresholds() -> list:
+    from .operators.sampling import fraction_to_hex_threshold
+    return [fraction_to_hex_threshold(t / 100.0) for t in _ABL_TIERS]
+
+
+@register("llm_ablation_subsets", f"""
+WITH c AS (
+  SELECT doc_id,
+         substr(md5('{_ABL_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)
+           AS coin
+  FROM documents
+)
+SELECT doc_id,
+       CASE {" ".join(
+           f"WHEN coin < '{th}' THEN {tier}"
+           for tier, th in zip((10, 25, 50), (
+               format(int(0.10 * 16**8), '08x'),
+               format(int(0.25 * 16**8), '08x'),
+               format(int(0.50 * 16**8), '08x'))))}
+            ELSE 100 END AS tier
+FROM c
+""")
+def llm_ablation_subsets(spark, sf):
+    """Nested ablation subsets for scaling-law runs: one keyed md5
+    coin assigns every document its SMALLEST containing subset tier
+    (10% c 25% c 50% c 100%) -- nesting is by construction (one coin,
+    increasing thresholds), so the 10% corpus is literally a subset
+    of the 25% corpus, which is what makes ablation curves
+    comparable.  Reproducible across engines, reruns, and cluster
+    sizes; never rand().
+
+    Scale shape: zero shuffles -- the coin and the CASE chain run
+    inside the scan's codegen stage; materializing any tier is a
+    pushed-down filter on this column."""
+    from .operators.sampling import sample_hash_coin
+    th = _abl_thresholds()
+    coin = sample_hash_coin(F.col("doc_id"), _ABL_SALT)
+    tier = None
+    for t, h in zip(_ABL_TIERS, th):
+        cond = coin < h
+        tier = F.when(cond, t) if tier is None else tier.when(cond, t)
+    return (read_parallel(spark, sf, "documents")
+            .select("doc_id", tier.otherwise(100).alias("tier")))
+
+
+_BT_SRC_LANG, _BT_TGT_LANG = "de", "en"
+
+
+@register("llm_bitext_mining", f"""
+WITH src AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qv
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = '{_BT_SRC_LANG}'
+),
+tgt AS (
+  SELECT e.vec_id AS cand_id, e.embedding AS cv
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = '{_BT_TGT_LANG}'
+),
+scored AS (
+  SELECT s.query_id, t.cand_id,
+         {_cos_sql('s.qv', 't.cv')} AS cos
+  FROM src s, tgt t
+),
+ranked AS (
+  SELECT query_id, cand_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, cand_id) AS rn
+  FROM scored
+)
+SELECT a.query_id, a.cand_id AS match_id,
+       ROUND(a.cos, 6) AS cos_top1,
+       ROUND(a.cos - b.cos, 6) AS margin
+FROM ranked a JOIN ranked b
+  ON b.query_id = a.query_id AND a.rn = 1 AND b.rn = 2
+""")
+def llm_bitext_mining(spark, sf):
+    """Bitext mining (parallel-corpus candidate extraction): for each
+    source-language document, the nearest target-language neighbor in
+    embedding space plus the top1-top2 MARGIN -- the standard
+    mine-then-threshold signal (a high margin means the match is
+    uniquely good, not just in a dense region; margin-based filtering
+    is how web-scale MT corpora are built).
+
+    Scale shape: language partitions shrink both sides before any
+    scoring; the top-2 per query runs through the two-phase
+    topk_per_query prune (shuffle carries Q * partitions * 2, never
+    Q * N); at 100 TB the scored join swaps to the LSH/IVF candidate
+    path unchanged."""
+    from .operators.similarity import cosine, topk_per_query
+    emb = read_parallel(spark, sf, "embeddings")
+    docs = read_parallel(spark, sf, "documents").select("doc_id", "lang")
+    j = emb.join(docs, emb["vec_id"] == docs["doc_id"])
+    src = (j.where(F.col("lang") == _BT_SRC_LANG)
+           .select(F.col("vec_id").alias("query_id"),
+                   F.col("embedding").alias("__qv")))
+    tgt = (j.where(F.col("lang") == _BT_TGT_LANG)
+           .select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("__cv")))
+    scored = (tgt.crossJoin(F.broadcast(src))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    top2 = topk_per_query(scored, 2)
+    a = top2.where(F.col("rank") == 1).select(
+        "query_id", F.col("neighbor_id").alias("match_id"),
+        F.col("cos").alias("c1"))
+    b = top2.where(F.col("rank") == 2).select(
+        "query_id", F.col("cos").alias("c2"))
+    return (a.join(b, "query_id")
+            .select("query_id", "match_id",
+                    F.round(F.col("c1"), 6).alias("cos_top1"),
+                    F.round(F.col("c1") - F.col("c2"), 6)
+                    .alias("margin")))

@@ -1235,3 +1235,50 @@ def test_curation_pipeline_statuses_partition(spark):
     legal = {"exact_dup", "too_short", "low_quality", "kept"}
     assert {r.status for r in rows} <= legal
     assert any(r.status == "kept" for r in rows)
+
+
+def test_tile_manifest_ceil_division(spark):
+    """Tile counts are exact ceil divisions; padding is < tile edge;
+    n_tiles = nx * ny."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["mm_tile_manifest"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tiles_x == -(-r.width // 16)
+        assert r.n_tiles_y == -(-r.height // 16)
+        assert r.n_tiles == r.n_tiles_x * r.n_tiles_y
+        assert 0 <= r.pad_x < 16 and 0 <= r.pad_y < 16
+
+
+def test_ablation_subsets_are_nested_and_sized(spark):
+    """Tiers are nested by construction: tier counts must be ordered
+    10% <= 25% <= 50% of corpus (up to coin variance) and every doc
+    gets exactly one tier."""
+    from collections import Counter
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_ablation_subsets"](spark, SF).collect()
+    n = len(rows)
+    c = Counter(r.tier for r in rows)
+    assert set(c) <= {10, 25, 50, 100}
+    in10 = c[10]
+    in25 = c[10] + c[25]
+    in50 = c[10] + c[25] + c[50]
+    assert in10 <= in25 <= in50 <= n
+    # loose binomial sanity: each nested subset within 4 sigma
+    import math
+    for target, got in ((0.10, in10), (0.25, in25), (0.50, in50)):
+        sigma = math.sqrt(n * target * (1 - target))
+        assert abs(got - n * target) <= 4 * sigma + 1
+
+
+def test_bitext_margin_consistency(spark):
+    """Each source doc appears once; margin >= 0 (top1 beats top2)
+    and cos values are valid cosines."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_bitext_mining"](spark, SF).collect()
+    assert rows
+    ids = [r.query_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert -1.000001 <= r.cos_top1 <= 1.000001
+        assert r.margin >= -1e-9
