@@ -60,6 +60,8 @@ HEADLINE = [
     "q8_market_share",       # 8-table join, share-of-total by year (Q8)
     "dq_psi",                # population-stability drift report
     "agg_skyline",           # Pareto skyline (dominance anti-join)
+    "llm_curation_pipeline", # composed dedup->length->quality verdicts
+    "llm_retrieval_eval",    # top-k metrics (nDCG/MRR) over exact cosine
 ]
 
 
