@@ -34,6 +34,15 @@ def normalize(col: Column) -> Column:
     return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
 
 
+def template_fingerprint(col: Column) -> Column:
+    """Digit-insensitive template fingerprint: md5 of the normalized
+    text with every digit run collapsed to '#'.  Documents identical
+    up to numbers ("Order #123 shipped 2024-01-02") share one
+    fingerprint -- the boilerplate-template signal exact dedup cannot
+    see."""
+    return F.md5(F.regexp_replace(normalize(col), "[0-9]+", "#"))
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text.  md5 (not
     xxhash/murmur) so fingerprints are identical across engines and

@@ -5177,3 +5177,111 @@ def llm_bitext_mining(spark, sf):
                     F.round(F.col("c1"), 6).alias("cos_top1"),
                     F.round(F.col("c1") - F.col("c2"), 6)
                     .alias("margin")))
+
+
+@register("llm_template_cluster", f"""
+WITH n AS (
+  SELECT doc_id,
+         md5(regexp_replace(
+               lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+               '[0-9]+', '#', 'g')) AS template_fp,
+         md5(text) AS exact_fp
+  FROM documents
+)
+SELECT template_fp,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS example_id,
+       CAST(COUNT(DISTINCT exact_fp) AS BIGINT) AS n_variants
+FROM n GROUP BY 1 HAVING COUNT(*) > 1
+""")
+def llm_template_cluster(spark, sf):
+    """Templated-boilerplate detection: documents identical up to
+    NUMBERS (timestamps, ids, prices -- "Order #123 shipped") cluster
+    under one digit-normalized fingerprint; clusters with >1 doc are
+    template families, and ``n_variants`` counts how many exact texts
+    the template stamps out.  Exact dedup misses these entirely; this
+    is the cheap first pass before shingle-based near-dedup.
+
+    Scale shape: identical to exact dedup -- only 32-byte
+    fingerprints shuffle, one hash groupBy, normalization fused into
+    the scan's codegen.  (0 clusters on a template-free corpus is the
+    correct answer; the operator's clustering behavior is pinned by a
+    synthetic-template unit test.)"""
+    from .operators.text import template_fingerprint
+    n = (read_parallel(spark, sf, "documents")
+         .select("doc_id",
+                 template_fingerprint(F.col("text")).alias("template_fp"),
+                 F.md5(F.col("text")).alias("exact_fp")))
+    return (n.groupBy("template_fp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("example_id"),
+                 F.countDistinct("exact_fp").cast("long")
+                 .alias("n_variants"))
+            .where(F.col("n_docs") > 1))
+
+
+@register("llm_source_drift_tvd", f"""
+WITH tok AS (
+  SELECT d.source, unnest({TOKS}) AS tok
+  FROM documents d
+),
+corpus AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM corpus),
+sc AS (SELECT source, tok, COUNT(*) AS cs FROM tok GROUP BY 1, 2),
+stot AS (SELECT source, SUM(cs) AS ns FROM sc GROUP BY 1)
+SELECT s.source,
+       CAST(st.ns AS BIGINT) AS n_tokens_src,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_vocab,
+       ROUND(0.5 * (
+         CAST(SUM(CAST(ABS(CAST(s.cs AS DOUBLE) / st.ns
+                           - CAST(c.c AS DOUBLE) / t.n)
+                       AS DECIMAL(27,12))) AS DOUBLE)
+         + (1.0 - CAST(SUM(CAST(CAST(c.c AS DOUBLE) / t.n
+                               AS DECIMAL(27,12))) AS DOUBLE))), 8)
+         AS tvd
+FROM sc s
+JOIN corpus c ON c.tok = s.tok
+JOIN stot st ON st.source = s.source
+CROSS JOIN tot t
+GROUP BY s.source, st.ns
+""")
+def llm_source_drift_tvd(spark, sf):
+    """Per-source distribution drift as exact TOTAL-VARIATION distance
+    between the source's token distribution and the corpus: TVD =
+    0.5 * sum_t |p_t - q_t|, folded so tokens ABSENT from the source
+    never materialize (their contribution is 1 - sum of corpus mass
+    over PRESENT tokens) -- no source x vocabulary grid.  Flags the
+    outlier domain whose language shifted (spam influx, encoding
+    break) before it poisons a mixture.  No transcendentals anywhere
+    -- exact integer ratios, IEEE subtract/abs, decimal-exact sums --
+    so the statistic is bit-identical on every engine (unlike KL/JSD,
+    whose ln() is libm-dependent).
+
+    Scale shape: two token-keyed partial-agg groupBys (corpus counts,
+    source counts) + one join on token -- shuffles carry (token,
+    count) pairs, never documents; the per-source fold is one
+    groupBy."""
+    tok = (read_parallel(spark, sf, "documents")
+           .select("source",
+                   F.explode(F.split(F.trim(F.col("text")), r"\s+"))
+                   .alias("tok")))
+    corpus = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = corpus.agg(F.sum("c").alias("n"))
+    sc = (tok.groupBy("source", "tok")
+          .agg(F.count(F.lit(1)).alias("cs")))
+    stot = sc.groupBy("source").agg(F.sum("cs").alias("ns"))
+    p = F.col("cs").cast("double") / F.col("ns")
+    q = F.col("c").cast("double") / F.col("n")
+    return (sc.join(corpus, "tok")
+            .join(F.broadcast(stot), "source")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("source", "ns")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_shared_vocab"),
+                 F.round(0.5 * (
+                     F.sum(F.abs(p - q).cast("decimal(27,12)"))
+                     .cast("double")
+                     + (F.lit(1.0)
+                        - F.sum(q.cast("decimal(27,12)"))
+                        .cast("double"))), 8).alias("tvd"))
+            .select("source", F.col("ns").cast("long")
+                    .alias("n_tokens_src"), "n_shared_vocab", "tvd"))

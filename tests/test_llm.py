@@ -1282,3 +1282,37 @@ def test_bitext_margin_consistency(spark):
     for r in rows:
         assert -1.000001 <= r.cos_top1 <= 1.000001
         assert r.margin >= -1e-9
+
+
+def test_template_fingerprint_clusters_numeric_variants(spark):
+    """Docs identical up to digit runs share a template fingerprint;
+    genuinely different docs do not; the registered query surfaces
+    exactly the multi-doc clusters."""
+    from graphdb_cia_factbook_spark.operators.text import (
+        template_fingerprint)
+    df = spark.createDataFrame(
+        [(0, "Order #123 shipped on 2024-01-02"),
+         (1, "Order #9876 shipped on 2025-12-31"),
+         (2, "Order  #55   shipped on 1999-07-04"),   # ws collapsed too
+         (3, "your parcel was returned"),
+         (4, "ORDER #1 SHIPPED ON 2020-05-06")],      # case-folded
+        "doc_id long, text string")
+    rows = df.select("doc_id",
+                     template_fingerprint(F.col("text")).alias("fp")) \
+        .collect()
+    fps = {r.doc_id: r.fp for r in rows}
+    assert fps[0] == fps[1] == fps[2] == fps[4]
+    assert fps[3] != fps[0]
+
+
+def test_source_drift_tvd_bounds_and_self_consistency(spark):
+    """TVD is in [0,1]; a source whose tokens are drawn from the same
+    pool as the corpus has TVD well below 1; token counts are
+    positive."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_source_drift_tvd"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.tvd <= 1.0
+        assert r.n_tokens_src > 0 and r.n_shared_vocab > 0
+        assert r.tvd < 0.999
