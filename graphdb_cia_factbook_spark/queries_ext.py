@@ -492,3 +492,37 @@ def s3_clustered_write(spark, sf):
             .agg(F.count(F.lit(1)).alias("n_lines"),
                  dsum(F.col("l_extendedprice")
                       * (1 - F.col("l_discount"))).alias("revenue")))
+
+
+@register("s_schema_evolution", """
+SELECT o_orderkey,
+       CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+         AS batch,
+       o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+         AS o_orderstatus
+FROM orders
+""")
+def s_schema_evolution(spark, sf):
+    """Schema-evolution read (the 100-TB ingest reality: yesterday's
+    parquet lacks the column today's writer added): batch 1 is
+    written WITHOUT ``o_orderstatus``, batch 2 WITH it; the read
+    unifies both via ``mergeSchema`` + partition discovery, and the
+    legacy batch's rows surface the new column as NULL -- no rewrite
+    of the old data, which is the whole point at scale (schema
+    evolution must be metadata-only).  The oracle recomputes the
+    expected unified table, NULLs included, from the source."""
+    out = _sink_path("s_schema_evo", sf)
+    orders = read_table(spark, sf, "orders")
+    v1 = (orders.where(F.col("o_orderkey") % 2 == 0)
+          .select("o_orderkey", "o_totalprice"))
+    v2 = (orders.where(F.col("o_orderkey") % 2 == 1)
+          .select("o_orderkey", "o_totalprice", "o_orderstatus"))
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .option("basePath", out).parquet(
+                os.path.join(out, "batch=1"),
+                os.path.join(out, "batch=2")))
+    return back.select("o_orderkey", F.col("batch").cast("int"),
+                       "o_totalprice", "o_orderstatus")

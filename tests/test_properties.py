@@ -427,3 +427,61 @@ def test_skyline_dominance_semantics(spark):
         if not dominated:
             want.add(i)
     assert got == want
+
+
+pack_rows_st = st.lists(
+    st.tuples(st.integers(0, 1000),          # doc_id (dups dropped)
+              st.integers(1, 300)),          # n_tokens
+    min_size=1, max_size=40,
+    unique_by=lambda t: t[0])
+
+
+@given(rows=pack_rows_st, budget=st.integers(8, 128),
+       shards=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_pack_sequences_prefix_sum_invariants(spark, rows, budget,
+                                              shards):
+    """For ANY corpus/budget/shard count: per shard, docs laid end to
+    end in id order tile the token stream exactly -- each doc's
+    seq_first/start_offset equals the running total's divmod, and
+    seq_last covers its final token."""
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        pack_sequences)
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_sequences(df, budget=budget, n_shards=shards).collect()
+    assert len(out) == len(rows)
+    by_shard = {}
+    for r in sorted(out, key=lambda r: (r.shard, r.doc_id)):
+        cum = by_shard.get(r.shard, 0)
+        assert r.seq_first == cum // budget
+        assert r.start_offset == cum % budget
+        assert r.seq_last == (cum + r.n_tokens - 1) // budget
+        by_shard[r.shard] = cum + r.n_tokens
+
+
+@given(ids=st.lists(st.integers(0, 10**6), min_size=1, max_size=60,
+                    unique=True))
+@settings(**SETTINGS)
+def test_ablation_tiers_nested_for_any_ids(spark, ids):
+    """Nesting is structural: recomputing the tier from the same coin
+    thresholds in Python agrees, and tier t contains every doc of
+    tier < t by definition of the CASE chain."""
+    import hashlib
+    from graphdb_cia_factbook_spark.operators.sampling import (
+        fraction_to_hex_threshold, sample_hash_coin)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    ths = [(t, fraction_to_hex_threshold(t / 100.0))
+           for t in (10, 25, 50)]
+    tier = None
+    coin = sample_hash_coin(F.col("doc_id"), "abl1")
+    for t, h in ths:
+        cond = coin < h
+        tier = F.when(cond, t) if tier is None else tier.when(cond, t)
+    out = {r.doc_id: r.tier
+           for r in df.select("doc_id",
+                              tier.otherwise(100).alias("tier"))
+           .collect()}
+    for i in ids:
+        c = hashlib.md5(f"abl1{i}".encode()).hexdigest()[:8]
+        expect = next((t for t, h in ths if c < h), 100)
+        assert out[i] == expect
