@@ -5285,3 +5285,68 @@ def llm_source_drift_tvd(spark, sf):
                         .cast("double"))), 8).alias("tvd"))
             .select("source", F.col("ns").cast("long")
                     .alias("n_tokens_src"), "n_shared_vocab", "tvd"))
+
+
+_CAP_MIN_DIM, _CAP_MIN_TOK, _CAP_MAX_TOK = 64, 5, 80
+
+
+@register("llm_caption_pairs", f"""
+WITH meta AS (
+  SELECT doc_id AS media_id,
+         CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+         CAST(doc_id % 480 + 1 AS BIGINT) AS height
+  FROM documents
+),
+cap AS (
+  SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT c.doc_id AS pair_id, m.width, m.height, c.n_tokens,
+       CASE WHEN m.width * 10 >= m.height * 12 THEN 'wide'
+            WHEN m.height * 10 >= m.width * 12 THEN 'tall'
+            ELSE 'square' END AS aspect_bucket
+FROM cap c JOIN meta m ON m.media_id = c.doc_id
+WHERE m.width >= {_CAP_MIN_DIM} AND m.height >= {_CAP_MIN_DIM}
+  AND c.n_tokens BETWEEN {_CAP_MIN_TOK} AND {_CAP_MAX_TOK}
+""")
+def llm_caption_pairs(spark, sf):
+    """Image-text pair curation (the LAION-style manifest): join each
+    caption to its image's HEADER-decoded dimensions, keep pairs
+    whose image is large enough and whose caption's token count is in
+    range, and bucket by aspect ratio (wide/tall/square via integer
+    cross-multiplication -- no float division) for resolution-bucketed
+    batching.
+
+    Scale shape: a keyed 1:1 join of two scan-side projections --
+    both filters are pushed to their scans, the aspect CASE is
+    integer codegen, and no pixel data moves; at 100 TB the media
+    side reads only parquet headers/metadata columns.  The dims here
+    come from the same synthetic PNG headers as mm_png_meta
+    (deterministic doc_id arithmetic), so the oracle can recompute
+    them exactly."""
+    from .operators.multimodal import media_table, png_metadata
+    from .operators.text import token_count
+    docs = read_parallel(spark, sf, "documents")
+    payload = F.unhex(F.concat(
+        F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        F.format_string("%08x", F.col("doc_id") % 640 + 1),
+        F.format_string("%08x", F.col("doc_id") % 480 + 1),
+        F.lit("08"),
+        F.when(F.col("doc_id") % 3 == 0, "02")
+        .when(F.col("doc_id") % 3 == 1, "06").otherwise("00")))
+    meta = png_metadata(media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "p"))
+    cap = docs.select("doc_id",
+                      token_count(F.col("text")).cast("long")
+                      .alias("n_tokens"))
+    w, h = F.col("width").cast("long"), F.col("height").cast("long")
+    aspect = (F.when(w * 10 >= h * 12, "wide")
+              .when(h * 10 >= w * 12, "tall")
+              .otherwise("square"))
+    return (cap.join(meta, cap["doc_id"] == meta["media_id"])
+            .where((w >= _CAP_MIN_DIM) & (h >= _CAP_MIN_DIM)
+                   & F.col("n_tokens").between(_CAP_MIN_TOK,
+                                               _CAP_MAX_TOK))
+            .select(F.col("doc_id").alias("pair_id"),
+                    w.alias("width"), h.alias("height"), "n_tokens",
+                    aspect.alias("aspect_bucket")))

@@ -1316,3 +1316,20 @@ def test_source_drift_tvd_bounds_and_self_consistency(spark):
         assert 0.0 <= r.tvd <= 1.0
         assert r.n_tokens_src > 0 and r.n_shared_vocab > 0
         assert r.tvd < 0.999
+
+
+def test_caption_pairs_filters_and_buckets(spark):
+    """Every surviving pair satisfies the dim/token gates; the aspect
+    bucket matches integer cross-multiplication semantics."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_caption_pairs"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.width >= 64 and r.height >= 64
+        assert 5 <= r.n_tokens <= 80
+        if r.width * 10 >= r.height * 12:
+            assert r.aspect_bucket == "wide"
+        elif r.height * 10 >= r.width * 12:
+            assert r.aspect_bucket == "tall"
+        else:
+            assert r.aspect_bucket == "square"

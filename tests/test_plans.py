@@ -205,3 +205,29 @@ def test_link_prediction_no_cartesian(spark, queries):
     shared middle vertex, never an all-pairs product."""
     plan = plan_of(queries["g_link_prediction"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def _data_shuffles(plan: str) -> int:
+    """Count DATA shuffles: hash/range-partitioning exchanges.  The
+    round-robin REPARTITION_BY_NUM that read_parallel injects to
+    parallelize a single-file local scan is deliberately excluded --
+    it disappears on a real multi-file table."""
+    return (plan.count("Arguments: hashpartitioning")
+            + plan.count("Arguments: rangepartitioning"))
+
+
+def test_scan_side_llm_entries_have_no_data_shuffle(spark, queries):
+    """The zero-shuffle claims in the round-4 docstrings are plan
+    facts: ablation tiering and the tile manifest must compile to a
+    scan-side codegen stage with no hash/range exchange."""
+    for name in ("llm_ablation_subsets", "mm_tile_manifest"):
+        plan = plan_of(queries[name](spark, SF))
+        assert _data_shuffles(plan) == 0, f"{name} shuffles:\n{plan}"
+
+
+def test_shard_manifest_single_shuffle(spark, queries):
+    """The shard manifest is ONE hash shuffle (partial agg map-side,
+    final agg after a single Exchange on the shard key)."""
+    plan = plan_of(queries["llm_shard_manifest"](spark, SF))
+    assert _data_shuffles(plan) == 1, plan
+    assert "partial_count" in plan
