@@ -59,10 +59,17 @@ def stopword_count(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(words)))
 
 
-def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_metrics(df: DataFrame, text_col: str = "text",
+                    extra_cols: list | None = None) -> DataFrame:
     """Quality scoring: length, token stats, alpha ratio, stopword
     ratio, and a blended [0,1] quality score.  Integer counts divided
-    as doubles -- bit-identical across engines."""
+    as doubles -- bit-identical across engines.
+
+    ``extra_cols``: additional Column expressions carried through the
+    projection (e.g. a fingerprint) -- keeps single-pass pipelines
+    single-pass, which streaming complete mode REQUIRES (a
+    stream-stream self-join to re-attach columns is not allowed
+    there)."""
     t = tokens(F.col(text_col))
     n_tok = F.size(t).cast("double")
     n_char = F.length(F.col(text_col)).cast("double")
@@ -81,7 +88,8 @@ def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         avg_tok_len.alias("avg_token_len"),
         stop_ratio.alias("stopword_ratio"),
         alpha_ratio.alias("alpha_ratio"),
-        score.alias("quality_score"))
+        score.alias("quality_score"),
+        *(extra_cols or []))
 
 
 def repetition_metrics(df: DataFrame, id_col: str = "doc_id",

@@ -1304,3 +1304,68 @@ def ts_durbin_watson(spark, sf):
                          / F.sum((F.col("e") * F.col("e"))
                                  .cast("decimal(27,6)"))
                          .cast("double"), 8).alias("durbin_watson")))
+
+
+@register("st_doc_curation", """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks,
+         CAST(length(text) AS DOUBLE) AS n_char
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n_tok, n_char,
+         (n_char - CAST(length(regexp_replace(text, '[A-Za-z]', '', 'g'))
+                        AS DOUBLE)) AS n_alpha,
+         CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS DOUBLE)
+           AS n_stop
+  FROM t
+),
+q AS (
+  SELECT doc_id,
+         least(n_tok / 100, 1.0) * 0.3
+           + (CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 0.3
+           + (CASE WHEN n_char > 0 THEN n_alpha / n_char ELSE 0.0 END) * 0.4
+           AS quality_score
+  FROM m
+),
+f AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+           AS fingerprint
+  FROM documents
+),
+g AS (
+  SELECT f.fingerprint,
+         COUNT(*) AS n_docs,
+         MIN(f.doc_id) AS first_id,
+         arg_min(m.n_tok, f.doc_id) AS tok_first,
+         arg_min(q.quality_score, f.doc_id) AS q_first
+  FROM f
+  JOIN m ON m.doc_id = f.doc_id
+  JOIN q ON q.doc_id = f.doc_id
+  GROUP BY 1
+)
+SELECT fingerprint, CAST(n_docs AS BIGINT) AS n_docs, first_id,
+       CASE WHEN tok_first < 15 THEN 'too_short'
+            WHEN q_first < 0.45 THEN 'low_quality'
+            ELSE 'kept' END AS status
+FROM g
+""")
+def st_doc_curation(spark, sf):
+    """Streaming-ingest curation (streaming-ready: identical plan over
+    streaming.stream_documents + complete mode, pinned stream==batch
+    by pytest): as documents arrive, maintain per-fingerprint groups
+    -- dup count, first-seen doc, and the CANONICAL doc's
+    length/quality verdict via min_by -- so the curation report is
+    continuously current instead of recomputed after each crawl
+    lands.
+
+    Scale shape: one streaming groupBy on the 32-byte fingerprint
+    (state = one row per distinct document text, the same cardinality
+    the batch dedup shuffles); all per-doc features are stateless
+    scan-side codegen.  In production the state store gets a TTL of
+    the crawl-revisit horizon."""
+    from .streaming import doc_curation_groups
+    docs = read_table(spark, sf, "documents")
+    return doc_curation_groups(docs)

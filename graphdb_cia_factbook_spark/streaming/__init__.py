@@ -90,6 +90,45 @@ def stream_events_dir(spark: SparkSession, src_dir: str,
     return _normalize_ts(reader.parquet(src_dir), schema)
 
 
+def stream_documents(spark: SparkSession, sf_dir: str,
+                     max_files_per_trigger: int | None = None
+                     ) -> DataFrame:
+    """File-source stream over the testdata ``documents`` parquet --
+    the streaming-ingest twin of the batch corpus, for running the
+    curation surface (fingerprint dedup, quality gates) as documents
+    ARRIVE instead of after a full crawl lands."""
+    import os
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")).schema
+    reader = (spark.readStream.schema(schema)
+              .option("pathGlobFilter", "documents.parquet"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(sf_dir)
+
+
+def doc_curation_groups(docs: DataFrame) -> DataFrame:
+    """Per-fingerprint curation groups -- batch and streaming run the
+    SAME plan (the stream==batch contract): one single-pass projection
+    computes fingerprint + token count + quality score (no
+    stream-stream self-join, which complete mode forbids), then one
+    groupBy maintains dup count, first-seen id, and the canonical
+    doc's verdict via min_by."""
+    from ..operators.text import fingerprint, quality_metrics
+    feats = quality_metrics(
+        docs, extra_cols=[fingerprint(F.col("text")).alias("fingerprint")])
+    g = (feats.groupBy("fingerprint")
+         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+              F.min("doc_id").alias("first_id"),
+              F.min_by("n_tokens", "doc_id").alias("tok_first"),
+              F.min_by("quality_score", "doc_id").alias("q_first")))
+    return g.select(
+        "fingerprint", "n_docs", "first_id",
+        F.when(F.col("tok_first") < 15, "too_short")
+        .when(F.col("q_first") < 0.45, "low_quality")
+        .otherwise("kept").alias("status"))
+
+
 def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
     """Late-data horizon: rows older than max(ts) - delay are dropped
     and window state below the horizon is finalized + freed."""

@@ -416,3 +416,18 @@ def test_stateful_ewma_multibatch_matches_batch_fold(spark, tmp_path):
         gn, gs = got[uid]
         assert gn == n, uid
         assert gs == s, uid                 # bit-exact: same op chain
+
+
+def test_stream_doc_curation_equals_batch(spark):
+    """The st_doc_curation plan produces IDENTICAL per-fingerprint
+    verdicts when run over the document stream (complete mode) as
+    over the batch table -- the stream==batch contract for the
+    curation surface."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.streaming import (
+        doc_curation_groups, run_to_memory, stream_documents)
+    batch = queries()["st_doc_curation"](spark, SF)
+    sdf = doc_curation_groups(stream_documents(spark, SF))
+    run_to_memory(sdf, "t_doc_curation", "complete")
+    cols = ["fingerprint", "n_docs", "first_id", "status"]
+    assert rows(spark.table("t_doc_curation"), cols) == rows(batch, cols)
