@@ -922,6 +922,47 @@ SELECT a.vec_id, a.centroid_id AS cluster_id, s.survivor_id,
        a.vec_id <> s.survivor_id AS is_dup
 FROM assign a JOIN survivor s ON a.centroid_id = s.centroid_id""")
         return "".join(parts)
+    if mode == "recall":
+        parts.append(f""",
+assign AS {nearest(fin, '', 1, 'neighbor_id')},
+probe AS {nearest(fin, f'WHERE e.vec_id < {q_max}', _IVF_NPROBE, 'query_id')},
+iscored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_cos_sql('p.embedding', 'a.embedding')} AS cos
+  FROM probe p JOIN assign a ON p.centroid_id = a.centroid_id
+  WHERE a.neighbor_id <> p.query_id
+),
+iranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM iscored
+),
+bscored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_cos_sql('q.embedding', 'c.embedding')} AS cos
+  FROM embeddings c, embeddings q
+  WHERE q.vec_id < {q_max} AND c.vec_id <> q.vec_id
+),
+branked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM bscored
+)
+SELECT b.query_id,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS DOUBLE) / {k}
+         AS recall_at_k
+FROM branked b
+LEFT JOIN iranked i ON i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+                   AND i.rank <= {k}
+WHERE b.rank <= {k}
+GROUP BY b.query_id""")
+        return "".join(parts)
     if mode == "cards":
         parts.append(f""",
 assign AS {nearest(fin, '', 1, 'vec_id')},
@@ -5395,3 +5436,117 @@ def llm_cluster_cards(spark, sf):
     from .operators.similarity import cluster_cards
     return cluster_cards(read_parallel(spark, sf, "embeddings"),
                          n_centroids=_IVF_K, lloyd_iters=_IVF_LLOYD)
+
+
+@register("llm_ivf_recall_audit", _ivf_sql(_IVF_LLOYD, mode="recall"))
+def llm_ivf_recall_audit(spark, sf):
+    """ANN index-quality monitoring: per query, how much of the exact
+    brute-force top-3 the IVF index recovers (recall@k against ground
+    truth) -- the audit that decides nprobe/n_centroids BEFORE
+    trusting approximate search to drive dedup or retrieval at scale.
+    Same quantizer and probe parameters as llm_ann_ivf, so this
+    measures exactly the index the other entries use.
+
+    Scale shape: the brute side runs only over the AUDIT SAMPLE of
+    queries (ground truth for a sample is how recall is monitored in
+    production -- never brute-force the full query load); the IVF
+    side is the production probe plan; the comparison is a Q*k-row
+    join."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+    emb = read_parallel(spark, sf, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    ivf = ivf_topk(emb, q, k=3, n_centroids=_IVF_K,
+                   nprobe=_IVF_NPROBE, lloyd_iters=_IVF_LLOYD) \
+        .select("query_id", "neighbor_id")
+    brute = brute_force_topk(emb, q, k=3) \
+        .select("query_id", "neighbor_id")
+    hit = ivf.withColumn("__hit", F.lit(1))
+    return (brute.join(hit, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                 .cast("long").alias("n_hits"),
+                 (F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                  .cast("double") / 3).alias("recall_at_k")))
+
+
+_FUNNEL_STAGES = ("ingested", "after_exact_dedup", "after_length_gate",
+                  "after_quality_gate")
+
+
+@register("llm_pipeline_funnel", f"""
+WITH fp AS (
+  SELECT doc_id, {NORM_MD5} AS fingerprint FROM documents
+),
+firsts AS (
+  SELECT fingerprint, MIN(doc_id) AS first_id FROM fp GROUP BY 1
+),{_QUALITY_M_CTE.format(toks=TOKS, stop=_STOP_EN)},
+st AS (
+  SELECT f.doc_id, CAST(mm.n_tok AS BIGINT) AS n_tokens,
+         f.doc_id = fs.first_id AS s1,
+         f.doc_id = fs.first_id AND mm.n_tok >= {_CUR_MIN_TOKENS} AS s2,
+         f.doc_id = fs.first_id AND mm.n_tok >= {_CUR_MIN_TOKENS}
+           AND qq.quality_score >= {_CUR_MIN_QUALITY} AS s3
+  FROM fp f
+  JOIN firsts fs ON fs.fingerprint = f.fingerprint
+  JOIN m mm ON mm.doc_id = f.doc_id
+  JOIN q qq ON qq.doc_id = f.doc_id
+)
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT 'ingested' AS stage, 0 AS ord,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM st
+  UNION ALL
+  SELECT 'after_exact_dedup', 1, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM st WHERE s1
+  UNION ALL
+  SELECT 'after_length_gate', 2, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM st WHERE s2
+  UNION ALL
+  SELECT 'after_quality_gate', 3, CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT) FROM st WHERE s3
+)
+""")
+def llm_pipeline_funnel(spark, sf):
+    """Curation funnel: documents and tokens surviving after each
+    pipeline stage (ingest -> exact dedup -> length gate -> quality
+    gate) -- the headline numbers of every dataset paper's "we
+    started with X TB and kept Y".  Same stage definitions as
+    llm_curation_pipeline, so the funnel and the per-doc verdicts
+    can never disagree.
+
+    Scale shape: one pass computes all stage flags (conditional
+    aggregation -- NOT one scan per stage), one fingerprint shuffle,
+    four tiny conditional sums."""
+    from .operators.text import fingerprint, quality_metrics
+    docs = read_parallel(spark, sf, "documents")
+    feats = quality_metrics(
+        docs, extra_cols=[fingerprint(F.col("text")).alias("fingerprint")])
+    firsts = (feats.groupBy("fingerprint")
+              .agg(F.min("doc_id").alias("first_id")))
+    st = (feats.join(firsts, "fingerprint")
+          .select("doc_id",
+                  F.col("n_tokens").cast("long").alias("n_toks"),
+                  (F.col("doc_id") == F.col("first_id")).alias("s1"),
+                  ((F.col("doc_id") == F.col("first_id"))
+                   & (F.col("n_tokens") >= _CUR_MIN_TOKENS)).alias("s2"),
+                  ((F.col("doc_id") == F.col("first_id"))
+                   & (F.col("n_tokens") >= _CUR_MIN_TOKENS)
+                   & (F.col("quality_score") >= _CUR_MIN_QUALITY))
+                  .alias("s3")))
+    agg = st.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum("n_toks").cast("long").alias("t0"),
+        F.sum(F.when(F.col("s1"), 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("s1"), F.col("n_toks")).otherwise(0))
+        .cast("long").alias("t1"),
+        F.sum(F.when(F.col("s2"), 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(F.col("s2"), F.col("n_toks")).otherwise(0))
+        .cast("long").alias("t2"),
+        F.sum(F.when(F.col("s3"), 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(F.col("s3"), F.col("n_toks")).otherwise(0))
+        .cast("long").alias("t3"))
+    r = agg.first()
+    return spark.createDataFrame(
+        [(s, r[f"n{i}"], r[f"t{i}"])
+         for i, s in enumerate(_FUNNEL_STAGES)],
+        "stage string, n_docs long, n_tokens long")

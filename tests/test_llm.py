@@ -1348,3 +1348,31 @@ def test_cluster_cards_partition_and_cohesion(spark, emb):
         assert -1.0 - 1e-9 <= r.mean_cos <= 1.0 + 1e-9
         assert r.top_label in labels
         assert r.n_members >= 1
+
+
+def test_ivf_recall_audit_bounds_and_truth(spark):
+    """Recall is hits/k in [0,1]; a query whose IVF list contains all
+    brute-force neighbors scores 1.0; n_hits <= k."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["llm_ivf_recall_audit"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_hits <= 3
+        assert abs(r.recall_at_k - r.n_hits / 3) < 1e-12
+
+
+def test_pipeline_funnel_monotone_and_consistent(spark):
+    """Funnel counts/tokens are monotone non-increasing and the final
+    stage equals the curation pipeline's kept set."""
+    from graphdb_cia_factbook_spark.registry import queries
+    qs = queries()
+    stages = {r.stage: r for r in
+              qs["llm_pipeline_funnel"](spark, SF).collect()}
+    order = ["ingested", "after_exact_dedup", "after_length_gate",
+             "after_quality_gate"]
+    for a, b in zip(order, order[1:]):
+        assert stages[a].n_docs >= stages[b].n_docs
+        assert stages[a].n_tokens >= stages[b].n_tokens
+    kept = sum(1 for r in qs["llm_curation_pipeline"](spark, SF)
+               .collect() if r.status == "kept")
+    assert stages["after_quality_gate"].n_docs == kept
