@@ -5550,3 +5550,98 @@ def llm_pipeline_funnel(spark, sf):
         [(s, r[f"n{i}"], r[f"t{i}"])
          for i, s in enumerate(_FUNNEL_STAGES)],
         "stage string, n_docs long, n_tokens long")
+
+
+_AW_WIN_MS, _AW_HOP_MS = 25, 10
+
+
+@register("mm_audio_windows", f"""
+WITH params AS (
+  SELECT doc_id,
+         doc_id % 2 + 1 AS ch,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                         ELSE 44100 END AS rate,
+         (doc_id % 2 + 1) * 2 AS block,
+         (doc_id % 500 + 1) * ((doc_id % 2 + 1) * 2) AS dsize
+  FROM documents WHERE doc_id % 7 <> 0
+),
+w AS (
+  SELECT doc_id AS media_id, rate,
+         dsize // block AS n_samples,
+         rate * {_AW_WIN_MS} // 1000 AS win,
+         rate * {_AW_HOP_MS} // 1000 AS hop
+  FROM params
+)
+SELECT media_id,
+       CAST(rate AS BIGINT) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(n_samples * 1000 // rate AS BIGINT) AS duration_ms,
+       CAST(win AS BIGINT) AS win_samples,
+       CAST(hop AS BIGINT) AS hop_samples,
+       CAST(CASE WHEN n_samples >= win
+                 THEN (n_samples - win) // hop + 1
+                 ELSE 0 END AS BIGINT) AS n_windows
+FROM w
+""")
+def mm_audio_windows(spark, sf):
+    """Audio frame-window manifest (the ASR/audio-LM preprocessing
+    plan): from the WAV HEADER alone -- channels, bit depth, sample
+    rate, data size parsed by the pure-Catalyst little-endian decode
+    -- compute each clip's sample count, duration, and how many
+    25ms/10ms-hop analysis windows the featurizer will emit.  The
+    audio twin of mm_tile_manifest: all integer DIV arithmetic, and
+    the window budget is known for the whole corpus before decoding a
+    single sample (how a 100-TB audio pipeline plans its compute).
+    Non-WAV payloads (every 7th is garbage) are excluded by the
+    header check, not by trusting the catalog."""
+    from .operators.multimodal import media_table, wav_metadata
+    docs = read_parallel(spark, sf, "documents")
+    ch = F.col("doc_id") % 2 + 1
+    rate = (F.when(F.col("doc_id") % 3 == 0, 8000)
+            .when(F.col("doc_id") % 3 == 1, 16000).otherwise(44100))
+    block = ch * 2
+    dsize = (F.col("doc_id") % 500 + 1) * block
+
+    def le2(v):
+        return F.format_string("%02x%02x", (v % 256).cast("int"),
+                               ((v / 256).cast("long") % 256).cast("int"))
+
+    def le4(v):
+        return F.format_string(
+            "%02x%02x%02x%02x", (v % 256).cast("int"),
+            ((v / 256).cast("long") % 256).cast("int"),
+            ((v / 65536).cast("long") % 256).cast("int"),
+            ((v / 16777216).cast("long") % 256).cast("int"))
+
+    wav_hex = F.concat(
+        F.lit("52494646"), le4(dsize + 36),
+        F.lit("57415645" + "666d7420" + "10000000" + "0100"),
+        le2(ch), le4(rate), le4(rate * block), le2(block),
+        F.lit("1000" + "64617461"), le4(dsize))
+    payload = F.when(F.col("doc_id") % 7 == 0,
+                     F.lit("not a riff payload").cast("binary")) \
+        .otherwise(F.unhex(wav_hex))
+    meta = wav_metadata(media_table(
+        docs.select("doc_id", payload.alias("p")), "doc_id", "p"))
+    blk = (F.col("n_channels").cast("long")
+           * F.expr("bits_per_sample DIV 8"))
+    n_samples = F.expr("data_bytes").cast("long") / blk
+    meta = (meta.where(F.col("is_wav"))
+            .select("media_id",
+                    F.col("sample_rate").cast("long").alias("sample_rate"),
+                    F.expr("CAST(data_bytes DIV (n_channels * "
+                           "(bits_per_sample DIV 8)) AS BIGINT)")
+                    .alias("n_samples"),
+                    F.expr(f"CAST(sample_rate * {_AW_WIN_MS} DIV 1000 "
+                           "AS BIGINT)").alias("win"),
+                    F.expr(f"CAST(sample_rate * {_AW_HOP_MS} DIV 1000 "
+                           "AS BIGINT)").alias("hop")))
+    return meta.select(
+        "media_id", "sample_rate", "n_samples",
+        F.expr("CAST(n_samples * 1000 DIV sample_rate AS BIGINT)")
+        .alias("duration_ms"),
+        F.col("win").alias("win_samples"),
+        F.col("hop").alias("hop_samples"),
+        F.when(F.col("n_samples") >= F.col("win"),
+               F.expr("(n_samples - win) DIV hop + 1"))
+        .otherwise(0).cast("long").alias("n_windows"))

@@ -1376,3 +1376,17 @@ def test_pipeline_funnel_monotone_and_consistent(spark):
     kept = sum(1 for r in qs["llm_curation_pipeline"](spark, SF)
                .collect() if r.status == "kept")
     assert stages["after_quality_gate"].n_docs == kept
+
+
+def test_audio_windows_integer_consistency(spark):
+    """Window counts reconstruct from samples/win/hop exactly; garbage
+    payloads (doc_id % 7 == 0) are excluded by the header check."""
+    from graphdb_cia_factbook_spark.registry import queries
+    rows = queries()["mm_audio_windows"](spark, SF).collect()
+    assert rows and all(r.media_id % 7 != 0 for r in rows)
+    for r in rows:
+        assert r.sample_rate in (8000, 16000, 44100)
+        want = ((r.n_samples - r.win_samples) // r.hop_samples + 1
+                if r.n_samples >= r.win_samples else 0)
+        assert r.n_windows == want
+        assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
