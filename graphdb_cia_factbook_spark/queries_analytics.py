@@ -2359,3 +2359,63 @@ def ml_calibration(spark, sf):
                  F.round(avg, 8).alias("avg_score"),
                  pos.alias("pos_rate"),
                  F.round(F.abs(avg - pos), 8).alias("gap")))
+
+
+@register("funnel_time_to_convert", """
+WITH v AS (
+  SELECT user_id,
+         MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+p AS (
+  SELECT e.user_id,
+         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'purchase'
+    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.t_view
+  GROUP BY e.user_id
+),
+d AS (
+  SELECT p.user_id, (p.t_purchase - v.t_view) // 1000000 AS delta_s
+  FROM p JOIN v ON v.user_id = p.user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(MIN(delta_s) AS BIGINT) AS min_s,
+       CAST(PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY delta_s)
+            AS BIGINT) AS p50_s,
+       CAST(PERCENTILE_DISC(0.9) WITHIN GROUP (ORDER BY delta_s)
+            AS BIGINT) AS p90_s,
+       CAST(MAX(delta_s) AS BIGINT) AS max_s
+FROM d
+""")
+def funnel_time_to_convert(spark, sf):
+    """Time-to-convert distribution: for users whose first purchase
+    follows their first view, the latency between the two as exact
+    integer seconds, summarized by discrete percentiles (p50/p90 are
+    ACTUAL observed latencies -- PERCENTILE_DISC, no interpolation,
+    so the statistic is engine-exact).  The duration companion to
+    funnel_conversion's count funnel: counts say HOW MANY convert,
+    this says HOW FAST.
+
+    Scale shape: two (user, min-ts) partial aggregates + one
+    user-keyed join; the percentile runs over the converted-users
+    table (user-sized, one sort)."""
+    ev = read_table(spark, sf, "events")
+    us = F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min(us).alias("t_view")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(v, "user_id")
+         .where(us > F.col("t_view"))
+         .groupBy("user_id").agg(F.min(us).alias("t_purchase")))
+    d = (p.join(v, "user_id")
+         .select(F.expr("(t_purchase - t_view) DIV 1000000")
+                 .alias("delta_s")))
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.min("delta_s").cast("long").alias("min_s"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY delta_s)")
+        .cast("long").alias("p50_s"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY delta_s)")
+        .cast("long").alias("p90_s"),
+        F.max("delta_s").cast("long").alias("max_s"))

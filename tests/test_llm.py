@@ -1390,3 +1390,17 @@ def test_audio_windows_integer_consistency(spark):
                 if r.n_samples >= r.win_samples else 0)
         assert r.n_windows == want
         assert r.duration_ms == r.n_samples * 1000 // r.sample_rate
+
+
+def test_funnel_time_to_convert_ordering(spark):
+    """Percentiles are ordered min <= p50 <= p90 <= max, all
+    non-negative, and converted count is at most the purchase-user
+    count."""
+    from graphdb_cia_factbook_spark.registry import queries
+    from graphdb_cia_factbook_spark.sources import read_table
+    r = queries()["funnel_time_to_convert"](spark, SF).collect()[0]
+    assert 0 <= r.min_s <= r.p50_s <= r.p90_s <= r.max_s
+    purch = (read_table(spark, SF, "events")
+             .where(F.col("event_type") == "purchase")
+             .select("user_id").distinct().count())
+    assert 0 < r.n_converted <= purch
