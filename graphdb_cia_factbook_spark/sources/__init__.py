@@ -211,3 +211,27 @@ def write_clustered(df: DataFrame, path: str, cluster_by: Sequence[str],
     part = (df.repartitionByRange(n_files, *cols) if n_files
             else df.repartitionByRange(*cols))
     part.sortWithinPartitions(*cols).write.mode("overwrite").parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   graph: bool = False) -> list[str]:
+    """Register every testdata table as a temp view so users run
+    plain ``spark.sql`` -- the switch-and-keep-your-SQL path from the
+    reference (its README explores the graph ad hoc; here the same
+    exploration is ANSI SQL over the projected tables).  With
+    ``graph=True`` also registers ``trade_edges``, the projected
+    trade-edge view the Cypher queries walked.
+
+    Views are lazy (no data is read at registration) and carry the
+    declared schemas, so downstream SQL gets the same pushdown and
+    pruning as the DataFrame API.  Returns the registered names."""
+    names = []
+    for name in TESTDATA:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        names.append(name)
+    if graph:
+        from ..operators.graph import build_trade_graph
+        g = build_trade_graph(spark, sf_dir)
+        g.edges.createOrReplaceTempView("trade_edges")
+        names.append("trade_edges")
+    return names

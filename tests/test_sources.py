@@ -238,3 +238,20 @@ def test_permissive_csv_quarantines_corrupt_rows(spark, tmp_path):
     bad = [r for r in rows if r["_corrupt_record"] is not None]
     assert {r["id"] for r in ok} == {1, 3}
     assert len(bad) == 1 and "not_a_number" in bad[0]["_corrupt_record"]
+
+
+def test_register_views_sql_surface(spark):
+    """register_views exposes every table (and the trade-edge
+    projection) to plain spark.sql with pushdown intact."""
+    from graphdb_cia_factbook_spark.sources import register_views
+    names = register_views(spark, "/root/testdata/sf0.001", graph=True)
+    assert "lineitem" in names and "trade_edges" in names
+    n = spark.sql(
+        "SELECT COUNT(*) FROM lineitem WHERE l_quantity > 25").first()[0]
+    assert n > 0
+    e = spark.sql("SELECT COUNT(*) FROM trade_edges").first()[0]
+    assert e > 0
+    plan = spark.sql(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 25") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan or "Filter" in plan
