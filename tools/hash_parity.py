@@ -110,8 +110,10 @@ def dtype_kinds(pdf: pd.DataFrame) -> dict[str, str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -122,7 +124,17 @@ def main() -> int:
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
     from graphdb_cia_factbook_spark.session import clear_scratch, get_spark
-    spark = get_spark("hash-parity")
+    if vanilla:
+        # replicate the DRIVER's environment: a bare SparkSession with
+        # none of session.get_spark's tuning -- correctness must not
+        # depend on our own builder (registry._prepare_session applies
+        # the per-entry hygiene under ANY session)
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("hash-parity-vanilla").getOrCreate())
+        spark.sparkContext.setLogLevel("ERROR")
+    else:
+        spark = get_spark("hash-parity")
 
     n_ok = n_fail = n_noracle = 0
     for name, fn in qs.items():
