@@ -485,3 +485,48 @@ def test_ablation_tiers_nested_for_any_ids(spark, ids):
         c = hashlib.md5(f"abl1{i}".encode()).hexdigest()[:8]
         expect = next((t for t, h in ths if c < h), 100)
         assert out[i] == expect
+
+
+contacts_st = st.lists(
+    st.tuples(st.integers(0, 6),             # u
+              st.integers(0, 6),             # v
+              st.integers(0, 10)),           # t bucket
+    min_size=1, max_size=25).filter(
+        lambda xs: any(a != b for a, b, _ in xs))
+
+
+@given(contacts=contacts_st, rounds=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_temporal_reachability_matches_simulation(spark, contacts,
+                                                  rounds):
+    """For ANY contact multiset and relay budget, the DataFrame
+    superstep loop equals a direct Python simulation of the same
+    min-relax recurrence (seed = lowest id, arrival = its first
+    bucket)."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        TEMPORAL_UNREACHED, temporal_reachability)
+    pairs = [(t, u, v) for u, v, t in contacts if u != v]
+    pairs += [(t, v, u) for t, u, v in pairs]          # undirected
+    users = sorted({u for _, u, _ in pairs} | {v for _, _, v in pairs})
+    seed = min(users)
+    seed_arr = min(t for t, u, _ in pairs if u == seed)
+    # python simulation
+    arr = {u: (seed_arr if u == seed else TEMPORAL_UNREACHED)
+           for u in users}
+    for _ in range(rounds):
+        nxt = dict(arr)
+        relay = {}
+        for t, u, v in pairs:
+            if t >= arr[u]:
+                relay[v] = min(relay.get(v, TEMPORAL_UNREACHED), t)
+        for v, t in relay.items():
+            nxt[v] = min(nxt[v], t)
+        arr = nxt
+    edges = spark.createDataFrame(pairs, "t long, u long, v long")
+    arrivals = spark.createDataFrame(
+        [(u, (seed_arr if u == seed else TEMPORAL_UNREACHED))
+         for u in users], "user_id long, arr long")
+    got = {r.user_id: r.arr
+           for r in temporal_reachability(edges, arrivals,
+                                          rounds=rounds).collect()}
+    assert got == arr
