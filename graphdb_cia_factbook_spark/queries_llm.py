@@ -5053,25 +5053,24 @@ def llm_curation_pipeline(spark, sf):
     Reference parity: this is the Spark re-expression of the
     reference's load-then-validate flow (preprocess_upload_neo4j.py
     validates rows before upload); the stages themselves are the
-    LLM-era equivalents."""
+    LLM-era equivalents.
+
+    Plan shape (pinned by test_plans): ONE scan of the corpus and ONE
+    hash shuffle -- all per-doc features come from a single
+    projection, and the first-occurrence id is a window over the
+    fingerprint partition instead of a groupBy + join-back (which
+    would scan the corpus again and broadcast the dedup table)."""
     from .operators.text import fingerprint, quality_metrics
     docs = read_parallel(spark, sf, "documents")
-    fp = docs.select("doc_id",
-                     fingerprint(F.col("text")).alias("fingerprint"))
-    firsts = (fp.groupBy("fingerprint")
-              .agg(F.min("doc_id").alias("first_id")))
-    q = quality_metrics(docs).select("doc_id", "n_tokens",
-                                     "quality_score")
-    return (fp.join(firsts, "fingerprint")
-            .join(q, "doc_id")
-            .select("doc_id",
-                    F.when(F.col("doc_id") > F.col("first_id"),
-                           "exact_dup")
-                    .when(F.col("n_tokens") < _CUR_MIN_TOKENS,
-                          "too_short")
-                    .when(F.col("quality_score") < _CUR_MIN_QUALITY,
-                          "low_quality")
-                    .otherwise("kept").alias("status")))
+    feats = quality_metrics(
+        docs, extra_cols=[fingerprint(F.col("text")).alias("fingerprint")])
+    first_id = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") > first_id, "exact_dup")
+        .when(F.col("n_tokens") < _CUR_MIN_TOKENS, "too_short")
+        .when(F.col("quality_score") < _CUR_MIN_QUALITY, "low_quality")
+        .otherwise("kept").alias("status"))
 
 
 _TILE = 16  # ViT-style square patch edge, pixels
@@ -5514,25 +5513,23 @@ def llm_pipeline_funnel(spark, sf):
     llm_curation_pipeline, so the funnel and the per-doc verdicts
     can never disagree.
 
-    Scale shape: one pass computes all stage flags (conditional
-    aggregation -- NOT one scan per stage), one fingerprint shuffle,
-    four tiny conditional sums."""
+    Scale shape: one scan computes all per-doc features, one
+    fingerprint-partitioned window marks first occurrences (no
+    groupBy + join-back, no second scan), four tiny conditional
+    sums."""
     from .operators.text import fingerprint, quality_metrics
     docs = read_parallel(spark, sf, "documents")
     feats = quality_metrics(
         docs, extra_cols=[fingerprint(F.col("text")).alias("fingerprint")])
-    firsts = (feats.groupBy("fingerprint")
-              .agg(F.min("doc_id").alias("first_id")))
-    st = (feats.join(firsts, "fingerprint")
-          .select("doc_id",
-                  F.col("n_tokens").cast("long").alias("n_toks"),
-                  (F.col("doc_id") == F.col("first_id")).alias("s1"),
-                  ((F.col("doc_id") == F.col("first_id"))
-                   & (F.col("n_tokens") >= _CUR_MIN_TOKENS)).alias("s2"),
-                  ((F.col("doc_id") == F.col("first_id"))
-                   & (F.col("n_tokens") >= _CUR_MIN_TOKENS)
-                   & (F.col("quality_score") >= _CUR_MIN_QUALITY))
-                  .alias("s3")))
+    first = (F.col("doc_id")
+             == F.min("doc_id").over(Window.partitionBy("fingerprint")))
+    st = feats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_toks"),
+        first.alias("s1"),
+        (first & (F.col("n_tokens") >= _CUR_MIN_TOKENS)).alias("s2"),
+        (first & (F.col("n_tokens") >= _CUR_MIN_TOKENS)
+         & (F.col("quality_score") >= _CUR_MIN_QUALITY)).alias("s3"))
     agg = st.agg(
         F.count(F.lit(1)).cast("long").alias("n0"),
         F.sum("n_toks").cast("long").alias("t0"),

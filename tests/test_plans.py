@@ -231,3 +231,12 @@ def test_shard_manifest_single_shuffle(spark, queries):
     plan = plan_of(queries["llm_shard_manifest"](spark, SF))
     assert _data_shuffles(plan) == 1, plan
     assert "partial_count" in plan
+
+
+def test_curation_pipeline_single_scan_single_shuffle(spark, queries):
+    """The curation pipeline reads the corpus ONCE and shuffles ONCE
+    (the fingerprint window): a groupBy+join-back shape would show a
+    second parquet scan and a broadcast."""
+    plan = plan_of(queries["llm_curation_pipeline"](spark, SF))
+    assert plan.count("Scan parquet") == 2, plan   # tree + detail
+    assert _data_shuffles(plan) == 1, plan
