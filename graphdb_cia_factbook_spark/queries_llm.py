@@ -4675,24 +4675,27 @@ def llm_incremental_dedup(spark, sf):
     admitted), ``dup_in_batch`` (an earlier doc in the same batch has
     it), or ``admitted``.
 
-    Scale shape: only 32-byte fingerprints move -- one semi-join
-    against the index fingerprint set and one first-occurrence
-    groupBy within the batch; the index side never rescans document
-    text.  At 100 TB the index is a bucketed fingerprint table and
-    the join is bucket-local."""
+    Scale shape: only 32-byte fingerprints move -- ONE scan and ONE
+    fingerprint-partitioned shuffle compute both signals as window
+    aggregates (index membership = any in-index row in the
+    partition, in-batch first = min incoming id), instead of a
+    distinct + semi-join + groupBy + join-back that reads the corpus
+    three times.  At 100 TB the fingerprint shuffle is the same
+    exchange the dedup family already pays."""
     from .operators.text import fingerprint
     f = (read_parallel(spark, sf, "documents")
          .select("doc_id", fingerprint(F.col("text")).alias("fingerprint"),
                  (F.col("doc_id") % 2 == 0).alias("in_index")))
-    idx = f.where("in_index").select("fingerprint").distinct()
-    inc = f.where(~F.col("in_index")).select("doc_id", "fingerprint")
-    fb = inc.groupBy("fingerprint").agg(F.min("doc_id").alias("first_id"))
-    return (inc
-            .join(idx.withColumn("__hit", F.lit(1)), "fingerprint", "left")
-            .join(fb, "fingerprint")
+    w = Window.partitionBy("fingerprint")
+    g = f.select(
+        "doc_id", "fingerprint", "in_index",
+        (F.max(F.col("in_index").cast("int")).over(w) == 1).alias("__hit"),
+        F.min(F.when(~F.col("in_index"), F.col("doc_id"))).over(w)
+        .alias("__first"))
+    return (g.where(~F.col("in_index"))
             .select("doc_id", "fingerprint",
-                    F.when(F.col("__hit").isNotNull(), "dup_of_index")
-                    .when(F.col("doc_id") > F.col("first_id"),
+                    F.when(F.col("__hit"), "dup_of_index")
+                    .when(F.col("doc_id") > F.col("__first"),
                           "dup_in_batch")
                     .otherwise("admitted").alias("status")))
 
