@@ -235,3 +235,25 @@ def register_views(spark: SparkSession, sf_dir: str,
         g.edges.createOrReplaceTempView("trade_edges")
         names.append("trade_edges")
     return names
+
+
+def observed_write(df: DataFrame, path: str, *metrics,
+                   name: str = "audit"):
+    """Write with SINGLE-PASS audit metrics: attach ``df.observe``
+    aggregates (row counts, sums, null counts ...) that Spark
+    collects DURING the write action itself -- production pipeline
+    telemetry with zero extra scans, unlike a separate ``count()``
+    (which re-reads the input) or an accumulator (which double-counts
+    under task retries; observe metrics are exactly-once per
+    completed action).
+
+    Returns the collected metrics Row.  Example::
+
+        row = observed_write(df, path,
+                             F.count(F.lit(1)).alias("rows"),
+                             F.sum("n_tokens").alias("tokens"))
+    """
+    from pyspark.sql import Observation
+    obs = Observation(name)
+    df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+    return obs.get

@@ -255,3 +255,24 @@ def test_register_views_sql_surface(spark):
         "SELECT l_orderkey FROM lineitem WHERE l_quantity > 25") \
         ._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan or "Filter" in plan
+
+
+def test_observed_write_single_pass_metrics(spark, tmp_path):
+    """observe() metrics are collected during the write itself and
+    match a recount of the written data."""
+    from graphdb_cia_factbook_spark.sources import (observed_write,
+                                                    read_table)
+    df = read_table(spark, "/root/testdata/sf0.001", "orders") \
+        .where(F.col("o_orderstatus") == "F")
+    out = str(tmp_path / "obs")
+    got = observed_write(
+        df, out,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double").alias("total"))
+    back = spark.read.parquet(out)
+    assert got["rows"] == back.count()
+    recount = back.agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,4)"))
+        .cast("double")).first()[0]
+    assert abs(got["total"] - recount) < 1e-6
