@@ -525,7 +525,10 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
                 .withColumn("dist", F.lit(0)).localCheckpoint())
     visited = frontier
 
-    for hop in range(1, max_hops + 1):
+    # one extra probe round past the budget: warn only if the live
+    # frontier would STILL discover vertices (ADVICE r4 -- the bare
+    # for/else false-positived when BFS completed at exactly max_hops)
+    for hop in range(1, max_hops + 2):
         nxt = (edges.join(frontier, edges.src == frontier.id)
                .select(F.col("dst").alias("id"))
                .distinct()
@@ -534,10 +537,11 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
+        if hop > max_hops:
+            _warn_hop_budget("bfs_hops", max_hops)
+            break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    else:
-        _warn_hop_budget("bfs_hops", max_hops)
     return (graph.vertices.select("id")
             .join(visited, "id", "left")
             .select("id", "dist"))
@@ -565,7 +569,7 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
                 .withColumn("dist", F.lit(0)).localCheckpoint())
     visited = frontier
 
-    for hop in range(1, max_hops + 1):
+    for hop in range(1, max_hops + 2):
         nxt = (edges.join(frontier, edges.src == frontier.id)
                .select("root", F.col("dst").alias("id"))
                .distinct()
@@ -575,10 +579,11 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
+        if hop > max_hops:
+            _warn_hop_budget("_multi_root_bfs", max_hops)
+            break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    else:
-        _warn_hop_budget("_multi_root_bfs", max_hops)
     return visited
 
 
@@ -1135,7 +1140,7 @@ def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
                              F.lit(1).cast("long").alias("npaths"))
                 .localCheckpoint())
     visited = frontier
-    for hop in range(1, max_hops + 1):
+    for hop in range(1, max_hops + 2):
         nxt = (edges.join(frontier, edges.src == frontier.id)
                .groupBy("root", F.col("dst").alias("nid"))
                .agg(F.sum("npaths").alias("npaths"))
@@ -1147,10 +1152,11 @@ def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
+        if hop > max_hops:
+            _warn_hop_budget("_multi_root_bfs_paths", max_hops)
+            break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    else:
-        _warn_hop_budget("_multi_root_bfs_paths", max_hops)
     return visited
 
 
@@ -1755,7 +1761,7 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
     # frontier per excluded edge starts at its own a-endpoint
     frontier = eid.select("ea", "eb", F.col("ea").alias("id"))
     visited = frontier
-    for _ in range(max_hops):
+    for hop in range(1, max_hops + 2):
         nxt = (frontier.join(sym, frontier.id == sym.a)
                # drop the excluded edge in both directions
                .where(~((F.col("id") == F.col("ea"))
@@ -1768,11 +1774,12 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
             break
+        if hop > max_hops:
+            # truncation here would mark far-apart endpoints as bridges
+            _warn_hop_budget("bridges", max_hops)
+            break
         visited = visited.union(nxt).localCheckpoint(eager=False)
         frontier = nxt
-    else:
-        # truncation here would mark far-apart endpoints as bridges
-        _warn_hop_budget("bridges", max_hops)
     reached = (visited.where(F.col("id") == F.col("eb"))
                .select("ea", "eb", F.lit(True).alias("__r")))
     return (ue.join(reached, (ue.a == reached.ea) & (ue.b == reached.eb),

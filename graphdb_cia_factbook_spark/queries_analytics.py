@@ -278,8 +278,8 @@ WITH stats AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN abs(round((e.value - s.mean_v) / s.sd_v, 6)) > 3
-                THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN abs(round((e.value - s.mean_v) / s.sd_v, 6))
+                     > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN stats s ON e.event_type = s.event_type
 WHERE s.sd_v > 0
 GROUP BY e.event_type
@@ -989,8 +989,8 @@ agg AS (
   SELECT CAST(SUM(CASE WHEN y = 1 THEN CAST(midrank AS DECIMAL(27,4))
                        ELSE CAST(0.0 AS DECIMAL(27,4)) END) AS DOUBLE)
            AS rank_sum,
-         SUM(y) AS n_pos,
-         COUNT(*) - SUM(y) AS n_neg
+         CAST(SUM(y) AS BIGINT) AS n_pos,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
   FROM ranked
 )
 SELECT n_pos, n_neg,
@@ -1941,7 +1941,7 @@ chi AS (
            * (n_rc - CAST(n_r * n_c AS DOUBLE) / n)
            / (CAST(n_r * n_c AS DOUBLE) / n)
            AS DECIMAL(27,12))) AS DOUBLE) AS chi2,
-         MAX(n) AS n,
+         CAST(MAX(n) AS BIGINT) AS n,
          COUNT(DISTINCT r) AS nr, COUNT(DISTINCT c) AS nc
   FROM marg
 )

@@ -543,7 +543,7 @@ reach(id, dist) AS (
   FROM reach r JOIN top3 e ON e.src = r.id
   WHERE r.dist < 25
 )
-SELECT v.id, MIN(r.dist) AS dist
+SELECT v.id, CAST(MIN(r.dist) AS BIGINT) AS dist
 FROM verts v LEFT JOIN reach r ON v.id = r.id
 GROUP BY v.id
 """)
@@ -642,7 +642,7 @@ reach(id, dist) AS (
   FROM reach r JOIN top3 e ON e.src = r.id
   WHERE r.dist < 100
 )
-SELECT v.id, MIN(r.dist) AS dist
+SELECT v.id, CAST(MIN(r.dist) AS BIGINT) AS dist
 FROM verts v LEFT JOIN reach r ON v.id = r.id
 GROUP BY v.id
 """)
@@ -1054,9 +1054,9 @@ def g_skipgram_pairs(spark, sf):
 @register("g_reciprocity", f"""
 WITH {EDGES_CTE}
 SELECT COUNT(*) AS n_edges,
-       SUM(CASE WHEN EXISTS (SELECT 1 FROM edges r
-                             WHERE r.src = e.dst AND r.dst = e.src)
-                THEN 1 ELSE 0 END) AS n_reciprocal,
+       CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM edges r
+                                  WHERE r.src = e.dst AND r.dst = e.src)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
        CAST(SUM(CASE WHEN EXISTS (SELECT 1 FROM edges r
                                   WHERE r.src = e.dst AND r.dst = e.src)
                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
@@ -1632,7 +1632,10 @@ _EIG_ITERS = 15
 
 def _eigenvector_sql(iters: int) -> str:
     """Generate the eigenvector-centrality oracle: the identical
-    max-rescaled power iteration, one CTE pair per superstep."""
+    max-rescaled power iteration, one CTE pair per superstep.  The
+    CASE guards mirror the engine's m > 0 / n > 0 degeneracy handling
+    (operators/graph.py eigenvector_centrality) so both engines emit
+    0.0 -- not NULL -- on edgeless/nilpotent graphs (ADVICE r4)."""
     parts = [f"WITH {EDGES_CTE},", """
 x0 AS (SELECT id, 1.0::DOUBLE AS x FROM verts)"""]
     for k in range(1, iters + 1):
@@ -1646,13 +1649,19 @@ y{k} AS MATERIALIZED (
   FROM verts v
 ),
 x{k} AS MATERIALIZED (
-  SELECT id, y / (SELECT MAX(y) FROM y{k}) AS x FROM y{k}
+  SELECT id, CASE WHEN (SELECT MAX(y) FROM y{k}) > 0
+                  THEN y / (SELECT MAX(y) FROM y{k})
+                  ELSE 0.0 END AS x
+  FROM y{k}
 )""")
     parts.append(f"""
 SELECT id,
-       ROUND(x / (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(27,12)))
+       CASE WHEN (SELECT sqrt(CAST(SUM(CAST(x * x AS DECIMAL(27,12)))
+                                   AS DOUBLE)) FROM x{iters}) > 0
+            THEN ROUND(x / (SELECT sqrt(CAST(SUM(CAST(x * x
+                                   AS DECIMAL(27,12)))
                                    AS DOUBLE)) FROM x{iters}), 8)
-         AS eigenvector
+            ELSE 0.0 END AS eigenvector
 FROM x{iters}""")
     return "".join(parts)
 
@@ -1746,7 +1755,7 @@ degsum AS (
 )
 SELECT ds.community, ds.n_nodes,
        COALESCE(i.e_c, 0) AS internal_edges,
-       ds.k_c AS degree_sum,
+       CAST(ds.k_c AS BIGINT) AS degree_sum,
        ROUND(CAST(COALESCE(i.e_c, 0) AS DOUBLE)
              / CAST((SELECT m FROM mm) AS DOUBLE)
              - (CAST(ds.k_c AS DOUBLE)

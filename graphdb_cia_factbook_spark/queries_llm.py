@@ -697,9 +697,9 @@ def llm_pack_sequences(spark, sf):
 @register("llm_pack_cum_diag", f"""
 SELECT doc_id, CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard,
        CAST(len({TOKS}) AS BIGINT) AS n_tokens,
-       SUM(CAST(len({TOKS}) AS BIGINT))
+       CAST(SUM(CAST(len({TOKS}) AS BIGINT))
          OVER (PARTITION BY doc_id % {_PACK_SHARDS} ORDER BY doc_id
-               ROWS UNBOUNDED PRECEDING) AS cum
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
 FROM documents
 """)
 def llm_pack_cum_diag(spark, sf):
@@ -1507,8 +1507,8 @@ first AS (
 )
 SELECT r.doc_id,
        COUNT(*) AS n_spans,
-       SUM(CASE WHEN r.okey <> f.first_okey THEN 1 ELSE 0 END)
-         AS n_dup_spans,
+       CAST(SUM(CASE WHEN r.okey <> f.first_okey THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_spans,
        COALESCE(string_agg(CASE WHEN r.okey = f.first_okey
                                 THEN r.span_text END,
                            ' ' ORDER BY r.pos), '') AS kept_text,
@@ -1536,8 +1536,9 @@ bg AS (
 freqs AS (SELECT bg, COUNT(*) AS freq FROM bg GROUP BY bg)
 SELECT b.doc_id,
        COUNT(*) AS n_bigrams,
-       SUM(CASE WHEN f.freq <= 3 THEN 1 ELSE 0 END) AS n_rare_bigrams,
-       MIN(f.freq) AS min_bigram_freq,
+       CAST(SUM(CASE WHEN f.freq <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare_bigrams,
+       CAST(MIN(f.freq) AS BIGINT) AS min_bigram_freq,
        CAST(SUM(CASE WHEN f.freq <= 3 THEN 1 ELSE 0 END) AS DOUBLE)
          / COUNT(*) AS novelty
 FROM bg b JOIN freqs f ON b.bg = f.bg
@@ -1555,7 +1556,7 @@ def llm_bigram_novelty(spark, sf):
 @register("llm_mixture_weights", f"""
 WITH per_src AS (
   SELECT source, COUNT(*) AS n_docs,
-         SUM(len({TOKS})) AS n_tokens
+         CAST(SUM(len({TOKS})) AS BIGINT) AS n_tokens
   FROM documents GROUP BY source
 ),
 scored AS (
@@ -1724,11 +1725,14 @@ WITH checks AS (
   FROM embeddings
 )
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
        MIN(CASE WHEN NOT is_null THEN dims END) AS dims_min,
        MAX(CASE WHEN NOT is_null THEN dims END) AS dims_max,
-       SUM(CASE WHEN has_nonfinite THEN 1 ELSE 0 END) AS n_nonfinite,
-       SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS n_zero_norm
+       CAST(SUM(CASE WHEN has_nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonfinite,
+       CAST(SUM(CASE WHEN is_zero THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm
 FROM checks
 """)
 def dq_embeddings(spark, sf):
@@ -1807,11 +1811,13 @@ v{s} AS MATERIALIZED (
 dw AS (SELECT doc_id, unnest({TOKS}) AS w FROM documents),
 ns AS (SELECT w, len(string_split(trim(sym), ' ')) AS n_sym
        FROM v{n_merges})
-SELECT d.doc_id, COUNT(*) AS n_words, SUM(n.n_sym) AS bpe_tokens
+SELECT d.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(n.n_sym) AS BIGINT) AS bpe_tokens
 FROM dw d JOIN ns n ON d.w = n.w GROUP BY d.doc_id""")
         return "".join(parts)
     selects = [f"SELECT {s} AS step, pair, "
-               f"replace(pair, ' ', '') AS merged, cnt FROM b{s}"
+               f"replace(pair, ' ', '') AS merged, "
+               f"CAST(cnt AS BIGINT) AS cnt FROM b{s}"
                for s in range(1, n_merges + 1)]
     parts.append("\n" + "\nUNION ALL\n".join(selects))
     return "".join(parts)
@@ -2297,8 +2303,9 @@ exact AS (SELECT w, COUNT(*) AS exact_cnt FROM tok GROUP BY 1),
 )''' for r in range(_CMS_DEPTH))},
 est AS (
   SELECT e.w, e.exact_cnt,
-         LEAST({', '.join(f'x{r}.c{r}' for r in range(_CMS_DEPTH))})
-           AS cms_estimate
+         CAST(LEAST({', '.join(f'x{r}.c{r}'
+                               for r in range(_CMS_DEPTH))})
+              AS BIGINT) AS cms_estimate
   FROM exact e
   {' '.join(f'JOIN ctr{r} x{r} ON x{r}.b = ' + _cms_bucket_sql('e.w', r)
             for r in range(_CMS_DEPTH))}

@@ -800,9 +800,9 @@ WITH cuts AS (
 )
 SELECT l.l_returnflag,
        COUNT(*) AS n,
-       SUM(CASE WHEN l.l_extendedprice < c.p05
-                OR l.l_extendedprice > c.p95 THEN 1 ELSE 0 END)
-         AS n_clipped,
+       CAST(SUM(CASE WHEN l.l_extendedprice < c.p05
+                     OR l.l_extendedprice > c.p95 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clipped,
        CAST(SUM(CAST(
          CASE WHEN l.l_extendedprice < c.p05 THEN c.p05
               WHEN l.l_extendedprice > c.p95 THEN c.p95

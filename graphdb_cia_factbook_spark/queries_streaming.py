@@ -364,8 +364,9 @@ wm AS (
 )
 SELECT e.event_type,
        COUNT(*) AS n_events,
-       SUM(CASE WHEN w.watermark IS NOT NULL AND e.ts < w.watermark
-                THEN 1 ELSE 0 END) AS n_late,
+       CAST(SUM(CASE WHEN w.watermark IS NOT NULL
+                     AND e.ts < w.watermark
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
        CAST(SUM(CASE WHEN w.watermark IS NOT NULL AND e.ts < w.watermark
                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
          AS late_frac

@@ -95,26 +95,37 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # round-3 red, fixed this round + its bisection diagnostic (2)
-    "llm_pack_sequences", "llm_pack_cum_diag",
-    # analytics / data-quality suite, never officially recorded (42)
-    "dq_profile", "dq_referential", "funnel_conversion",
-    "cohort_retention", "copurchase_pairs", "agg_histogram",
-    "anomaly_zscore", "er_golden_record", "dq_skew",
-    "attribution_last_touch", "markov_transitions", "ab_test_welch",
-    "boot_mean_ci", "dq_benford", "hier_subtree_rollup", "anomaly_mad",
-    "copurchase_rules", "dq_psi", "rec_item_cosine", "ml_auc",
-    "dq_k_anonymity", "ts_cooccurrence", "w_streaks",
-    "attribution_position", "survival_km", "agg_yoy_growth",
-    "agg_concentration", "agg_skyline", "agg_entropy", "dq_dp_counts",
-    "agg_spearman", "agg_ks_test", "ml_gains_table", "dq_rules",
-    "ml_ols_2var", "agg_cramers_v", "agg_theil", "agg_eta_squared",
-    "dq_sequence_gaps", "rfm_segments", "anomaly_tukey",
-    "agg_chi2_uniform_dow",
-    # TPC-H shapes never officially recorded (6)
-    "q2_top_supplier_per_part", "q4_order_priority",
-    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
-    "q9_product_profit",
+    # round-4 reds, oracle-typing fixed this round (CAST .. AS BIGINT
+    # around every integer aggregate -- DuckDB SUM()->HUGEINT->float64
+    # fetchdf drift; values were always bit-identical) (4)
+    "llm_pack_cum_diag", "anomaly_zscore", "ml_auc", "agg_cramers_v",
+    # TPC-H remainder, never officially recorded (13; q12 carried the
+    # same latent typing bug, now cast)
+    "q10_returned_items", "q11_important_stock",
+    "q12_priority_by_status", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_variety", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive",
+    "q20_potential_promotion", "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    # time-series suite, never officially recorded (17)
+    "ts_ewma", "ts_resample_ffill", "ts_rollup_multi",
+    "ts_rolling_distinct", "ts_twap", "ts_holt_linear", "ts_cusum",
+    "ts_rolling_median", "ts_seasonal_index", "ts_forecast_eval",
+    "ts_burst_detect", "ts_acf", "ts_deseasonalized_anomaly",
+    "ts_rate_shift", "ts_interval_coverage", "ts_stickiness",
+    "ts_durbin_watson",
+    # round-4 LLM/graph additions, never officially recorded (9)
+    "llm_retrieval_eval", "llm_incremental_dedup",
+    "llm_curation_pipeline", "llm_pipeline_funnel",
+    "llm_packing_efficiency", "llm_caption_pairs",
+    "llm_cluster_cards", "llm_ivf_recall_audit",
+    "g_temporal_reachability",
+    # latent oracle-typing entries, cast this round, never officially
+    # recorded (7)
+    "st_late_audit", "agg_winsorized", "dq_embeddings",
+    "llm_span_dedup", "llm_bpe_learn", "llm_bpe_encode",
+    "llm_cms_heavy_hitters",
 ]
 
 

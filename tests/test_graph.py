@@ -144,6 +144,32 @@ def test_bfs_hops_chain_and_unreachable(spark):
     assert und == {"A": 0, "B": 1, "C": 2, "D": None, "E": 1}
 
 
+def test_bfs_hop_budget_warning_precision(spark):
+    """The hop-budget warning must fire ONLY when the closure is
+    actually truncated (ADVICE r4: the bare for/else false-positived
+    when BFS completed at exactly max_hops)."""
+    import warnings
+
+    from graphdb_cia_factbook_spark.operators.graph import bfs_hops
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string")
+    # completes at exactly max_hops=3 (D discovered on the last
+    # allowed hop, nothing beyond): no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        got = {r.id: r.dist
+               for r in bfs_hops(Graph(v, e), ["A"], max_hops=3)
+               .collect()}
+    assert got == {"A": 0, "B": 1, "C": 2, "D": 3}
+    # genuinely truncated at max_hops=2: warn, and D stays NULL
+    with pytest.warns(RuntimeWarning, match="hop budget"):
+        got = {r.id: r.dist
+               for r in bfs_hops(Graph(v, e), ["A"], max_hops=2)
+               .collect()}
+    assert got == {"A": 0, "B": 1, "C": 2, "D": None}
+
+
 def test_closeness_chain_and_landmarks(spark):
     from graphdb_cia_factbook_spark.operators.graph import (
         closeness_centrality,

@@ -18,16 +18,21 @@ pre-submission:
 - floats serialize via ``repr`` (shortest round-trip), with -0.0
   canonicalized to 0.0 and NaN spelled literally;
 - integral values serialize WITHOUT a fractional part regardless of
-  the pandas dtype they arrived in (Spark's ``toPandas`` widens
-  nullable int columns to float64, DuckDB's ``fetchdf`` keeps Int64 --
-  that coercion asymmetry is pandas noise, not an engine divergence);
-- pandas dtype KINDS are still compared and reported as ``dtype:``
-  notes (int-vs-float kind drift on a fully-populated column is a real
-  engine-type divergence even when every value matches), so type
-  drift is visible without turning coercion noise into failures.
+  the pandas dtype they arrived in, so the VALUE hash tolerates the
+  pandas NULL-widening asymmetry (a column with NULLs arrives float64
+  from both engines anyway -- verified duckdb 1.0 ``fetchdf``);
+- **int-vs-float dtype-kind drift on a fully-populated column is a
+  HARD FAILURE** (round-4 lesson: the driver's gate serializes raw
+  pandas values, so a null-free DuckDB float64 from an uncast
+  ``SUM(BIGINT)`` prints ``123.0`` against Spark's int64 ``123`` and
+  reds the entry even though every value matches -- all four r4 reds
+  were this).  Pass ``--forgiving`` to demote kind drift back to a
+  note (the pre-round-5 behavior).
 
-Usage: python tools/hash_parity.py [sf_dir] [query_name ...]
-Exit 1 if any entry's canonical hashes differ.
+Usage: python tools/hash_parity.py [--vanilla] [--forgiving]
+       [sf_dir] [query_name ...]
+Exit 1 if any entry's canonical hashes differ, or (strict mode) if
+any null-free column disagrees on int-vs-float dtype kind.
 """
 
 from __future__ import annotations
@@ -109,9 +114,29 @@ def dtype_kinds(pdf: pd.DataFrame) -> dict[str, str]:
     return {c: pdf[c].dtype.kind for c in pdf.columns}
 
 
+def kind_drift_failures(spdf: pd.DataFrame, dpdf: pd.DataFrame
+                        ) -> list[str]:
+    """Null-free columns whose dtype kinds disagree on int-vs-float.
+
+    The driver serializes raw pandas values, so ``123`` (int64) vs
+    ``123.0`` (float64) hash-mismatches even when values are equal.
+    Columns containing NULLs are exempt: pandas widens BOTH engines'
+    sides to float64 there, so the representations agree.
+    """
+    bad = []
+    for c in sorted(set(spdf.columns) & set(dpdf.columns)):
+        sk, dk = spdf[c].dtype.kind, dpdf[c].dtype.kind
+        if {sk, dk} == {"i", "f"} or {sk, dk} == {"u", "f"}:
+            if not spdf[c].isna().any() and not dpdf[c].isna().any():
+                bad.append(f"{c}={sk}/{dk}")
+    return bad
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    args = [a for a in sys.argv[1:]
+            if a not in ("--vanilla", "--forgiving")]
     vanilla = "--vanilla" in sys.argv[1:]
+    forgiving = "--forgiving" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -166,7 +191,14 @@ def main() -> int:
             if sk[c] != dk[c]:
                 notes.append(f"dtype:{c}={sk[c]}/{dk[c]}")
         note = (" " + ",".join(notes)) if notes else ""
-        if sh == dh:
+        drift = [] if forgiving else kind_drift_failures(spdf, dpdf)
+        if sh == dh and drift:
+            n_fail += 1
+            print(f"KIND  {name}: int-vs-float drift on null-free "
+                  f"column(s) {','.join(drift)} -- values match but "
+                  f"the driver gate would red this "
+                  f"[{time.time()-t0:.1f}s]")
+        elif sh == dh:
             n_ok += 1
             print(f"OK    {name}: hash={sh[:12]}{note} "
                   f"[{time.time()-t0:.1f}s]")
