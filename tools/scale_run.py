@@ -11,7 +11,8 @@ on a fixed 32-core box once fixed costs amortize) and whose partition
 max/mean ratio stays flat has no hidden skew or superlinear shuffle;
 that is the signature the 100-TB posture rests on.
 
-Usage: python tools/scale_run.py [query ...] [--passes N]
+Usage: python tools/scale_run.py [query ...] [--passes=N]
+       [--rungs=name:dir,name:dir]   (default sf0.1 + scratch/sf1)
 """
 
 from __future__ import annotations
@@ -30,9 +31,14 @@ RUNGS = [("sf0.1", "/root/testdata/sf0.1"),
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     passes = 2
+    rungs = RUNGS
     for a in sys.argv[1:]:
         if a.startswith("--passes"):
             passes = int(a.split("=", 1)[1])
+        elif a.startswith("--rungs"):
+            # --rungs=sf0.1:/root/testdata/sf0.1,sf10:/root/repo/scratch/sf10
+            rungs = [tuple(r.split(":", 1))
+                     for r in a.split("=", 1)[1].split(",")]
     names = args or DEFAULT_QUERIES
 
     import __spark_entry__ as entrymod
@@ -45,7 +51,7 @@ def main() -> None:
     results = {}
     for name in names:
         fn = qs[name]
-        for rung, sf_dir in RUNGS:
+        for rung, sf_dir in rungs:
             best, rows, pstats = None, 0, ""
             for _ in range(passes):
                 clear_scratch(spark)
@@ -64,11 +70,12 @@ def main() -> None:
             print(f"| {name} | {rung} | {rows:,} | {best:.2f} | "
                   f"{pstats} | {ratio:.2f}x |", flush=True)
             results[(name, rung)] = best
-        r01 = results.get((name, "sf0.1"))
-        r1 = results.get((name, "sf1"))
-        if r01 and r1:
-            print(f"--  {name}: sf1/sf0.1 wall ratio = {r1 / r01:.2f}x "
-                  f"on 10x data", flush=True)
+        base_rung, top_rung = rungs[0][0], rungs[-1][0]
+        r_lo = results.get((name, base_rung))
+        r_hi = results.get((name, top_rung))
+        if r_lo and r_hi and base_rung != top_rung:
+            print(f"--  {name}: {top_rung}/{base_rung} wall ratio = "
+                  f"{r_hi / r_lo:.2f}x", flush=True)
 
 
 if __name__ == "__main__":
