@@ -62,6 +62,11 @@ HEADLINE = [
     "agg_skyline",           # Pareto skyline (dominance anti-join)
     "llm_curation_pipeline", # composed dedup->length->quality verdicts
     "llm_retrieval_eval",    # top-k metrics (nDCG/MRR) over exact cosine
+    # round 5 additions (r5 gate surface representatives)
+    "q12_priority_by_status",  # shipmode CASE-count pivot (Q12 shape)
+    "llm_incremental_dedup",   # two-batch dedup vs index, one fingerprint pass
+    "g_temporal_reachability", # time-respecting BFS over event edges
+    "ts_rolling_median",       # sliding exact median (dual-heap shape)
 ]
 
 
