@@ -1357,9 +1357,15 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
 
     Per round: one component-label join over the live edges, one
     per-component MIN(struct) aggregate (map-side combinable), and a
-    component-graph contraction via :func:`connected_components` on
-    the picked edges (component-count-sized, shrinking
-    geometrically)."""
+    component-graph contraction by POINTER DOUBLING over the picked
+    pseudo-forest (the classic Boruvka hooking): each component points
+    at its min-edge partner, mutual pairs root at the smaller id --
+    distinct weights make every hooking cycle a 2-cycle -- and
+    parent-jumping closes the trees in O(log depth) supersteps.  The
+    earlier design re-ran min-label :func:`connected_components` on
+    the picked edges, whose superstep count is the component-graph
+    DIAMETER (linear in components for chain-shaped merges); pointer
+    doubling is logarithmic and runs ~half the Spark jobs per round."""
     edges = uedges.select("a", "b", "w").localCheckpoint()
     comp = vertices.select("id", F.col("id").alias("component")) \
         .localCheckpoint()
@@ -1375,26 +1381,58 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
         if live.isEmpty():
             break
         pick_struct = F.struct("w", "a", "b")
-        cand = (live.select(F.col("__ca").alias("c"), pick_struct
-                            .alias("e"))
+        # per-component min outgoing edge, carrying the partner
+        # component: min by (edge, partner) == min by edge, since each
+        # (component, edge) pair has exactly one partner
+        cand = (live.select(F.col("__ca").alias("c"),
+                            pick_struct.alias("e"),
+                            F.col("__cb").alias("p"))
                 .union(live.select(F.col("__cb").alias("c"),
-                                   pick_struct.alias("e"))))
-        picked = (cand.groupBy("c").agg(F.min("e").alias("e"))
-                  .select("e.a", "e.b", "e.w").distinct()
+                                   pick_struct.alias("e"),
+                                   F.col("__ca").alias("p"))))
+        minpick = (cand.groupBy("c")
+                   .agg(F.min(F.struct("e", "p")).alias("m"))
+                   .select("c", F.col("m.e.a").alias("a"),
+                           F.col("m.e.b").alias("b"),
+                           F.col("m.e.w").alias("w"),
+                           F.col("m.p").alias("p"))
+                   .localCheckpoint())
+        picked = minpick.select("a", "b", "w").distinct()
+        # no cross-round distinct/checkpoint: a picked edge's endpoints
+        # merge this round, so it can never be live (or re-picked)
+        # again -- mst is a union of <= max_rounds checkpointed pieces
+        mst = picked if mst is None else mst.union(picked)
+        # hooking: parent(c) = min-edge partner.  If c and p picked
+        # each other they necessarily picked the SAME edge (each
+        # other's edge is outgoing from both, so both minima coincide;
+        # weights are distinct) -- root that 2-cycle at min(c, p).
+        pr = minpick.select("c", "p")
+        pmap = pr.select(F.col("c").alias("__pc"),
+                         F.col("p").alias("__pp"))
+        parent = (pr.join(pmap, pr.p == pmap.__pc)
+                  .select("c", F.when((F.col("__pp") == F.col("c"))
+                                      & (F.col("c") < F.col("p")),
+                                      F.col("c"))
+                          .otherwise(F.col("p")).alias("p"))
                   .localCheckpoint())
-        mst = picked if mst is None else mst.union(picked).distinct() \
-            .localCheckpoint()
-        # contract: components of the picked COMPONENT graph become
-        # the new labels (component-count-sized, not vertex-sized)
-        cpair = (picked.join(ca, "a").join(cb, "b")
-                 .select(F.col("__ca").alias("src"),
-                         F.col("__cb").alias("dst")))
-        cverts = comp.select(F.col("component").alias("id")).distinct()
-        relab = (connected_components(Graph(cverts, cpair))
-                 .select(F.col("id").alias("component"),
-                         F.col("component").alias("__new")))
-        comp = (comp.join(relab, "component")
-                .select("id", F.col("__new").alias("component"))
+        # pointer doubling: parent <- parent(parent) until fixpoint
+        while True:
+            pj = parent.select(F.col("c").alias("__jc"),
+                               F.col("p").alias("__jp"))
+            jumped = (parent.join(pj, parent.p == pj.__jc, "left")
+                      .select("c", F.coalesce("__jp", "p").alias("p"))
+                      .localCheckpoint(eager=False))
+            changed = (jumped.alias("n").join(parent.alias("o"), "c")
+                       .where(F.col("n.p") != F.col("o.p")).count())
+            parent = jumped
+            if changed == 0:
+                break
+        relab = parent.select(F.col("c").alias("component"),
+                              F.col("p").alias("__new"))
+        # left join: components with no live edge keep their label
+        comp = (comp.join(relab, "component", "left")
+                .select("id", F.coalesce("__new", "component")
+                        .alias("component"))
                 .localCheckpoint())
     if mst is None:
         return uedges.select("a", "b", "w").limit(0)

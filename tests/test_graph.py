@@ -543,6 +543,25 @@ def test_boruvka_mst_forest_on_disconnected(spark):
     assert got == [("A", "B", 2), ("C", "D", 1)]
 
 
+def test_boruvka_mst_chain_merges(spark):
+    """Path graph with monotone weights: every round hooks components
+    into one deep chain (the adversarial case for the contraction --
+    the hooking tree's depth grows, so pointer doubling must close it
+    fully before relabeling).  The MST of a path is the path itself;
+    a wrong/partial contraction would re-pick internal edges or stop
+    with the forest split."""
+    from graphdb_cia_factbook_spark.operators.graph import boruvka_mst
+    n = 33
+    ids = [f"v{i:02d}" for i in range(n)]
+    v = spark.createDataFrame([(x,) for x in ids], "id string")
+    e = spark.createDataFrame(
+        [(ids[i], ids[i + 1], i + 1) for i in range(n - 1)],
+        "a string, b string, w long")
+    got = sorted((r.a, r.b, r.w) for r in boruvka_mst(v, e).collect())
+    assert got == sorted((ids[i], ids[i + 1], i + 1)
+                         for i in range(n - 1))
+
+
 def test_mis_independent_and_maximal(spark):
     """Path graph: the result must be an independent set and maximal
     (every excluded vertex has an MIS neighbor)."""
