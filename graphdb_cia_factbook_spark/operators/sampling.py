@@ -244,11 +244,18 @@ def dsir_weights(df: DataFrame, target_pred, n_buckets: int = 256,
     bucket = F.pmod(
         F.conv(F.substring(F.md5(F.col("bgm")), 1, hex_digits), 16, 10)
         .cast("long"), F.lit(n_buckets))
+    # per_db feeds FOUR plan branches (the totals broadcast, both
+    # sides of the log-ratio build, and the final probe); without
+    # materialization the corpus-sized explode+hash+agg chain re-runs
+    # per branch -- measured ~4x the single-pass cost at 10x scale.
+    # Same trade-off note as dedup._hold: a cluster run would persist
+    # or stage this instead of local-checkpointing.
     per_db = (df.select(F.col(id_col), target_pred.alias("is_t"),
                         F.explode(bg).alias("bgm"))
               .select(id_col, "is_t", bucket.alias("b"))
               .groupBy(id_col, "is_t", "b")
-              .agg(F.count(F.lit(1)).alias("cnt")))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .localCheckpoint())
     bc = (per_db.groupBy("b")
           .agg(F.sum(F.when(F.col("is_t"), F.col("cnt")).otherwise(0))
                .alias("t_cnt"),
