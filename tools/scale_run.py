@@ -51,6 +51,12 @@ def main() -> None:
     results = {}
     for name in names:
         fn = qs[name]
+        # untimed warmup at the smallest rung: first execution of a
+        # query in a session pays one-time JIT/codegen cost (measured
+        # 5.4s vs 0.7s warm on g_triangles) that would otherwise land
+        # entirely in the first rung's timings and fake a sub-1x ratio
+        clear_scratch(spark)
+        fn(spark, rungs[0][1]).count()
         for rung, sf_dir in rungs:
             best, rows, pstats = None, 0, ""
             for _ in range(passes):
