@@ -1987,3 +1987,50 @@ def temporal_reachability(contacts: DataFrame, arrivals: DataFrame,
                        .alias("arr"))
                .localCheckpoint(eager=False))
     return arr
+
+
+def temporal_reachability_cooccurrence(memberships: DataFrame,
+                                       arrivals: DataFrame,
+                                       rounds: int,
+                                       id_col: str = "user_id"
+                                       ) -> DataFrame:
+    """:func:`temporal_reachability` specialized to CO-OCCURRENCE
+    contact graphs, where the (t, u, v) pair table is the per-bucket
+    all-pairs expansion of a (t, id) membership table.  Transmission
+    within a bucket is all-to-all, so the relay factors through the
+    bucket: a bucket is ACTIVATED iff some member was already reached
+    at a time <= t, and every member of an activated bucket receives
+    that bucket's time.  Per superstep that is two membership-sized
+    joins (activation + relay) instead of the sum(n_b^2) pair join --
+    the same quadratic->linear factoring as map-side partial
+    aggregation.
+
+    EXACT pair-semantics equivalence, including the u != v exclusion:
+    the only extra candidates the bucket form admits are
+    self-activations (v a reached member of its own bucket), and a
+    self-activation satisfies t >= arr(v) by construction, so the
+    ``LEAST(arr, candidate)`` min-relax absorbs it unchanged.
+    Verified equal to the pair operator by property test
+    (tests/test_properties.py).
+
+    Scale shape per superstep: one membership join against the
+    vertex-sized arrival table -> DISTINCT bucket set (bucket-count
+    sized, broadcastable), joined back into memberships -> one MIN per
+    receiver.  Nothing quadratic anywhere, so a hot-bucket cap on the
+    membership builder becomes a purely semantic guard (flash-crowd
+    buckets excluded), not a performance necessity."""
+    mem = memberships.select("t", id_col)
+    arr = arrivals
+    for _ in range(rounds):
+        act = (mem.join(arr.withColumnRenamed("arr", "__arr"), id_col)
+               .where(F.col("t") >= F.col("__arr"))
+               .select("t").distinct())
+        relay = (mem.join(act, "t")
+                 .groupBy(id_col).agg(F.min("t").alias("__new")))
+        arr = (arr.join(relay, id_col, "left")
+               .select(id_col,
+                       F.least(F.col("arr"),
+                               F.coalesce(F.col("__new"), F.col("arr")))
+                       .alias("arr"))
+               .localCheckpoint(eager=False))
+    return arr

@@ -3238,7 +3238,7 @@ def g_temporal_reachability(spark, sf):
     (preprocess_upload_neo4j.py builds a static property graph) with
     the temporal dimension its event-shaped data implies."""
     from .operators.graph import (TEMPORAL_UNREACHED,
-                                  temporal_reachability)
+                                  temporal_reachability_cooccurrence)
     from .sources import read_table
     ev = read_table(spark, sf, "events")
     b = (ev.select(
@@ -3247,12 +3247,13 @@ def g_temporal_reachability(spark, sf):
         "user_id").distinct())
     bc = (b.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
           .where(F.col("n") <= _TEMP_BUCKET_CAP).select("t"))
+    # the capped membership table feeds the BUCKET-FACTORED relay --
+    # the per-bucket all-pairs contact expansion (the oracle's ``e``
+    # CTE) never materializes on the Spark side; see
+    # operators.graph.temporal_reachability_cooccurrence for the
+    # exact-equivalence argument (measured: the pair form was 5.2x
+    # wall on 3x data at the sf1->sf3 rung, the bucket form is linear)
     bb = b.join(bc, "t").localCheckpoint(eager=False)
-    e = (bb.alias("a")
-         .join(bb.alias("c"), "t")
-         .where(F.col("a.user_id") != F.col("c.user_id"))
-         .select("t", F.col("a.user_id").alias("u"),
-                 F.col("c.user_id").alias("v")))
     seed = b.agg(F.min("user_id")).first()[0]
     seed_arr = (b.where(F.col("user_id") == seed)
                 .agg(F.min("t")).first()[0])
@@ -3262,7 +3263,8 @@ def g_temporal_reachability(spark, sf):
                                F.lit(seed_arr))
                         .otherwise(F.lit(TEMPORAL_UNREACHED))
                         .cast("long").alias("arr")))
-    arr = temporal_reachability(e, arrivals, rounds=_TEMP_ROUNDS)
+    arr = temporal_reachability_cooccurrence(bb, arrivals,
+                                             rounds=_TEMP_ROUNDS)
     return arr.select(
         "user_id",
         F.when(F.col("arr") < TEMPORAL_UNREACHED, F.col("arr"))

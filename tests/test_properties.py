@@ -530,3 +530,45 @@ def test_temporal_reachability_matches_simulation(spark, contacts,
            for r in temporal_reachability(edges, arrivals,
                                           rounds=rounds).collect()}
     assert got == arr
+
+
+memberships_st = st.lists(
+    st.tuples(st.integers(0, 10),            # t bucket
+              st.integers(0, 6)),            # user
+    min_size=1, max_size=25)
+
+
+@given(members=memberships_st, rounds=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_temporal_cooccurrence_equals_pair_form(spark, members, rounds):
+    """For ANY (t, user) membership multiset and relay budget, the
+    bucket-factored co-occurrence relay equals the pair operator run
+    on the all-pairs per-bucket expansion -- the exact-equivalence
+    claim the query path's quadratic->linear rewrite rests on
+    (self-activation candidates satisfy t >= arr(v) and are absorbed
+    by the LEAST min-relax)."""
+    from graphdb_cia_factbook_spark.operators.graph import (
+        TEMPORAL_UNREACHED, temporal_reachability,
+        temporal_reachability_cooccurrence)
+    members = sorted(set(members))
+    users = sorted({u for _, u in members})
+    seed = min(users)
+    seed_arr = min(t for t, u in members if u == seed)
+    pairs = [(t, u, v) for t, u in members for tv, v in members
+             if tv == t and u != v]
+    arrivals = spark.createDataFrame(
+        [(u, (seed_arr if u == seed else TEMPORAL_UNREACHED))
+         for u in users], "user_id long, arr long")
+    mem = spark.createDataFrame(members, "t long, user_id long")
+    bucket = {r.user_id: r.arr
+              for r in temporal_reachability_cooccurrence(
+                  mem, arrivals, rounds=rounds).collect()}
+    if pairs:
+        edges = spark.createDataFrame(pairs, "t long, u long, v long")
+        pair = {r.user_id: r.arr
+                for r in temporal_reachability(
+                    edges, arrivals, rounds=rounds).collect()}
+    else:
+        pair = {u: (seed_arr if u == seed else TEMPORAL_UNREACHED)
+                for u in users}
+    assert bucket == pair
