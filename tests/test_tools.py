@@ -1,0 +1,104 @@
+"""Pin the driver-hash parity tool's semantics (tools/hash_parity.py).
+
+Round-4 lesson: the driver's correctness gate serializes RAW pandas
+values, so a null-free DuckDB float64 column (HUGEINT from an uncast
+``SUM(BIGINT)``) prints ``123.0`` against Spark's int64 ``123`` and
+reds the entry even though every value is identical.  The parity tool
+must therefore (a) hash value-identical frames identically, and
+(b) FAIL HARD on int-vs-float dtype-kind drift for null-free columns.
+These tests pin both behaviors so a future edit cannot silently
+re-soften the tool back into the state that masked all four round-4
+reds.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import sys
+
+import numpy as np
+import pandas as pd
+
+_SPEC = importlib.util.spec_from_file_location(
+    "hash_parity",
+    pathlib.Path(__file__).resolve().parents[1] / "tools" / "hash_parity.py")
+hash_parity = importlib.util.module_from_spec(_SPEC)
+sys.modules["hash_parity"] = hash_parity
+_SPEC.loader.exec_module(hash_parity)
+
+canon_value = hash_parity.canon_value
+canon_hash = hash_parity.canon_hash
+kind_drift_failures = hash_parity.kind_drift_failures
+
+
+class TestCanonValue:
+    def test_integral_float_collapses_to_int_string(self):
+        # the VALUE hash tolerates pandas NULL-widening: 123.0 == 123
+        assert canon_value(123.0) == "123"
+        assert canon_value(np.float64(123.0)) == "123"
+        assert canon_value(123) == "123"
+
+    def test_negative_zero_canonicalized(self):
+        assert canon_value(-0.0) == "0"
+        assert canon_value(0.0) == "0"
+
+    def test_non_integral_float_uses_repr(self):
+        assert canon_value(0.1) == repr(0.1)
+
+    def test_nan_and_null(self):
+        assert canon_value(float("nan")) == "NaN"
+        assert canon_value(None) == "NULL"
+        assert canon_value(pd.NA) == "NULL"
+
+    def test_large_float_not_collapsed(self):
+        # beyond 2**53 float->int round-trips are lossy; keep repr
+        big = 2.0 ** 60
+        assert canon_value(big) == repr(big)
+
+    def test_bool_not_confused_with_int(self):
+        assert canon_value(True) == "true"
+        assert canon_value(np.bool_(False)) == "false"
+
+
+class TestCanonHash:
+    def test_row_and_column_order_invariant(self):
+        a = pd.DataFrame({"x": [1, 2], "y": ["a", "b"]})
+        b = pd.DataFrame({"y": ["b", "a"], "x": [2, 1]})
+        assert canon_hash(a)[0] == canon_hash(b)[0]
+
+    def test_value_identical_int_vs_float_hash_equal(self):
+        # the hash itself is forgiving (NULL-widening symmetry) --
+        # the kind-drift check below is what catches the driver case
+        a = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+        b = pd.DataFrame({"n": pd.array([1.0, 2.0], dtype="float64")})
+        assert canon_hash(a)[0] == canon_hash(b)[0]
+
+
+class TestKindDrift:
+    def test_nullfree_int_vs_float_is_flagged(self):
+        # the exact round-4 red shape: DuckDB HUGEINT -> float64 vs
+        # Spark int64, no NULLs anywhere
+        spark_side = pd.DataFrame({"cum": pd.array([1, 3], dtype="int64")})
+        duck_side = pd.DataFrame({"cum": pd.array([1.0, 3.0],
+                                                  dtype="float64")})
+        assert kind_drift_failures(spark_side, duck_side) == ["cum=i/f"]
+
+    def test_column_with_nulls_is_exempt(self):
+        # pandas widens BOTH engines' sides to float64 when NULLs are
+        # present, so the representations agree -- genuine noise
+        spark_side = pd.DataFrame(
+            {"d": pd.array([1.0, np.nan], dtype="float64")})
+        duck_side = pd.DataFrame(
+            {"d": pd.array([1.0, np.nan], dtype="float64")})
+        assert kind_drift_failures(spark_side, duck_side) == []
+
+    def test_matching_kinds_not_flagged(self):
+        a = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+        b = pd.DataFrame({"n": pd.array([1, 2], dtype="int64")})
+        assert kind_drift_failures(a, b) == []
+
+    def test_float_vs_float_not_flagged(self):
+        a = pd.DataFrame({"v": pd.array([0.5, 1.5], dtype="float64")})
+        b = pd.DataFrame({"v": pd.array([0.5, 1.5], dtype="float64")})
+        assert kind_drift_failures(a, b) == []
