@@ -240,3 +240,13 @@ def test_curation_pipeline_single_scan_single_shuffle(spark, queries):
     plan = plan_of(queries["llm_curation_pipeline"](spark, SF))
     assert plan.count("Scan parquet") == 2, plan   # tree + detail
     assert _data_shuffles(plan) == 1, plan
+
+
+def test_incremental_dedup_single_scan_single_shuffle(spark, queries):
+    """Incremental dedup computes BOTH signals (index membership,
+    in-batch first) from one fingerprint window: ONE corpus scan, ONE
+    shuffle.  The distinct+semi-join+groupBy+join-back alternative it
+    replaced would show three scans and extra exchanges."""
+    plan = plan_of(queries["llm_incremental_dedup"](spark, SF))
+    assert plan.count("Scan parquet") == 2, plan   # tree + detail
+    assert _data_shuffles(plan) == 1, plan
