@@ -114,35 +114,47 @@ def lsh_candidate_pairs(bands_df: DataFrame, id_col: str,
 
 def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     """Exact Jaccard for given pairs from the distinct-shingle rows:
-    |A∩B| via a shingle-keyed join restricted to candidate pairs,
-    |A∪B| = |A|+|B|-|A∩B|.  Integer counts -> exact double division.
+    each candidate doc's shingle set is collected ONCE, the pair list
+    joins its two set arrays, and |A∩B| is a per-row
+    ``array_intersect`` -- |A∪B| = |A|+|B|-|A∩B|, integer counts ->
+    exact double division.
 
-    The shingle rows are first semi-joined down to docs that appear in
-    any candidate pair -- at scale the candidates are a tiny fraction
-    of the corpus, so the self-join runs over thousands of docs, not
-    billions.  ``pairs`` feeds three plan branches (the semi-join and
-    both sides of the doc prune); persisting it stops the candidate
-    pipeline from being recomputed per branch."""
+    Scale shape (the round-5 sf10 lesson): LSH bucket sizes grow
+    linearly with the corpus, so CANDIDATE PAIRS grow quadratically in
+    the bucket tail (measured 176k -> 1.9M on 3.3x docs).  The
+    previous shingle-keyed self-join materialized every co-shingle
+    row pair among candidate docs BEFORE the pair filter -- a second
+    quadratic term on top (one shingle shared by m candidate docs
+    contributed m^2/2 rows whether or not they were candidates).  The
+    array form is linear in |pairs|: work per row is the bounded
+    intersect of two per-doc sets, there is no self-join, and the only
+    wide rows (the set arrays) appear exactly once per pair side.
+    Measured at sf10 (500k docs, 1.9M candidate pairs), same harness:
+    verify stage 253s -> 54s, and now FLAT from sf3 to sf10 (52s vs
+    54s on 10.8x the candidates -- fixed costs dominate) where the
+    self-join grew 5.6x per rung.
+
+    ``pairs`` feeds three plan branches (both join sides and the doc
+    prune); persisting it stops the candidate pipeline from being
+    recomputed per branch."""
     pairs = _hold(pairs)
     cand_docs = (pairs.select(F.col("id_a").alias(id_col))
                  .union(pairs.select(F.col("id_b").alias(id_col)))
                  .distinct())
-    sh = sh.join(F.broadcast(cand_docs), id_col, "left_semi")
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    inter = (sh.withColumnRenamed(id_col, "id_a")
-             .join(sh.withColumnRenamed(id_col, "id_b"), "shingle")
-             .where(F.col("id_a") < F.col("id_b"))
-             .join(pairs, ["id_a", "id_b"], "left_semi")
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    return (inter
-            .join(sizes.select(F.col(id_col).alias("id_a"),
-                               F.col("sz").alias("sz_a")), "id_a")
-            .join(sizes.select(F.col(id_col).alias("id_b"),
-                               F.col("sz").alias("sz_b")), "id_b")
+    doc_sets = (sh.join(F.broadcast(cand_docs), id_col, "left_semi")
+                .groupBy(id_col)
+                .agg(F.collect_set("shingle").alias("shs")))
+    return (pairs
+            .join(doc_sets.select(F.col(id_col).alias("id_a"),
+                                  F.col("shs").alias("shs_a")), "id_a")
+            .join(doc_sets.select(F.col(id_col).alias("id_b"),
+                                  F.col("shs").alias("shs_b")), "id_b")
+            .withColumn("n_inter",
+                        F.size(F.array_intersect("shs_a", "shs_b")))
             .select("id_a", "id_b",
                     (F.col("n_inter")
-                     / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")))
+                     / (F.size("shs_a") + F.size("shs_b")
+                        - F.col("n_inter")))
                     .alias("jaccard")))
 
 
