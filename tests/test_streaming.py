@@ -105,7 +105,16 @@ def test_stateful_user_totals(spark, batch_events):
 def _split_events_files(tmp_path, n_chunks=4):
     """Slice the events parquet into time-ordered chunk files so the
     file source delivers multiple micro-batches (storage schema
-    preserved verbatim, whatever ts flavor the testdata ships)."""
+    preserved verbatim, whatever ts flavor the testdata ships).
+
+    The chunk files get STRICTLY INCREASING mtimes (10s apart, ending
+    now): Spark's FileStreamSource orders files by modification time,
+    and chunks written milliseconds apart can tie, making trigger
+    order nondeterministic -- observed once under heavy host load as
+    an out-of-event-time-order micro-batch that broke the stateful
+    EWMA stream==batch bit-exactness."""
+    import os
+    import time
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
     src = tmp_path / "stream_src"
@@ -114,9 +123,12 @@ def _split_events_files(tmp_path, n_chunks=4):
     t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
     n = t.num_rows
     step = (n + n_chunks - 1) // n_chunks
+    base = time.time() - 10 * n_chunks
     for i in range(n_chunks):
-        pq.write_table(t.slice(i * step, step),
-                       src / f"events_{i:02d}.parquet")
+        path = src / f"events_{i:02d}.parquet"
+        pq.write_table(t.slice(i * step, step), path)
+        mt = base + 10 * (i + 1)
+        os.utime(path, (mt, mt))
     return str(src)
 
 
