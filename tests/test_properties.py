@@ -572,3 +572,49 @@ def test_temporal_cooccurrence_equals_pair_form(spark, members, rounds):
         pair = {u: (seed_arr if u == seed else TEMPORAL_UNREACHED)
                 for u in users}
     assert bucket == pair
+
+
+@given(docs=st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30),
+    min_size=2, max_size=12))
+@settings(**SETTINGS)
+def test_pair_jaccard_equals_bruteforce_sets(spark, docs):
+    """The array-intersect Jaccard verify (round-5 rewrite of the
+    shingle self-join) equals the literal set definition
+    |A∩B| / |A∪B| for EVERY doc pair, over arbitrary tiny corpora --
+    including empty shingle sets, identical docs, and heavy shingle
+    sharing (3-word shingles over an {a, b} two-word alphabet collide
+    constantly, the regime the old self-join blew up in)."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        pair_jaccard, shingle_sets)
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = shingle_sets(df, "doc_id", "text", 3)
+    want = {}
+    py_sets = {}
+    for i, t in rows:
+        # mirror operators.text.tokens: trim, split on whitespace runs
+        ws = t.split()
+        py_sets[i] = {" ".join(ws[j:j + 3])
+                      for j in range(len(ws) - 2)} if len(ws) >= 3 else set()
+    ids = sorted(py_sets)
+    all_pairs = [(a, b) for ai, a in enumerate(ids)
+                 for b in ids[ai + 1:]]
+    for a, b in all_pairs:
+        union = py_sets[a] | py_sets[b]
+        if union:
+            want[(a, b)] = len(py_sets[a] & py_sets[b]) / len(union)
+    if not all_pairs:
+        return
+    pairs = spark.createDataFrame(all_pairs, "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in pair_jaccard(pairs, sh, "doc_id").collect()}
+    # docs with an empty shingle set produce no (doc, shingle) rows, so
+    # their pairs drop out of the join -- the operator's contract is
+    # "pairs of docs that shingled"; everything that survives must be
+    # the exact set Jaccard
+    for key, j in got.items():
+        assert abs(j - want[key]) < 1e-12, key
+    expect_keys = {(a, b) for a, b in all_pairs
+                   if py_sets[a] and py_sets[b]}
+    assert set(got) == expect_keys
