@@ -131,18 +131,39 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
 
 def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   max_bucket_size: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >=
     threshold), candidate-limited to same-LSH-bucket pairs so the pair
     space is sum(bucket^2), not N^2.  Few sign bits (default 4) keep
     recall high for high-threshold near-dups: a near-dup pair disagrees
-    on a sign bit only if a dimension sits near zero."""
+    on a sign bit only if a dimension sits near zero.
+
+    Scale contract: with FIXED nbits the bucket count is 2^nbits, so
+    bucket occupancy -- and with it sum(bucket^2) -- grows with the
+    corpus (the same linear-bucket/quadratic-pair mechanism measured
+    for MinHash banding on the sf10 rung, SCALE.md).  Production sizes
+    ``nbits ~ log2(N / target_bucket)`` so occupancy stays ~constant,
+    and sets ``max_bucket_size`` as the backstop: buckets above the
+    cap are excluded from candidate generation entirely (the
+    :func:`~..operators.dedup.lsh_candidate_pairs` hot-bucket rule --
+    a mega-bucket at a high threshold is overwhelmingly exact dups;
+    run exact dedup first).  Default ``None`` keeps the exact
+    all-in-bucket semantics the oracle entries verify."""
     a = emb.select(F.col(id_col).alias("id_a"),
                    F.col(vec_col).alias("__va"),
                    sign_signature(F.col(vec_col), nbits).alias("bucket"))
     b = emb.select(F.col(id_col).alias("id_b"),
                    F.col(vec_col).alias("__vb"),
                    sign_signature(F.col(vec_col), nbits).alias("bucket"))
+    if max_bucket_size is not None:
+        keep = (a.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .where(F.col("__bsz") <= max_bucket_size)
+                .select("bucket"))
+        # at most 2^nbits rows -- always broadcast-sized
+        a = a.join(F.broadcast(keep), "bucket", "left_semi")
+        b = b.join(F.broadcast(keep), "bucket", "left_semi")
     return (a.join(b, "bucket")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",

@@ -1404,3 +1404,24 @@ def test_funnel_time_to_convert_ordering(spark):
              .where(F.col("event_type") == "purchase")
              .select("user_id").distinct().count())
     assert 0 < r.n_converted <= purch
+
+
+def test_near_dup_pairs_hot_bucket_cap(spark):
+    """max_bucket_size excludes over-cap buckets from candidate
+    generation (the sign-LSH analog of the MinHash hot-bucket rule)
+    and changes nothing else; default None keeps every in-bucket
+    pair (the oracle-verified semantics)."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        near_dup_pairs)
+    # bucket A: 4 aligned vectors (one 4-doc bucket -> 6 pairs);
+    # bucket B: 2 aligned vectors of the opposite sign pattern
+    rows = ([(i, [1.0, 1.0, 1.0, 1.0]) for i in range(4)]
+            + [(10 + i, [-1.0, -1.0, -1.0, -1.0]) for i in range(2)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = near_dup_pairs(emb, threshold=0.9, nbits=4)
+    got_full = {(r.id_a, r.id_b) for r in full.collect()}
+    assert got_full == ({(a, b) for a in range(4) for b in range(4) if a < b}
+                        | {(10, 11)})
+    capped = near_dup_pairs(emb, threshold=0.9, nbits=4, max_bucket_size=3)
+    got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got_capped == {(10, 11)}   # the 4-doc bucket is excluded whole
