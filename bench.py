@@ -7,10 +7,30 @@ Prints ONE JSON line:
 Each query is materialized with the noop sink (full computation, no
 driver-side row transfer -- the number measures the engine, not
 toPandas).  One untimed warm-up query absorbs JVM/codegen start-up.
+
+Throttle-proofing (round 6): the host shows bursty CPU throttling
+(identical runs vary up to 10x within minutes), which made round-5's
+recorded numbers useless for round-over-round comparison.  Three
+guards now ship in the JSON so a throttled round is *visible*:
+  - "calibration": a fixed-work single-thread loop (sha256 over a
+    constant 1 MiB buffer) timed before / midway / after the suite;
+    "worst_ratio" > ~1.5 means the host slowed down DURING the run
+    and the recorded numbers are inflated -- discount them.
+  - every query gets >= 4 interleaved passes (was 2), with up to two
+    extra rounds for queries whose passes still disagree > 1.5x.
+  - "queries" remains min-of-passes (throttle only ever inflates);
+    all raw per-pass timings ship in "passes".
+
+Scale rung (round 6): when scratch/sf1 exists (tools/gen_scale.py,
+10x bench scale: 6M lineitem / 50k documents), the ten hot paths from
+SCALE.md's measured ladder run there too ("sf1" block, min of >= 2
+passes) so the scale posture is in the driver-visible artifact, not
+just SCALE.md.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import sys
@@ -67,7 +87,33 @@ HEADLINE = [
     "llm_incremental_dedup",   # two-batch dedup vs index, one fingerprint pass
     "g_temporal_reachability", # time-respecting BFS over event edges
     "ts_rolling_median",       # sliding exact median (dual-heap shape)
+    # round 6 additions (r6 gate surface representatives)
+    "llm_minhash_lsh_sharp",   # sharp (b=8,r=4) LSH operating point
+    "g_betweenness",           # Brandes-style betweenness (multi-root BFS)
 ]
+
+#: the SCALE.md measured-ladder hot paths, run at scratch/sf1 (10x)
+#: when that rung exists -- the driver-visible scale receipt.
+SF1_HOT = [
+    "q1_pricing_summary", "q9_product_profit", "llm_exact_dedup",
+    "llm_incremental_dedup", "llm_curation_pipeline", "llm_minhash_lsh",
+    "llm_ann_ivf", "g1_pagerank", "st_tumbling", "ts_ewma",
+]
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "scratch", "sf1")
+
+_CAL_BUF = bytes(range(256)) * 4096  # 1 MiB, constant
+
+
+def calibrate(rounds: int = 300) -> float:
+    """Fixed single-thread CPU work (sha256 over a constant 1 MiB
+    buffer): ~0.5-1s on a healthy host, identical work every call, so
+    the before/mid/after ratio is a pure host-health signal -- query
+    code never touches it."""
+    t0 = time.perf_counter()
+    for _ in range(rounds):
+        hashlib.sha256(_CAL_BUF).digest()
+    return round(time.perf_counter() - t0, 4)
 
 
 def main() -> None:
@@ -89,18 +135,22 @@ def main() -> None:
     # construction (identical plan, identical data).  All raw
     # per-pass timings ship in the JSON ("passes") so a regression can
     # be told from noise without re-running.
-    def run_one(name: str) -> float:
+    def run_one(name: str, at: str = sf_dir) -> float:
         t0 = time.perf_counter()
-        queries[name](spark, sf_dir).write \
+        queries[name](spark, at).write \
             .format("noop").mode("overwrite").save()
         dt = round(time.perf_counter() - t0, 3)
         clear_scratch(spark)
         return dt
 
+    calibration = {"before": calibrate()}
+
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for _pass in range(2):
+    for _pass in range(4):
         for name in HEADLINE:
             passes[name].append(run_one(name))
+        if _pass == 1:
+            calibration["mid"] = calibrate()
     for _extra in range(2):
         noisy = [n for n, ts in passes.items()
                  if max(ts) > 1.5 * min(ts)]
@@ -110,19 +160,51 @@ def main() -> None:
             passes[name].append(run_one(name))
     timings = {name: min(ts) for name, ts in passes.items()}
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-    print(json.dumps({
+    calibration["after"] = calibrate()
+    vals = list(calibration.values())
+    calibration["worst_ratio"] = round(max(vals) / min(vals), 3)
+
+    out = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "passes": passes,
-        "sf": sf_val,
-    }))
+        "calibration": calibration,
+        "sf": None,
+    }
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        out["sf"] = float(sf)
+    except ValueError:
+        out["sf"] = sf
+
+    # the sf1 rung (10x): min of >= 2 passes per hot path, plus its
+    # own calibration stamp.  Skipped cleanly when the generated rung
+    # is absent (fresh checkout before tools/gen_scale.py runs).
+    if os.path.isdir(SF1_DIR):
+        run_one(SF1_HOT[0], SF1_DIR)  # untimed rung warm-up
+        sf1_passes: dict[str, list[float]] = {n: [] for n in SF1_HOT}
+        for _pass in range(2):
+            for name in SF1_HOT:
+                sf1_passes[name].append(run_one(name, SF1_DIR))
+        for _extra in range(2):
+            noisy = [n for n, ts in sf1_passes.items()
+                     if max(ts) > 1.5 * min(ts)]
+            if not noisy:
+                break
+            for name in noisy:
+                sf1_passes[name].append(run_one(name, SF1_DIR))
+        sf1 = {name: min(ts) for name, ts in sf1_passes.items()}
+        out["sf1"] = {
+            "value": round(sum(sf1.values()), 3),
+            "queries": sf1,
+            "passes": sf1_passes,
+            "calibration_after": calibrate(),
+        }
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -119,6 +119,15 @@ def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     ``array_intersect`` -- |A∪B| = |A|+|B|-|A∩B|, integer counts ->
     exact double division.
 
+    Output-set contract: EVERY input pair whose two docs both have at
+    least one shingle is returned, including pairs with jaccard=0.0
+    (the pre-round-5 co-shingle self-join silently dropped
+    zero-intersection pairs).  Callers that want the old contract
+    filter ``jaccard >= t`` for positive t -- as every in-tree caller
+    does -- or add ``n_inter > 0``.  A pair with an UNSHINGLED side
+    (doc shorter than k tokens) is still dropped by the inner joins;
+    such docs never enter LSH candidates anyway.
+
     Scale shape (the round-5 sf10 lesson): LSH bucket sizes grow
     linearly with the corpus, so CANDIDATE PAIRS grow quadratically in
     the bucket tail (measured 176k -> 1.9M on 3.3x docs).  The

@@ -79,13 +79,27 @@ cand AS (
             AND a.doc_id < b.doc_id
 )"""
 
-_SIG_COLS = ", ".join(
-    f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(_NUM_HASHES))
-_BAND_SELECTS = "\n  UNION ALL ".join(
-    "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
-        b=b, cat=" || '|' || ".join(
-            f"h{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)))
-    for b in range(_BANDS))
+def _sig_cols_sql(num_hashes: int) -> str:
+    """The ``num_hashes`` MinHash aggregate columns -- same md5('<i>|'
+    || shingle) family as operators.dedup.minhash_signatures, so the
+    signature is bit-identical on both engines at ANY operating
+    point."""
+    return ", ".join(
+        f"min(md5('{i}|' || shingle)) AS h{i}" for i in range(num_hashes))
+
+
+def _band_selects_sql(bands: int, rows_per_band: int) -> str:
+    """Band the signature columns exactly like operators.dedup.lsh_bands
+    (bucket = md5 of the '|'-joined band slice)."""
+    return "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b, cat=" || '|' || ".join(
+                f"h{b * rows_per_band + r}" for r in range(rows_per_band)))
+        for b in range(bands))
+
+
+_SIG_COLS = _sig_cols_sql(_NUM_HASHES)
+_BAND_SELECTS = _band_selects_sql(_BANDS, _ROWS_PER_BAND)
 
 #: cand/jaccard tail shared by the LSH and brute-force dedup oracles
 _JACCARD_TAIL = """
@@ -173,6 +187,43 @@ def llm_minhash_lsh(spark, sf):
     -> capped bucket join -> exact-Jaccard verify >= 0.5."""
     return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
                              num_hashes=_NUM_HASHES, bands=_BANDS,
+                             threshold=0.5,
+                             max_bucket_size=_LSH_BUCKET_CAP)
+
+
+#: the SHARP LSH operating point: b=8 bands x r=4 rows (32 hashes).
+#: Candidate probability 1-(1-j^r)^b steepens exponentially in r, so
+#: the low-similarity candidate tail -- the term that grows
+#: superlinearly with corpus size at (b=4, r=3), measured in SCALE.md
+#: -- collapses: at j=0.3 the capture rate drops 11.5x (9.3% -> 0.8%)
+#: while j=0.8 pairs are still caught with p=0.985.  This is the
+#: in-tree scale mitigation for LSH candidate growth; same verify
+#: stage, same oracle shape, only the banding constants change.
+_SHARP_HASHES, _SHARP_BANDS, _SHARP_ROWS = 32, 8, 4
+
+
+@register("llm_minhash_lsh_sharp", f"""
+WITH {SHINGLE_CTE},
+sig AS (SELECT doc_id, {_sig_cols_sql(_SHARP_HASHES)} FROM sh GROUP BY doc_id),
+bands AS (
+  {_band_selects_sql(_SHARP_BANDS, _SHARP_ROWS)}
+),
+{_LSH_CAND_SQL},
+{_JACCARD_TAIL.rstrip()}
+WHERE i.n_inter / CAST(sa.sz + sb.sz - i.n_inter AS DOUBLE) >= 0.5
+""")
+def llm_minhash_lsh_sharp(spark, sf):
+    """MinHash+LSH near-dedup at the sharp operating point (b=8, r=4,
+    32 hashes): same shingle -> signature -> banded buckets -> capped
+    candidates -> exact-Jaccard verify >= 0.5 pipeline as
+    ``llm_minhash_lsh``, with an S-curve steep enough that low-j
+    candidate pairs (the superlinear tail at crawl scale) are mostly
+    never enumerated.  Costs 2.7x the signature aggregates (32 vs 12
+    min() columns, all map-side in ONE groupBy) and 2x the band rows;
+    buys a candidate set that tracks the true near-dup count instead
+    of the bucket-collision tail -- the right trade at 100 TB."""
+    return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
+                             num_hashes=_SHARP_HASHES, bands=_SHARP_BANDS,
                              threshold=0.5,
                              max_bucket_size=_LSH_BUCKET_CAP)
 

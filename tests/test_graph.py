@@ -170,6 +170,47 @@ def test_bfs_hop_budget_warning_precision(spark):
     assert got == {"A": 0, "B": 1, "C": 2, "D": None}
 
 
+def test_multi_root_bfs_hop_budget_probe(spark):
+    """The probe-round fix (operators/graph.py ADVICE r5) also covers
+    the multi-root kernel under closeness/diameter: completing at
+    EXACTLY max_hops must not warn; a genuine truncation must."""
+    import warnings
+
+    from graphdb_cia_factbook_spark.operators.graph import _multi_root_bfs
+    v = spark.createDataFrame([(x,) for x in "ABCD"], "id string")
+    e = spark.createDataFrame(
+        [("A", "B"), ("B", "C"), ("C", "D")], "src string, dst string")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        rows = _multi_root_bfs(Graph(v, e), max_hops=3).collect()
+    dist = {(r.root, r.id): r.dist for r in rows}
+    assert dist[("A", "D")] == 3        # discovered on the last hop
+    with pytest.warns(RuntimeWarning, match="hop budget"):
+        rows = _multi_root_bfs(Graph(v, e), max_hops=2).collect()
+    assert ("A", "D") not in {(r.root, r.id) for r in rows}
+
+
+def test_eigenvector_edgeless_graph_degenerate(spark):
+    """Edgeless graph: the adjacency is the zero matrix, so every
+    power-iteration step collapses y to zeros.  The max-rescale and
+    final L2 guards must degrade every vertex to eigenvector=0.0 --
+    never NULL/NaN (the mirrored DuckDB oracle in queries_graph has
+    the same guards; this pins the Spark side independently)."""
+    import math
+
+    from graphdb_cia_factbook_spark.operators.graph import (
+        eigenvector_centrality,
+    )
+    v = spark.createDataFrame([(x,) for x in "ABC"], "id string")
+    e = spark.createDataFrame([], "src string, dst string")
+    rows = eigenvector_centrality(Graph(v, e)).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.eigenvector is not None
+        assert not math.isnan(r.eigenvector)
+        assert r.eigenvector == 0.0
+
+
 def test_closeness_chain_and_landmarks(spark):
     from graphdb_cia_factbook_spark.operators.graph import (
         closeness_centrality,

@@ -62,6 +62,57 @@ def test_minhash_lsh_recall_vs_bruteforce(spark, docs):
     assert true, "testdata should contain near-duplicate documents"
 
 
+def test_minhash_sharp_recall_vs_threshold(spark, docs):
+    """The sharp operating point (b=8, r=4, 32 hashes): the S-curve
+    1-(1-j^4)^8 keeps high-similarity recall (p=0.985 at j=0.8) while
+    collapsing the low-j candidate tail.  Assert (a) precision 1.0
+    (verify removes every false positive), (b) recall on strongly
+    similar pairs (j >= 0.8) stays high, and (c) recall is monotone
+    in the threshold band -- the S-curve shape, measured."""
+    sharp = {(r.id_a, r.id_b): r.jaccard for r in
+             minhash_lsh_dedup(docs, num_hashes=32, bands=8,
+                               threshold=0.5).collect()}
+    true = {(r.id_a, r.id_b): r.jaccard for r in
+            ngram_jaccard_dedup(docs, threshold=0.5).collect()}
+    assert set(sharp) <= set(true)          # no false positives
+    assert true, "testdata should contain near-duplicate documents"
+
+    def recall(lo, hi):
+        band = {p for p, j in true.items() if lo <= j < hi}
+        if not band:
+            return None
+        return len(band & set(sharp)) / len(band)
+
+    strong = recall(0.8, 1.01)
+    if strong is not None:
+        assert strong >= 0.9                # p(candidate) = 0.985
+    # S-curve monotonicity: recall never decreases moving up the bands
+    rs = [r for r in (recall(0.5, 0.65), recall(0.65, 0.8),
+                      recall(0.8, 1.01)) if r is not None]
+    assert all(a <= b + 1e-9 for a, b in zip(rs, rs[1:]))
+
+
+def test_minhash_sharp_candidates_shrink(spark, docs):
+    """The reason the sharp point exists: at (b=8, r=4) the enumerated
+    candidate set must be no larger than at (b=4, r=3) on the same
+    corpus (low-j collisions dominate the wide point's candidates)."""
+    from graphdb_cia_factbook_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingle_sets,
+    )
+    sh = shingle_sets(docs, "doc_id", "text").localCheckpoint()
+    n_wide = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(sh, "doc_id", 12), "doc_id", 4, 3),
+        "doc_id").count()
+    n_sharp = lsh_candidate_pairs(
+        lsh_bands(minhash_signatures(sh, "doc_id", 32), "doc_id", 8, 4),
+        "doc_id").count()
+    assert n_sharp <= n_wide
+    assert n_sharp > 0
+
+
 def test_ngram_hot_shingle_guard(spark):
     """A boilerplate shingle shared by EVERY doc must not generate
     candidate pairs when it exceeds max_shingle_df, but true near-dups

@@ -31,8 +31,11 @@ def main() -> int:
     import __spark_entry__ as entrymod
     names = list(entrymod.queries())
 
-    green: dict[str, str] = {}
-    red: dict[str, str] = {}
+    # latest record per entry wins (rounds processed in order): a
+    # later-round red on a previously-green entry is a REGRESSION and
+    # must be reported, not masked by the old green
+    latest: dict[str, tuple[str, bool]] = {}
+    ever_green: dict[str, str] = {}
     for path in sorted(glob.glob("/root/repo/CORRECTNESS_r*.json")):
         rnd = os.path.basename(path)[len("CORRECTNESS_"):-len(".json")]
         with open(path) as f:
@@ -40,18 +43,19 @@ def main() -> int:
         for name, rec in rows.items():
             ok = (rec.get("rows_match") and rec.get("schema_match")
                   and rec.get("hash_match", True) and not rec.get("err"))
+            latest[name] = (rnd, bool(ok))
             if ok:
-                green.setdefault(name, rnd)
-                red.pop(name, None)
-            elif name not in green:
-                red[name] = rnd
-        # a green in a later round supersedes an earlier red
-    never = [n for n in names if n not in green and n not in red]
-    stale_red = {n: r for n, r in red.items()}
+                ever_green.setdefault(name, rnd)
+    green = {n for n, (_, ok) in latest.items() if ok}
+    stale_red = {n: r for n, (r, ok) in latest.items() if not ok}
+    regressed = sorted(n for n in stale_red if n in ever_green)
+    never = [n for n in names if n not in latest]
 
     print(f"registry entries:        {len(names)}")
-    print(f"official green (ever):   {len([n for n in names if n in green])}")
+    print(f"official green (latest): {len([n for n in names if n in green])}")
     print(f"official red, unhealed:  {len(stale_red)} {sorted(stale_red)}")
+    if regressed:
+        print(f"REGRESSED (green earlier, red later): {regressed}")
     print(f"never recorded:          {len(never)}")
     if k:
         print(f"\nnext {k} rotation candidates (registry order):")

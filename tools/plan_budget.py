@@ -131,9 +131,18 @@ def main() -> int:
               f"shuffles={m['shuffles']} bcast={m['broadcasts']} "
               f"py={m['python']}")
 
+    # budget keys no longer in the registry are stale whatever mode
+    # we're in: prune them on --update, report them otherwise
+    stale = sorted(n for n in budget if n not in qs)
+
     if update:
         merged = dict(budget)
         merged.update(current)
+        for n in stale:
+            del merged[n]
+        if stale:
+            print(f"\npruned {len(stale)} stale budget entries "
+                  f"(not in registry): {stale}")
         with open(BUDGET_PATH, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"\nwrote {len(merged)} budgets -> {BUDGET_PATH}")
@@ -143,6 +152,9 @@ def main() -> int:
     if missing:
         print(f"\n{len(missing)} entries missing from budget "
               f"(run --update): {missing[:10]}...")
+    if stale:
+        print(f"{len(stale)} stale budget entries not in registry "
+              f"(pruned on next --update): {stale}")
     print(f"\n{n_over} over budget, {n_under} improved, {n_err} errors")
     return 1 if (n_over or n_err or missing) else 0
 
