@@ -86,6 +86,10 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # ordering is irrelevant (both sides are row-sorted before
+    # hashing) and preserving it is what made the WITH-chain oracles
+    # spill ~90 GB of temp at 500k docs -- see tools/composed_dedup.py
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
