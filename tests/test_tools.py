@@ -102,3 +102,52 @@ class TestKindDrift:
         a = pd.DataFrame({"v": pd.array([0.5, 1.5], dtype="float64")})
         b = pd.DataFrame({"v": pd.array([0.5, 1.5], dtype="float64")})
         assert kind_drift_failures(a, b) == []
+
+
+_BC_SPEC = importlib.util.spec_from_file_location(
+    "bench_compare",
+    pathlib.Path(__file__).resolve().parents[1] / "tools"
+    / "bench_compare.py")
+bench_compare = importlib.util.module_from_spec(_BC_SPEC)
+sys.modules["bench_compare"] = bench_compare
+_BC_SPEC.loader.exec_module(bench_compare)
+
+
+class TestBenchCompareLoader:
+    """Pin bench_compare.load_bench's recovery of per-query timings
+    from the driver's FRONT-truncated stdout tail (the BENCH_r05
+    shape: the JSON line's head is cut mid-"queries", only the
+    trailing "passes" object survives complete)."""
+
+    def _write(self, tmp_path, doc):
+        import json
+        p = tmp_path / "bench.json"
+        p.write_text(json.dumps(doc))
+        return str(p)
+
+    def test_full_bench_line_loads_directly(self, tmp_path):
+        doc = {"queries": {"q1": 1.0}, "passes": {"q1": [1.2, 1.0]},
+               "sf": 0.1}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["queries"] == {"q1": 1.0}
+
+    def test_truncated_tail_recovers_passes(self, tmp_path):
+        tail = ('liers": 1.5, "g_mst": 5.2}, "passes": '
+                '{"q1": [1.2, 1.0], "g_mst": [5.2, 5.6]}, "sf": 0.1}')
+        doc = {"n": 5, "rc": 0, "sf": 0.1, "tail": tail}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["queries"] == {"q1": 1.0, "g_mst": 5.2}
+        assert "_recovered" in got
+
+    def test_untruncated_tail_parses_whole_line(self, tmp_path):
+        tail = ('{"metric": "m", "queries": {"q1": 1.0}, '
+                '"passes": {"q1": [1.0]}, "sf": 0.1}')
+        doc = {"tail": tail}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["metric"] == "m"
+
+    def test_no_queries_anywhere_raises(self, tmp_path):
+        doc = {"tail": "no json here at all"}
+        import pytest
+        with pytest.raises(SystemExit):
+            bench_compare.load_bench(self._write(tmp_path, doc))
