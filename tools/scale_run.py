@@ -46,6 +46,13 @@ def main() -> None:
     qs = entrymod.queries()
     spark = get_spark("scale-run")
 
+    # host-health stamp (bench.calibrate: fixed sha256 work) printed
+    # before and after so a throttled ladder run is visible in the
+    # SCALE.md receipt, same contract as bench.py round 6
+    from bench import calibrate
+    cal0 = calibrate()
+    print(f"calibration before: {cal0}s")
+
     print("| query | rung | rows | best sec | parts used | part max/mean |")
     print("|---|---|---|---|---|---|")
     results = {}
@@ -82,6 +89,10 @@ def main() -> None:
         if r_lo and r_hi and base_rung != top_rung:
             print(f"--  {name}: {top_rung}/{base_rung} wall ratio = "
                   f"{r_hi / r_lo:.2f}x", flush=True)
+
+    cal1 = calibrate()
+    print(f"calibration after: {cal1}s "
+          f"(ratio {max(cal0, cal1) / min(cal0, cal1):.2f}x)")
 
 
 if __name__ == "__main__":
