@@ -192,13 +192,18 @@ def llm_minhash_lsh(spark, sf):
 
 
 #: the SHARP LSH operating point: b=8 bands x r=4 rows (32 hashes).
-#: Candidate probability 1-(1-j^r)^b steepens exponentially in r, so
-#: the low-similarity candidate tail -- the term that grows
-#: superlinearly with corpus size at (b=4, r=3), measured in SCALE.md
-#: -- collapses: at j=0.3 the capture rate drops 11.5x (9.3% -> 0.8%)
-#: while j=0.8 pairs are still caught with p=0.985.  This is the
-#: in-tree scale mitigation for LSH candidate growth; same verify
-#: stage, same oracle shape, only the banding constants change.
+#: Candidate probability 1-(1-j^r)^b steepens exponentially in r: at
+#: j=0.3 the capture rate drops 11.5x (9.3% -> 0.8%) while j=0.8
+#: pairs are still caught with p=0.985.  Measured across the sf1/sf3/
+#: sf10 ladder (SCALE.md): a ~2x CONSTANT-FACTOR candidate reduction
+#: (1.71x/1.84x/1.92x) with verified-pair yield preserved -- but the
+#: growth EXPONENT is unchanged (sf3->sf10: 10.35x vs wide 10.80x on
+#: 3.33x docs), because the superlinear term is near-threshold
+#: (j~0.4-0.5) dup families that any operating point with usable
+#: recall at t=0.5 must also capture.  Same verify stage, same oracle
+#: shape, only the banding constants change; worth its 2.7x hashing
+#: cost exactly where candidate shuffle dominates (the 100-TB
+#: regime), not on an unsaturated local box.
 _SHARP_HASHES, _SHARP_BANDS, _SHARP_ROWS = 32, 8, 4
 
 
@@ -216,12 +221,15 @@ def llm_minhash_lsh_sharp(spark, sf):
     """MinHash+LSH near-dedup at the sharp operating point (b=8, r=4,
     32 hashes): same shingle -> signature -> banded buckets -> capped
     candidates -> exact-Jaccard verify >= 0.5 pipeline as
-    ``llm_minhash_lsh``, with an S-curve steep enough that low-j
-    candidate pairs (the superlinear tail at crawl scale) are mostly
-    never enumerated.  Costs 2.7x the signature aggregates (32 vs 12
+    ``llm_minhash_lsh``, with a steeper S-curve that prunes low-j
+    bucket collisions.  Costs 2.7x the signature aggregates (32 vs 12
     min() columns, all map-side in ONE groupBy) and 2x the band rows;
-    buys a candidate set that tracks the true near-dup count instead
-    of the bucket-collision tail -- the right trade at 100 TB."""
+    buys a measured ~2x candidate-volume reduction at every ladder
+    rung with verified-pair yield preserved (see SCALE.md round 6 for
+    the full growth table and the honest limit: near-threshold dup
+    families keep the growth exponent, so this is a constant-factor
+    shuffle saver for the candidate-bound regime, not an
+    asymptote-changer)."""
     return minhash_lsh_dedup(read_parallel(spark, sf, "documents"),
                              num_hashes=_SHARP_HASHES, bands=_SHARP_BANDS,
                              threshold=0.5,
