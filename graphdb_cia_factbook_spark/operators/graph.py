@@ -1716,8 +1716,18 @@ def attention_agg(graph: Graph, feature_cols: list,
             .withColumn("__e", F.log(F.col(score_col).cast("double"))))
     mx = (msgs.groupBy("dst")
           .agg(F.max("__e").alias("__mx")))
+    # __w quantized to 1e-9 right after exp: ln/exp are the ONLY
+    # non-IEEE-deterministic ops in this plan (libm differs by ~1 ulp
+    # between engines; +,x,/ are exact-rounded everywhere), and w is
+    # in (0,1] so the divergence is <= ~1e-15 absolute -- seven
+    # orders below the rounding quantum.  Everything downstream is
+    # then bit-identical on any engine at ANY scale; without this the
+    # final round(4) broke at sf10, where the attention ratio's
+    # ~1e11 magnitude turns a 1e-15 relative exp drift into ~1e-4
+    # absolute (found by the sf10 strict sweep, round 6).
     msgs = (msgs.join(mx, "dst")
-            .withColumn("__w", F.exp(F.col("__e") - F.col("__mx"))))
+            .withColumn("__w",
+                        F.round(F.exp(F.col("__e") - F.col("__mx")), 9)))
     agg = (msgs.groupBy(F.col("dst").alias("id"))
            .agg(F.sum(F.col("__w").cast("decimal(27,12)"))
                 .cast("double").alias("__z"),
@@ -1730,12 +1740,23 @@ def attention_agg(graph: Graph, feature_cols: list,
             .select("id", *feature_cols,
                     F.coalesce("n_in_neighbors", F.lit(0))
                     .alias("n_in_neighbors"),
-                    # round 4, not 8: exp/ln can differ by 1 ulp
-                    # across libms, and on ~1e8-magnitude features a
-                    # 1e-8 quantum sits BELOW the double ulp -- 1e-4
-                    # absorbs it with ~1e4 margin
+                    # final rounding goes THROUGH an exact decimal
+                    # cast: ROUND(double, 4) is engine-divergent at
+                    # scale-grown magnitudes (DuckDB rounds in the
+                    # x1e4-scaled double domain, whose spacing at the
+                    # sf10 ratio magnitude ~1.2e15 is 0.25 -- so near
+                    # half-way values disagree with exact decimal
+                    # rounding ~25% of the time; two nations tripped
+                    # in the sf10 strict sweep).  double -> decimal
+                    # (38,8) rounds the same exact rational on both
+                    # engines (no scaled-domain fuzz), then
+                    # decimal-round to 4 is exact arithmetic, then
+                    # back to double for a stable schema.  __w is
+                    # also quantized post-exp (above), so the ratio
+                    # itself is bit-identical before this.
                     *[F.round(F.coalesce(
-                        F.col(f"__ws_{c}") / F.col("__z"), F.lit(0.0)), 4)
+                        F.col(f"__ws_{c}") / F.col("__z"), F.lit(0.0))
+                        .cast("decimal(38,8)"), 4).cast("double")
                       .alias(f"attn_{c}") for c in feature_cols]))
 
 

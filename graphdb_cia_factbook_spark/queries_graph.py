@@ -1892,23 +1892,33 @@ msgs AS (
 ),
 mx AS (SELECT id, MAX(ev) AS mx FROM msgs GROUP BY 1),
 wts AS (
-  SELECT m.id, exp(m.ev - x.mx) AS w, m.out_deg, m.out_amount
+  SELECT m.id, ROUND(exp(m.ev - x.mx), 9) AS w,
+         m.out_deg, m.out_amount
   FROM msgs m JOIN mx x ON x.id = m.id
 ),
 agg AS (
+  -- big-double -> decimal casts go through VARCHAR: Spark's cast
+  -- uses the SHORTEST round-trip decimal representation
+  -- (BigDecimal.valueOf), DuckDB's direct cast rounds the exact
+  -- binary expansion -- at sf10 product magnitudes (~1e12) the two
+  -- differ at the 5th fractional digit and broke strict parity.
+  -- DuckDB's double->VARCHAR is shortest-rep, so the VARCHAR route
+  -- mirrors Spark bit-for-bit at any scale.
   SELECT id,
          CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) AS z,
-         CAST(SUM(CAST(w * out_deg AS DECIMAL(27,12))) AS DOUBLE)
-           AS ws_deg,
-         CAST(SUM(CAST(w * out_amount AS DECIMAL(27,12))) AS DOUBLE)
-           AS ws_amt,
+         CAST(SUM(CAST(CAST(w * out_deg AS VARCHAR)
+                       AS DECIMAL(27,12))) AS DOUBLE) AS ws_deg,
+         CAST(SUM(CAST(CAST(w * out_amount AS VARCHAR)
+                       AS DECIMAL(27,12))) AS DOUBLE) AS ws_amt,
          COUNT(*) AS n_in
   FROM wts GROUP BY 1
 )
 SELECT d.id, d.out_deg, d.out_amount,
        COALESCE(a.n_in, 0) AS n_in_neighbors,
-       ROUND(COALESCE(a.ws_deg / a.z, 0.0), 4) AS attn_out_deg,
-       ROUND(COALESCE(a.ws_amt / a.z, 0.0), 4) AS attn_out_amount
+       CAST(ROUND(CAST(CAST(COALESCE(a.ws_deg / a.z, 0.0) AS VARCHAR)
+                       AS DECIMAL(38,8)), 4) AS DOUBLE) AS attn_out_deg,
+       CAST(ROUND(CAST(CAST(COALESCE(a.ws_amt / a.z, 0.0) AS VARCHAR)
+                       AS DECIMAL(38,8)), 4) AS DOUBLE) AS attn_out_amount
 FROM deg d LEFT JOIN agg a ON a.id = d.id
 """)
 def g_attention_agg(spark, sf):
