@@ -26,6 +26,22 @@ Scale rung (round 6): when scratch/sf1 exists (tools/gen_scale.py,
 SCALE.md's measured ladder run there too ("sf1" block, min of >= 2
 passes) so the scale posture is in the driver-visible artifact, not
 just SCALE.md.
+
+Artifact-truncation-proofing (round 7): the driver records only the
+LAST ~2000 chars of stdout, which in rounds 5-6 cut the JSON line's
+head mid-"queries" and left only raw pass arrays (and round 6's sf1
+sub-object, which tools/bench_compare.py then mis-recovered as the
+whole run -- a bogus 1.54x "regression").  Two changes make the
+artifact truncation-proof:
+  - the printed line is COMPACT (< ~1.9 KB): per-query MINs,
+    calibration stamp, and the sf1 rung's MINs only.  The whole line
+    fits inside the driver's tail window, so it parses outright.
+  - raw per-pass timings move to a sidecar (bench_passes.json,
+    repo root; "passes_file" in the line points at it) -- full
+    fidelity locally, no stdout bloat.
+  - the sf1 rung is exception-isolated: a failure there records
+    {"error": ...} under "sf1" instead of destroying the main
+    results (the rung runs before the single print).
 """
 
 from __future__ import annotations
@@ -169,9 +185,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "passes": passes,
         "calibration": calibration,
         "sf": None,
+        "passes_file": "bench_passes.json",
     }
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -183,28 +199,45 @@ def main() -> None:
     # the sf1 rung (10x): min of >= 2 passes per hot path, plus its
     # own calibration stamp.  Skipped cleanly when the generated rung
     # is absent (fresh checkout before tools/gen_scale.py runs).
+    # Exception-isolated: the rung runs before the single print, so a
+    # failure here must not destroy the already-computed headline.
+    sf1_passes: dict[str, list[float]] = {}
     if os.path.isdir(SF1_DIR):
-        run_one(SF1_HOT[0], SF1_DIR)  # untimed rung warm-up
-        sf1_passes: dict[str, list[float]] = {n: [] for n in SF1_HOT}
-        for _pass in range(2):
-            for name in SF1_HOT:
-                sf1_passes[name].append(run_one(name, SF1_DIR))
-        for _extra in range(2):
-            noisy = [n for n, ts in sf1_passes.items()
-                     if max(ts) > 1.5 * min(ts)]
-            if not noisy:
-                break
-            for name in noisy:
-                sf1_passes[name].append(run_one(name, SF1_DIR))
-        sf1 = {name: min(ts) for name, ts in sf1_passes.items()}
-        out["sf1"] = {
-            "value": round(sum(sf1.values()), 3),
-            "queries": sf1,
-            "passes": sf1_passes,
-            "calibration_after": calibrate(),
-        }
+        try:
+            run_one(SF1_HOT[0], SF1_DIR)  # untimed rung warm-up
+            sf1_passes = {n: [] for n in SF1_HOT}
+            for _pass in range(2):
+                for name in SF1_HOT:
+                    sf1_passes[name].append(run_one(name, SF1_DIR))
+            for _extra in range(2):
+                noisy = [n for n, ts in sf1_passes.items()
+                         if max(ts) > 1.5 * min(ts)]
+                if not noisy:
+                    break
+                for name in noisy:
+                    sf1_passes[name].append(run_one(name, SF1_DIR))
+            sf1 = {name: min(ts) for name, ts in sf1_passes.items()}
+            out["sf1"] = {
+                "value": round(sum(sf1.values()), 3),
+                "queries": sf1,
+                "calibration_after": calibrate(),
+            }
+        except Exception as exc:  # noqa: BLE001 -- rung must not kill main
+            out["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
-    print(json.dumps(out))
+    # raw per-pass timings: sidecar file, NOT stdout (see module
+    # docstring -- the driver keeps only a ~2KB stdout tail).
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "bench_passes.json"), "w") as f:
+            json.dump({"passes": passes, "sf1_passes": sf1_passes,
+                       "sf": out["sf"]}, f)
+    except OSError:
+        pass  # read-only checkout: the compact line still has the MINs
+
+    # ONE compact JSON line (separators trimmed so the whole line fits
+    # the driver's tail window and parses outright).
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

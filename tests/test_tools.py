@@ -151,3 +151,67 @@ class TestBenchCompareLoader:
         import pytest
         with pytest.raises(SystemExit):
             bench_compare.load_bench(self._write(tmp_path, doc))
+
+    def test_sf1_block_not_mistaken_for_main_run(self, tmp_path):
+        """Round-6 repro: the driver's 2KB tail cut the main run's
+        "passes" mid-dict but kept round 6's "sf1" sub-object intact.
+        The old loader early-returned any dict with a "queries" key,
+        so it handed back the sf1 rung's 10x-scale timings as the
+        whole run (bogus 1.54x "regression" vs r5's sf0.1).  Pin:
+        (a) the sf1 block is NEVER returned as the main run, and
+        (b) the partial sf0.1 pass arrays visible before the sf1
+        marker ARE recovered."""
+        tail = (
+            # front-truncated mid-"passes": a dangling array, then
+            # intact sf0.1 entries, then calibration + sf + sf1 block
+            'f": [2.129, 1.598], "st_tumbling": [0.607, 0.473], '
+            '"ts_ewma": [0.64, 0.48]}, '
+            '"calibration": {"before": 0.22, "mid": 0.22, '
+            '"after": 0.22, "worst_ratio": 1.02}, "sf": 0.1, '
+            '"sf1": {"value": 25.5, "queries": {"g1_pagerank": 5.08, '
+            '"llm_minhash_lsh": 8.93}, "passes": {"g1_pagerank": '
+            '[6.2, 5.08], "llm_minhash_lsh": [8.93, 10.2]}, '
+            '"calibration_after": 0.22}}')
+        doc = {"n": 42, "rc": 0, "sf": 0.1, "tail": tail}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        # sf1's 10x timings must NOT appear
+        assert "g1_pagerank" not in got["queries"]
+        assert got["queries"] == {"st_tumbling": 0.473, "ts_ewma": 0.48}
+        assert got["sf"] == 0.1
+        assert "_recovered" in got
+
+    def test_complete_compact_line_with_sf1_returns_top_level(
+            self, tmp_path):
+        """Round-7 bench.py prints a compact line that fits the tail
+        whole: the loader must return the TOP-LEVEL object (metric +
+        queries), not any sub-object, even though the sf1 sub-object
+        also carries a "queries" key."""
+        line = ('{"metric": "headline_queries_total", "value": 1.5, '
+                '"unit": "sec", "queries": {"q1": 1.5}, "sf": 0.1, '
+                '"sf1": {"value": 15.0, "queries": {"q1": 15.0}}}')
+        doc = {"tail": line + "\n"}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["metric"] == "headline_queries_total"
+        assert got["queries"] == {"q1": 1.5}
+
+    def test_driver_parsed_field_preferred(self, tmp_path):
+        doc = {"parsed": {"metric": "m", "queries": {"q1": 2.0},
+                          "sf": 0.1},
+               "tail": "garbage"}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["queries"] == {"q1": 2.0}
+
+    def test_mixed_sf_comparison_refused(self, tmp_path, capsys):
+        import pytest
+        a = self._write(tmp_path, {"queries": {"q1": 1.0}, "sf": 0.1})
+        import json as _json
+        p = tmp_path / "b.json"
+        p.write_text(_json.dumps({"queries": {"q1": 10.0}, "sf": 1.0}))
+        import sys as _sys
+        argv = _sys.argv
+        _sys.argv = ["bench_compare", a, str(p)]
+        try:
+            with pytest.raises(SystemExit, match="mixed-sf"):
+                bench_compare.main()
+        finally:
+            _sys.argv = argv

@@ -23,6 +23,7 @@ Usage: python tools/bench_compare.py BENCH_r05.json BENCH_r06.json
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 
@@ -31,13 +32,24 @@ def load_bench(path: str) -> dict:
         doc = json.load(f)
     if "queries" in doc:
         return doc
+    if isinstance(doc.get("parsed"), dict) and "queries" in doc["parsed"]:
+        return doc["parsed"]  # driver parsed the line itself (>= r7)
     # driver wrapper: it stores only the TAIL of stdout, so the bench
-    # JSON line is usually truncated at the FRONT (mid-"queries").
-    # Recover the complete trailing objects instead: scan each '{'
-    # and collect every balanced object that parses; "passes" (when
-    # bench.py shipped it) reconstructs per-query best times, and a
-    # full un-truncated line parses on the first '{'.
+    # JSON line can be truncated at the FRONT (mid-"queries"; rounds
+    # <= 6 printed multi-KB lines).  Recovery rules, in order:
+    #   1. a balanced object carrying BOTH "queries" and "metric" is
+    #      the complete top-level line -- return it.  ("queries"
+    #      alone is NOT enough: round 6's intact "sf1" sub-object has
+    #      a "queries" key, and returning it silently compared
+    #      10x-scale timings against another round's sf0.1 numbers.)
+    #   2. a balanced {name: [floats...]} object BEFORE the sf1
+    #      marker is the main run's "passes" object.
+    #   3. otherwise regex-recover the partial "name": [floats] pairs
+    #      visible before the sf1 marker (front-truncated passes
+    #      region) -- a PARTIAL sf0.1 subset, flagged as such.
     tail = doc.get("tail", "")
+    sf1_at = tail.find('"sf1":')
+    main_region_end = sf1_at if sf1_at != -1 else len(tail)
     found: dict = {}
     i = 0
     while i < len(tail):
@@ -48,18 +60,27 @@ def load_bench(path: str) -> dict:
             except json.JSONDecodeError:
                 i += 1
                 continue
-            if isinstance(cand, dict) and "queries" in cand:
+            if (isinstance(cand, dict) and "queries" in cand
+                    and "metric" in cand):
                 return cand
-            if isinstance(cand, dict) and cand and all(
-                    isinstance(v, list) and v
-                    and all(isinstance(x, (int, float)) for x in v)
-                    for v in cand.values()):
-                found = cand  # looks like the "passes" object
+            if (i < main_region_end and isinstance(cand, dict) and cand
+                    and all(isinstance(v, list) and v
+                            and all(isinstance(x, (int, float)) for x in v)
+                            for v in cand.values())):
+                found = cand  # the main run's "passes" object
         i += 1
+    if not found:
+        # front-truncated mid-"passes": no balanced object survives,
+        # but the per-query arrays after the cut are intact pairs.
+        pairs = re.findall(r'"([A-Za-z0-9_]+)": ?\[([0-9eE+\-., ]+)\]',
+                           tail[:main_region_end])
+        found = {q: [float(x) for x in arr.split(",")]
+                 for q, arr in pairs}
     if found:
         return {"queries": {q: min(ts) for q, ts in found.items()},
                 "passes": found, "sf": doc.get("sf"),
-                "_recovered": "passes object from truncated tail"}
+                "_recovered": "partial passes from truncated tail "
+                              "(main run only; sf1 block excluded)"}
     raise SystemExit(f"{path}: no bench JSON with 'queries' found")
 
 
@@ -68,7 +89,17 @@ def main() -> int:
         raise SystemExit(__doc__)
     a, b = load_bench(sys.argv[1]), load_bench(sys.argv[2])
 
+    sfa, sfb = a.get("sf"), b.get("sf")
+    if sfa is not None and sfb is not None and sfa != sfb:
+        raise SystemExit(
+            f"refusing mixed-sf comparison: A sf={sfa} vs B sf={sfb} "
+            "(comparing different scale factors is exactly the "
+            "misanalysis this tool exists to prevent)")
+
     for tag, d in (("A", a), ("B", b)):
+        if d.get("_recovered"):
+            print(f"{tag}: RECOVERED from truncated artifact -- "
+                  f"{d['_recovered']}")
         cal = d.get("calibration")
         stamp = (f" calibration worst_ratio={cal['worst_ratio']}"
                  if cal else " (no calibration stamp)")
