@@ -1445,22 +1445,52 @@ def agg_skyline(spark, sf):
     """Skyline (Pareto front) of customers over (total spend,
     account balance): the classic dominance query -- keep exactly the
     points no other point beats on both dimensions.  The dominance
-    test collapses to a suffix-max over the DISTINCT-x table (a
-    window over spend-cardinality rows, never points x points): p
-    survives iff no strictly-higher-spend group reaches its balance
-    and no same-spend point exceeds it."""
+    test collapses to a suffix-max over the DISTINCT-x table; since
+    distinct spend values grow with the customer count, the suffix
+    max is BUCKETED (the st_late_audit two-level pattern) instead of
+    one global window:
+
+    - spend buckets via ``floor(x / 10000)`` -- bounded by the spend
+      DOMAIN (~700 buckets for TPC-H's 0..7M totals), constant in N;
+    - cross-bucket suffix max from a tiny non-equi self-join on the
+      bucket-max table (broadcast nested-loop over <= ~700 rows, no
+      window);
+    - within-bucket suffix max from a PARTITIONED window (partition
+      size = distinct-x / buckets -- parallel);
+    - better_x_maxy = greatest of the two (null-skipping, so null
+      only when NO strictly-higher spend exists anywhere -- the same
+      predicate the oracle's global suffix-max produces).
+
+    p survives iff no strictly-higher-spend group reaches its balance
+    and no same-spend point exceeds it.  Nothing point-sized funnels
+    through one partition."""
+    from .operators.dedup import _hold
     from .operators.relational import dsum
     customer = read_table(spark, sf, "customer")
     orders = read_table(spark, sf, "orders")
-    pts = (customer.join(orders,
-                         customer.c_custkey == orders.o_custkey)
-           .groupBy("c_custkey", F.col("c_acctbal").alias("y"))
-           .agg(dsum(F.col("o_totalprice")).alias("x")))
-    xg = pts.groupBy("x").agg(F.max("y").alias("maxy"))
-    w = Window.orderBy(F.desc("x")).rowsBetween(
-        Window.unboundedPreceding, -1)
-    sfx = xg.withColumn("better_x_maxy", F.max("maxy").over(w))
-    return (pts.join(sfx, "x")
+    # pts (customer-cardinality, << fact) and xg (distinct-x) each
+    # feed multiple consumers; pin them so the customer x orders join
+    # runs ONCE, not once per dominance subtree.
+    pts = _hold(customer.join(orders,
+                              customer.c_custkey == orders.o_custkey)
+                .groupBy("c_custkey", F.col("c_acctbal").alias("y"))
+                .agg(dsum(F.col("o_totalprice")).alias("x")))
+    xg = _hold(pts.groupBy("x").agg(F.max("y").alias("maxy"))
+               .withColumn("_bkt",
+                           F.floor(F.col("x") / F.lit(10000.0))))
+    bmax = xg.groupBy("_bkt").agg(F.max("maxy").alias("_bmaxy"))
+    ba, bb = bmax.alias("ba"), bmax.alias("bb")
+    hi = (ba.join(F.broadcast(bb),
+                  F.col("bb._bkt") > F.col("ba._bkt"), "left")
+          .groupBy(F.col("ba._bkt").alias("_bkt"))
+          .agg(F.max("bb._bmaxy").alias("_hi_max")))
+    wb = (Window.partitionBy("_bkt").orderBy(F.desc("x"))
+          .rowsBetween(Window.unboundedPreceding, -1))
+    sfx = (xg.join(F.broadcast(hi), "_bkt")
+           .withColumn("_in_max", F.max("maxy").over(wb))
+           .withColumn("better_x_maxy",
+                       F.greatest("_hi_max", "_in_max")))
+    return (pts.join(sfx.select("x", "maxy", "better_x_maxy"), "x")
             .where((F.col("better_x_maxy").isNull()
                     | (F.col("better_x_maxy") < F.col("y")))
                    & (F.col("maxy") <= F.col("y")))

@@ -192,9 +192,10 @@ def llm_minhash_lsh(spark, sf):
 
 
 #: the SHARP LSH operating point: b=8 bands x r=4 rows (32 hashes).
-#: Candidate probability 1-(1-j^r)^b steepens exponentially in r: at
-#: j=0.3 the capture rate drops 11.5x (9.3% -> 0.8%) while j=0.8
-#: pairs are still caught with p=0.985.  Measured across the sf1/sf3/
+#: Candidate probability 1-(1-j^r)^b steepens in r: at j=0.3 capture
+#: drops 10.4% -> 6.3% (~1.65x vs b=4,r=3), and the prune factor
+#: grows as j falls (~5x at j=0.1) while j=0.8 pairs are still
+#: caught with p=0.985.  Measured across the sf1/sf3/
 #: sf10 ladder (SCALE.md): a ~2x CONSTANT-FACTOR candidate reduction
 #: (1.71x/1.84x/1.92x) with verified-pair yield preserved -- but the
 #: growth EXPONENT is unchanged (sf3->sf10: 10.35x vs wide 10.80x on

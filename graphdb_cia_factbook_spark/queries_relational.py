@@ -891,16 +891,69 @@ SELECT bucket, COUNT(*) AS n,
 FROM b GROUP BY bucket
 """)
 def agg_equidepth_histogram(spark, sf):
-    """Equi-depth (equal-count) histogram via NTILE over a total
-    order: the optimizer-statistics companion to the equal-width
-    histogram -- bucket boundaries adapt to the distribution.  The
-    global sort is the documented cost (statistics builds run rarely);
-    at 100 TB the approx-percentile sketch replaces it and this exact
-    form validates the sketch."""
-    li = read_table(spark, sf, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    return (li.select("l_extendedprice",
-                      F.ntile(8).over(w).alias("bucket"))
+    """Equi-depth (equal-count) histogram -- exact NTILE semantics
+    WITHOUT NTILE's single-partition global window (the round-6
+    ``WindowExec: No Partition Defined`` straggler).  The
+    histogram-quantile pattern (same as llm_curriculum_order):
+
+    - bin rows by ``floor(l_extendedprice)`` -- cardinality bounded
+      by the PRICE DOMAIN (~105k integer bins for TPC-H), constant in
+      N, so every offset structure below is domain-bounded no matter
+      the scale factor;
+    - count-of-rows-below per bin via a TWO-LEVEL prefix sum with no
+      global window anywhere (zero ``WindowExec: No Partition
+      Defined``): within a coarse group (bin DIV 1024, <= ~103
+      groups) a PARTITIONED cumulative window; across groups a tiny
+      non-equi self-join on the <= ~103-row group-total table
+      (broadcast nested-loop, no window);
+    - rank WITHIN a bin with a partitioned window (partition size =
+      N / bins, shrinks as bins fill out -- parallel);
+    - global rank = offset + in-bin rank, then the exact NTILE(8)
+      bucket formula in integer arithmetic: the first N%8 buckets
+      take ceil(N/8) rows, the rest floor(N/8).  N comes from the
+      bin histogram (no second fact scan).
+
+    Order key (price, orderkey, linenumber) is a total order, so
+    ranks -- and the oracle's NTILE -- are deterministic."""
+    li = (read_table(spark, sf, "lineitem")
+          .select("l_extendedprice", "l_orderkey", "l_linenumber")
+          .withColumn("_bin", F.floor("l_extendedprice")))
+    from .operators.dedup import _hold
+    # the bin histogram is domain-bounded (~105k rows) but feeds four
+    # consumers (gt, g_below, offs, n); checkpoint it so the fact is
+    # scanned once for the histogram, once for the ranked join -- not
+    # once per consumer.
+    h = _hold(li.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+              .withColumn("_grp", F.expr("_bin DIV 1024")))
+    gt = h.groupBy("_grp").agg(F.sum("_cnt").alias("_gtot"))
+    ga, gb = gt.alias("ga"), gt.alias("gb")
+    g_below = (ga.join(F.broadcast(gb),
+                       F.col("gb._grp") < F.col("ga._grp"), "left")
+               .groupBy(F.col("ga._grp").alias("_grp"))
+               .agg(F.coalesce(F.sum("gb._gtot"), F.lit(0))
+                    .alias("_gbelow")))
+    wgrp = (Window.partitionBy("_grp").orderBy("_bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    offs = (h.join(F.broadcast(g_below), "_grp")
+            .select("_bin",
+                    (F.col("_gbelow") + F.sum("_cnt").over(wgrp)
+                     - F.col("_cnt")).cast("long").alias("_below")))
+    n = gt.agg(F.sum("_gtot").alias("_total"))
+    wbin = (Window.partitionBy("_bin")
+            .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    ranked = (li.join(F.broadcast(offs), "_bin")
+              .withColumn("_r", F.col("_below")
+                          + F.row_number().over(wbin))
+              .crossJoin(F.broadcast(n)))
+    # exact NTILE(8): q = N DIV 8 rows per tail bucket, the first
+    # N % 8 buckets take q+1.  (The q = 0 divisor is unreachable:
+    # when N < 8 every rank satisfies the first branch.)
+    bucket = F.expr(
+        "CAST(IF(_r <= (_total % 8) * ((_total DIV 8) + 1), "
+        "        (_r - 1) DIV ((_total DIV 8) + 1) + 1, "
+        "        (_total % 8) + (_r - (_total % 8) * ((_total DIV 8) "
+        "          + 1) - 1) DIV (_total DIV 8) + 1) AS INT)")
+    return (ranked.select("l_extendedprice", bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.min("l_extendedprice").alias("lo"),
