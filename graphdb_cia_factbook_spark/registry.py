@@ -95,35 +95,42 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 6 rotation (round 5 recorded 50/50 green; cumulative
-    # official coverage 197/347).  This round leads with the EXT graph
-    # suite -- the largest never-recorded block and the most
-    # algorithmically load-bearing (the reference's whole query layer
-    # is graph analytics, preprocess_upload_neo4j.py:400-447) -- then
-    # the named stragglers and the new sharp-LSH operating point.
+    # ROUND 7 rotation (round 6 recorded 50/50 green; cumulative
+    # official coverage 247/348, zero latest-record reds).  This
+    # round leads with the ANN / retrieval / semantic-dedup block --
+    # the largest never-recorded family and the north-star surface
+    # (BASELINE.json mandates similarity search) -- then the
+    # embedding-infrastructure entries, the multimodal trio, the
+    # streaming stragglers, and the sketch/statistics aggs (including
+    # the two freshly rewritten scale-safe plans, so their new
+    # implementations get official rows, not just replica green).
     # All 50 passed the strict tools/hash_parity.py sweep (sf0.01 +
     # sf0.1, plus --vanilla) before this rotation was committed.
-    # EXT graph suite, never officially recorded (42)
-    "g_betweenness", "g_scc", "g_condensation", "g_katz",
-    "g_eigenvector", "g_mst", "g_coloring", "g_mis", "g_ktruss",
-    "g_simrank", "g_voterank", "g_link_prediction", "g_closeness",
-    "g_harmonic", "g_random_walks", "g_node2vec_walks",
-    "g_skipgram_pairs", "g_diameter", "g_effective_diameter",
-    "g_reciprocity", "g_assortativity", "g_degree_assortativity",
-    "g_neighborhood_agg", "g_attention_agg", "g_wl_colors",
-    "g_modularity", "g_edge_betweenness", "g_bridges",
-    "g_local_bridges", "g_rich_club", "g_percolation",
-    "g_degree_distribution", "g_graph_card", "g_center_periphery",
-    "g_motifs_directed", "g_bowtie", "g_rank_agreement",
-    "g_constraint", "g_centralization", "g_hop_plot", "g_small_world",
-    "g_edge_weight_gini",
-    # named stragglers, never officially recorded (5)
-    "s4_merge_into", "scd2_user_history", "udaf_weighted_median",
-    "w_range_frame", "f_zorder",
-    # the new sharp LSH operating point (round-6 addition) (1)
-    "llm_minhash_lsh_sharp",
-    # fillers from the never-recorded pool (2)
-    "agg_grouping_sets", "rel_fifo_match",
+    # ANN / similarity / retrieval (16)
+    "llm_ann_pq", "llm_ann_lsh", "llm_ann_hamming", "llm_ann_rerank",
+    "llm_bm25", "llm_mmr_rerank", "llm_rank_fusion", "llm_mrl_recall",
+    "llm_knn_ivf", "llm_mutual_knn", "llm_knn_confusion",
+    "llm_maxsim_late_interaction", "llm_dsir_weights",
+    "llm_query_expansion", "llm_prefix_join", "llm_class_centroids",
+    # semantic / fingerprint dedup family (10)
+    "llm_semantic_dedup", "llm_semantic_decontaminate", "llm_simhash",
+    "llm_winnow_fingerprint", "llm_block_dedup", "llm_dedup_keep_best",
+    "llm_neardup_distance_audit", "llm_dedup_savings",
+    "llm_dedup_threshold_sweep", "llm_minhash_estimate_audit",
+    # embedding infrastructure (5)
+    "llm_pca_power", "llm_pca_project", "llm_random_projection",
+    "llm_quantile_normalize", "llm_bigram_novelty",
+    # text-analysis stragglers (3)
+    "llm_pmi_keywords", "llm_naive_bayes", "llm_quality",
+    # multimodal trio (3)
+    "mm_wav_meta", "mm_tile_manifest", "mm_audio_windows",
+    # streaming stragglers (6)
+    "st_doc_curation", "st_session_paths", "st_topk_per_window",
+    "st_disorder", "st_alert_debounce", "st_static_enrich",
+    # sketch / statistics aggs, incl. the round-7 plan rewrites (7)
+    "agg_hll_custom", "agg_bloom_custom", "agg_mode",
+    "agg_percentile_disc", "agg_equidepth_histogram",
+    "agg_share_of_parent", "agg_trend_slope",
 ]
 
 
