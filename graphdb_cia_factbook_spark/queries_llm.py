@@ -3911,15 +3911,20 @@ def _rp_signs(j: int) -> list:
 
 
 def _rp_sql() -> str:
+    """Same left-associated fold as the Spark side, UNROLLED into a
+    plain + chain (SQL's + is left-associative, so the IEEE addition
+    order -- and therefore every bit -- matches).  The earlier
+    list_transform/list_reduce form computed identical values but
+    DuckDB evaluates list lambdas with per-row list allocations:
+    >300s at the 200k-vector sf10 rung vs ~1s unrolled."""
     import math
     cols = []
     for j in range(_RP_OUT):
-        lits = ", ".join(str(v) for v in _rp_signs(j))
-        cols.append(
-            f"ROUND(list_reduce(list_concat([0.0::DOUBLE], "
-            f"list_transform(range(1, {_RP_IN} + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ([{lits}])[i])), "
-            f"(a, x) -> a + x) / {math.sqrt(_RP_OUT)!r}, 6) AS proj_{j}")
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {v!r}"
+            for i, v in enumerate(_rp_signs(j)))
+        cols.append(f"ROUND((0.0 + {terms}) / {math.sqrt(_RP_OUT)!r}, 6)"
+                    f" AS proj_{j}")
     return ("SELECT vec_id, " + ",\n       ".join(cols)
             + "\nFROM embeddings")
 
@@ -3931,17 +3936,25 @@ def llm_random_projection(spark, sf):
     (md5-signed, scaled 1/sqrt(k)) -- the distance-preserving
     dimensionality reduction that needs no training and no shipped
     matrix (any worker on any engine regenerates the same signs).
-    Each output dim is one sequential fold inside codegen -- bit-equal
-    to the DuckDB twin, zero shuffles."""
+    Each output dim is the oracle's left-associated fold UNROLLED
+    into a plain arithmetic chain (element_at * sign literals), so it
+    stays inside whole-stage codegen -- the earlier zip_with +
+    aggregate lambda form computed the same values but higher-order
+    functions run INTERPRETED per row (measured ~40x slower at the
+    sf1 rung; the round-7 sf10 sweep timed it out).  Fold order is
+    identical (((0 + x1) + x2) + ...), so the result is bit-equal to
+    the DuckDB twin; zero shuffles either way."""
     import math
-    emb = read_parallel(spark, sf, "embeddings")
+    emb = (read_parallel(spark, sf, "embeddings")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>")
+                   .alias("_e")))
     cols = []
     for j in range(_RP_OUT):
-        signs = F.array(*[F.lit(v) for v in _rp_signs(j)])
-        prods = F.zip_with(F.col("embedding").cast("array<double>"),
-                           signs, lambda x, s: x * s)
-        fold = F.aggregate(prods, F.lit(0.0), lambda a, x: a + x)
-        cols.append(F.round(fold / math.sqrt(_RP_OUT), 6)
+        acc = F.lit(0.0)
+        for i, v in enumerate(_rp_signs(j), start=1):
+            acc = acc + F.element_at("_e", i) * F.lit(float(v))
+        cols.append(F.round(acc / math.sqrt(_RP_OUT), 6)
                     .alias(f"proj_{j}"))
     return emb.select("vec_id", *cols)
 
