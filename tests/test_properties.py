@@ -618,3 +618,44 @@ def test_pair_jaccard_equals_bruteforce_sets(spark, docs):
     expect_keys = {(a, b) for a, b in all_pairs
                    if py_sets[a] and py_sets[b]}
     assert set(got) == expect_keys
+
+
+def test_equidepth_bucketed_rank_equals_ntile(spark):
+    """The round-7 agg_equidepth_histogram rewrite replaces NTILE's
+    single-partition global window with domain-bounded bins + a
+    two-level prefix sum + the NTILE formula in integer arithmetic.
+    Pin: for random frames (including N < 8, ties, and N % 8 != 0)
+    the bucketed construction reproduces Spark's own F.ntile exactly,
+    row for row."""
+    import random
+    from pyspark.sql import Window as W
+    rng = random.Random(7)
+    for n in (3, 8, 41, 200):
+        rows = [(i, float(rng.randint(0, 25)) + rng.choice([0.0, 0.5]))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        want = {(r["id"], r["b"]) for r in df.select(
+            "id", F.ntile(8).over(W.orderBy("v", "id")).alias("b"))
+            .collect()}
+        # bucketed construction (bin width 4 to force multi-bin paths)
+        binned = df.withColumn("_bin", F.floor(F.col("v") / 4.0))
+        h = binned.groupBy("_bin").agg(F.count(F.lit(1)).alias("_cnt"))
+        wcum = (W.orderBy("_bin")
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+        offs = h.select("_bin", (F.sum("_cnt").over(wcum)
+                                 - F.col("_cnt")).alias("_below"))
+        wbin = W.partitionBy("_bin").orderBy("v", "id")
+        ranked = (binned.join(F.broadcast(offs), "_bin")
+                  .withColumn("_r", F.col("_below")
+                              + F.row_number().over(wbin))
+                  .crossJoin(F.broadcast(
+                      df.agg(F.count(F.lit(1)).alias("_total")))))
+        bucket = F.expr(
+            "CAST(IF(_r <= (_total % 8) * ((_total DIV 8) + 1), "
+            "        (_r - 1) DIV ((_total DIV 8) + 1) + 1, "
+            "        (_total % 8) + (_r - (_total % 8) * "
+            "((_total DIV 8) + 1) - 1) DIV (_total DIV 8) + 1) "
+            "AS INT)")
+        got = {(r["id"], r["b"]) for r in
+               ranked.select("id", bucket.alias("b")).collect()}
+        assert got == want, f"n={n}"
