@@ -2135,9 +2135,8 @@ ranked AS (
          COUNT(*) OVER (PARTITION BY pos) AS n
   FROM ex
 )
-SELECT vec_id,
-       list(CAST(rnk AS DOUBLE) / n ORDER BY pos) AS qnorm
-FROM ranked GROUP BY vec_id
+SELECT vec_id, pos, CAST(rnk AS DOUBLE) / n AS q
+FROM ranked
 """)
 def llm_quantile_normalize(spark, sf):
     """Per-dimension quantile (rank) normalization of the embedding
@@ -2145,7 +2144,11 @@ def llm_quantile_normalize(spark, sf):
     the distribution-free rescaling that tames heavy-tailed dimensions
     before indexing.  Exact integer ranks with a vec_id tiebreak, so
     the transform is engine-identical; one window per dimension
-    partition, one array reassembly."""
+    partition.  Output is the exploded ``(vec_id, pos, q)`` long form
+    (scalar columns only -- the round-7 driver checker crashed
+    canonicalizing a raw ArrayType column; the array reassembly is a
+    one-line ``groupBy(vec_id).agg(collect_list)`` for callers that
+    want the wide form)."""
     emb = read_parallel(spark, sf, "embeddings")
     ex = emb.select("vec_id",
                     F.posexplode("embedding").alias("pos0", "val")) \
@@ -2153,14 +2156,10 @@ def llm_quantile_normalize(spark, sf):
                 F.col("val").cast("double").alias("val"))
     w = Window.partitionBy("pos").orderBy("val", "vec_id")
     wn = Window.partitionBy("pos")
-    ranked = ex.select(
+    return ex.select(
         "vec_id", "pos",
         (F.row_number().over(w).cast("double")
          / F.count(F.lit(1)).over(wn).cast("double")).alias("q"))
-    return (ranked.groupBy("vec_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "q"))),
-                lambda s: s["q"]).alias("qnorm")))
 
 
 from .registry import ORACLES as _ORACLES  # noqa: E402

@@ -41,6 +41,34 @@ def test_every_query_has_a_docstring():
     assert not bad, bad
 
 
+def test_no_top_level_array_or_map_outputs(spark):
+    """The driver's correctness checker canonicalizes results with
+    pandas ``sort_values`` over every column and crashes on unhashable
+    cells -- round 7's only scoreboard red (``llm_quantile_normalize``
+    returning ``ArrayType``).  Pin that every registered entry emits
+    scalar top-level columns only: explode to long form or
+    ``array_join`` to a string before returning.
+
+    Builders that EXECUTE on construction (power iteration, the
+    checkpointed dedup pipelines) are skipped here for suite-runtime
+    reasons; their scalar output schemas are pinned by their own
+    oracle rows (a DuckDB hash compare cannot even run on an
+    array column without the canonicalizer the driver lacks)."""
+    from pyspark.sql.types import ArrayType, MapType
+    sf = "/root/testdata/sf0.001"
+    eager = {"g1_pagerank", "g1_pagerank_weighted", "g2_articlerank",
+             "llm_minhash_lsh", "llm_ngram_jaccard"}
+    bad = []
+    for name, fn in registry.queries().items():
+        if name in eager:
+            continue
+        df = fn(spark, sf)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, bad
+
+
 def test_bench_headline_names_are_registered():
     """Every bench.py HEADLINE query must exist in the registry --
     a rename or removal must fail fast here, not in the driver's
