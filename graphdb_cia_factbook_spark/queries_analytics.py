@@ -1282,8 +1282,16 @@ def survival_km(spark, sf):
     S(t) = product over event times <= t of (1 - d/n), computed as
     exp of a decimal-exact running ln-sum so the cumulative product
     is reduction-order-free.  The time-to-churn/failure estimator
-    every lifecycle analysis runs; risk sets are user-sized
-    aggregates, the curve is event-time-sized."""
+    every lifecycle analysis runs.
+
+    Scale shape: the risk set n(t) = |{users: t_obs >= t}| is NOT a
+    range join of two user-sized tables (that plan is a
+    broadcast-nested-loop going quadratic in users); it is a suffix
+    cumulative sum over the observation-time histogram -- the same
+    cumulative-histogram pattern as ``llm_curriculum_order`` -- so one
+    groupBy collapses the users to distinct times and one ordered
+    window (over the same distinct-times table the KM product already
+    traverses) yields every n(t) with zero pair expansion."""
     ev = read_table(spark, sf, "events")
     t = F.col("ts").cast("timestamp")
     spans = (ev.groupBy("user_id")
@@ -1294,16 +1302,20 @@ def survival_km(spark, sf):
     t_obs = F.when(F.col("terr").isNotNull(),
                    F.col("terr") - F.col("t0")) \
         .otherwise(F.col("tmax") - F.col("t0"))
-    obs = (spans.select("user_id", t_obs.alias("t_obs"),
+    obs = (spans.select(t_obs.alias("t_obs"),
                         F.col("terr").isNotNull().alias("observed"))
-           .where(F.col("t_obs") > 0).localCheckpoint())
-    times = (obs.where("observed").groupBy(F.col("t_obs").alias("t"))
-             .agg(F.count(F.lit(1)).alias("d")))
-    # risk set: users still under observation at t (t_obs >= t) --
-    # a range join of the (small) event-time table against user spans
-    risk = (times.join(obs.select("t_obs"),
-                       F.col("t_obs") >= F.col("t"))
-            .groupBy("t", "d").agg(F.count(F.lit(1)).alias("n")))
+           .where(F.col("t_obs") > 0))
+    # one histogram carries BOTH the death counts d(t) and the at-risk
+    # suffix sums n(t): n(t) = sum of all-observation counts at times
+    # >= t, a cumulative window ordered by t descending
+    hist = (obs.groupBy(F.col("t_obs").alias("t"))
+            .agg(F.count(F.lit(1)).alias("c_all"),
+                 F.sum(F.when(F.col("observed"), 1).otherwise(0))
+                 .alias("d")))
+    wdesc = (Window.orderBy(F.col("t").desc())
+             .rowsBetween(Window.unboundedPreceding, 0))
+    risk = (hist.withColumn("n", F.sum("c_all").over(wdesc))
+            .where(F.col("d") > 0).select("t", "d", "n"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
     # d == n zeroes the product exactly; ln is undefined there, so the
     # running max flag pins survival to 0 from that time on

@@ -79,7 +79,8 @@ def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
     # the checkpointed dedup pipelines) -- they are pure Catalyst +
     # localCheckpoint by construction and cost minutes to build here
     eager = {"g1_pagerank", "g1_pagerank_weighted", "g2_articlerank",
-             "llm_minhash_lsh", "llm_ngram_jaccard"}
+             "llm_minhash_lsh", "llm_ngram_jaccard",
+             "agg_skyline", "agg_equidepth_histogram"}
     for name, fn in queries.items():
         if name in eager:
             continue

@@ -50,9 +50,14 @@ BUDGET_PATH = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "PLAN_BUDGET.json")
 
 #: builders that execute on construction (see tests/test_plans.py) --
-#: their returned plan is a truncated RDD scan, not the real dataflow
+#: their returned plan is a truncated RDD scan, not the real dataflow.
+#: agg_skyline and agg_equidepth_histogram _hold/localCheckpoint an
+#: intermediate, so their visible counts are partial (the eager
+#: customer-join / histogram stage is invisible): skipped rather than
+#: stamped, per this file's own 'legal but meaningless' rule.
 EAGER = {"g1_pagerank", "g1_pagerank_weighted", "g2_articlerank",
-         "llm_minhash_lsh", "llm_ngram_jaccard"}
+         "llm_minhash_lsh", "llm_ngram_jaccard",
+         "agg_skyline", "agg_equidepth_histogram"}
 
 PY_NODES = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
             "FlatMapGroupsInPandas", "FlatMapGroupsInPandasWithState")
@@ -131,9 +136,10 @@ def main() -> int:
               f"shuffles={m['shuffles']} bcast={m['broadcasts']} "
               f"py={m['python']}")
 
-    # budget keys no longer in the registry are stale whatever mode
-    # we're in: prune them on --update, report them otherwise
-    stale = sorted(n for n in budget if n not in qs)
+    # budget keys no longer in the registry -- or now EAGER-skipped
+    # (their stamped counts would be lineage-truncated) -- are stale
+    # whatever mode we're in: prune on --update, report otherwise
+    stale = sorted(n for n in budget if n not in qs or n in EAGER)
 
     if update:
         merged = dict(budget)
@@ -142,7 +148,7 @@ def main() -> int:
             del merged[n]
         if stale:
             print(f"\npruned {len(stale)} stale budget entries "
-                  f"(not in registry): {stale}")
+                  f"(dropped from registry or EAGER-skipped): {stale}")
         with open(BUDGET_PATH, "w") as f:
             json.dump(dict(sorted(merged.items())), f, indent=1)
         print(f"\nwrote {len(merged)} budgets -> {BUDGET_PATH}")
@@ -153,7 +159,7 @@ def main() -> int:
         print(f"\n{len(missing)} entries missing from budget "
               f"(run --update): {missing[:10]}...")
     if stale:
-        print(f"{len(stale)} stale budget entries not in registry "
+        print(f"{len(stale)} stale budget entries "
               f"(pruned on next --update): {stale}")
     print(f"\n{n_over} over budget, {n_under} improved, {n_err} errors")
     return 1 if (n_over or n_err or missing) else 0
