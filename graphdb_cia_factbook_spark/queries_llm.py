@@ -3348,6 +3348,81 @@ def llm_maxsim_late_interaction(spark, sf):
                           F.row_number().over(w).alias("rank")))
 
 
+_MAXSIM_NBITS = 4
+
+
+@register("llm_maxsim_bucketed", f"""
+WITH q AS (SELECT label AS qlabel, vec_id AS qid, embedding AS qv,
+                  {_bucket_sql('embedding', _MAXSIM_NBITS)} AS bucket
+           FROM embeddings WHERE label < 3 AND vec_id < 64),
+d AS (SELECT label AS dlabel, vec_id AS did, embedding AS dv,
+             {_bucket_sql('embedding', _MAXSIM_NBITS)} AS bucket
+      FROM embeddings),
+best AS (
+  SELECT q.qlabel, q.qid, d.dlabel,
+         MAX({_cos_sql('q.qv', 'd.dv')}) AS maxcos
+  FROM d JOIN q ON d.bucket = q.bucket AND q.qid <> d.did
+  GROUP BY 1, 2, 3
+),
+scored AS (
+  SELECT qlabel, dlabel,
+         CAST(SUM(CAST(maxcos AS DECIMAL(27,12))) AS DOUBLE) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n_matched_query_vecs
+  FROM best GROUP BY 1, 2
+)
+SELECT qlabel, dlabel, n_matched_query_vecs,
+       ROUND(s, 6) AS maxsim_score,
+       ROW_NUMBER() OVER (PARTITION BY qlabel
+                          ORDER BY s DESC, dlabel) AS rank
+FROM scored
+""")
+def llm_maxsim_bucketed(spark, sf):
+    """MaxSim late interaction, corpus-scale shape: the same
+    ColBERT-style score as ``llm_maxsim_late_interaction`` (sum over
+    query vectors of each one's best cosine in the doc set) but the
+    candidate doc vectors per query vector come from a deterministic
+    sign-LSH bucket equi-join (``sign_signature``, the llm_ann_lsh
+    generator) instead of the exact all-pairs cross join -- the
+    bucketed variant the exact entry's docstring promises.
+
+    Scale shape: the query side is BOUNDED by construction (<= 64
+    sampled vectors of the query labels, the ANN-entry posture) and
+    broadcast; the corpus streams once through a broadcast hash join
+    on the bucket key -- no all-pairs expansion, no corpus shuffle for
+    candidate generation; the per-(query-vec, doc-label) max collapses
+    map-side.  Exact MaxSim is quadratic by construction (sf1 measured
+    720.7s); this shape is the one that survives sf10.  MAX is
+    order-free; the per-pair sum is decimal-exact.  A query vector
+    with no bucket collision in a doc label contributes nothing to
+    that pair (n_matched_query_vecs records the live terms)."""
+    from .operators.similarity import cosine, sign_signature
+    emb = read_parallel(spark, sf, "embeddings")
+    q = (emb.where((F.col("label") < 3) & (F.col("vec_id") < 64))
+         .select(F.col("label").alias("qlabel"),
+                 F.col("vec_id").alias("qid"),
+                 F.col("embedding").alias("qv"),
+                 sign_signature(F.col("embedding"), _MAXSIM_NBITS)
+                 .alias("bucket")))
+    d = emb.select(F.col("label").alias("dlabel"),
+                   F.col("vec_id").alias("did"),
+                   F.col("embedding").alias("dv"),
+                   sign_signature(F.col("embedding"), _MAXSIM_NBITS)
+                   .alias("bucket"))
+    best = (d.join(F.broadcast(q), "bucket")
+            .where(F.col("qid") != F.col("did"))
+            .groupBy("qlabel", "qid", "dlabel")
+            .agg(F.max(cosine(F.col("qv"), F.col("dv")))
+                 .alias("maxcos")))
+    scored = (best.groupBy("qlabel", "dlabel")
+              .agg(F.sum(F.col("maxcos").cast("decimal(27,12)"))
+                   .cast("double").alias("s"),
+                   F.count(F.lit(1)).alias("n_matched_query_vecs")))
+    w = Window.partitionBy("qlabel").orderBy(F.desc("s"), F.asc("dlabel"))
+    return (scored.select("qlabel", "dlabel", "n_matched_query_vecs",
+                          F.round("s", 6).alias("maxsim_score"),
+                          F.row_number().over(w).alias("rank")))
+
+
 @register("llm_contrastive_triplets", f"""
 WITH a AS (SELECT vec_id AS anchor_id, embedding AS av,
                   label AS alabel
