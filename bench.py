@@ -226,18 +226,32 @@ def main() -> None:
             out["sf1"] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # raw per-pass timings: sidecar file, NOT stdout (see module
-    # docstring -- the driver keeps only a ~2KB stdout tail).
+    # docstring -- the driver keeps only a ~2KB stdout tail).  The
+    # sidecar embeds the run's headline value + calibration stamp so a
+    # consumer can verify the pass arrays belong to THIS printed line
+    # (a stale sidecar from an earlier run won't carry them); if the
+    # write fails, the line must not advertise a sidecar at all.
     here = os.path.dirname(os.path.abspath(__file__))
     try:
         with open(os.path.join(here, "bench_passes.json"), "w") as f:
             json.dump({"passes": passes, "sf1_passes": sf1_passes,
-                       "sf": out["sf"]}, f)
+                       "sf": out["sf"], "run_value": out["value"],
+                       "run_calibration": calibration}, f)
     except OSError:
-        pass  # read-only checkout: the compact line still has the MINs
+        del out["passes_file"]  # read-only checkout: no stale pairing
 
     # ONE compact JSON line (separators trimmed so the whole line fits
-    # the driver's tail window and parses outright).
-    print(json.dumps(out, separators=(",", ":")))
+    # the driver's tail window and parses outright).  The ~2KB tail
+    # window is the hard constraint this design exists for: warn the
+    # moment HEADLINE/SF1_HOT growth pushes the line near it, so the
+    # front-truncation bug cannot silently return.
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        print(f"WARNING: bench line is {len(line)} chars -- the "
+              "driver keeps only a ~2000-char stdout tail and will "
+              "front-truncate it; shrink HEADLINE/SF1_HOT or move "
+              "fields to the sidecar", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -146,6 +146,26 @@ class TestBenchCompareLoader:
         got = bench_compare.load_bench(self._write(tmp_path, doc))
         assert got["metric"] == "m"
 
+    def test_leading_name_fragment_dropped_in_regex_fallback(
+            self, tmp_path):
+        """A front cut landing mid-token can leave a name FRAGMENT
+        that still matches the pair regex (ADVICE round 7: '...df":
+        [2.1, 1.9]' from llm_tfidf yielding a bogus 'df' entry).  The
+        first match is only trusted when it sits on a '{'/',' object
+        boundary."""
+        tail = '"df": [2.1, 1.9], "g_mst": [5.2, 5.6]'
+        doc = {"tail": tail}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["queries"] == {"g_mst": 5.2}
+
+    def test_boundary_anchored_first_match_kept(self, tmp_path):
+        """The converse: a cut that lands cleanly between pairs keeps
+        the first intact pair (preceded by ',' from the lost one)."""
+        tail = '1.9], "q1": [1.2, 1.0], "g_mst": [5.2, 5.6]'
+        doc = {"tail": tail}
+        got = bench_compare.load_bench(self._write(tmp_path, doc))
+        assert got["queries"] == {"q1": 1.0, "g_mst": 5.2}
+
     def test_no_queries_anywhere_raises(self, tmp_path):
         doc = {"tail": "no json here at all"}
         import pytest

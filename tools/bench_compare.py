@@ -72,10 +72,19 @@ def load_bench(path: str) -> dict:
     if not found:
         # front-truncated mid-"passes": no balanced object survives,
         # but the per-query arrays after the cut are intact pairs.
-        pairs = re.findall(r'"([A-Za-z0-9_]+)": ?\[([0-9eE+\-., ]+)\]',
-                           tail[:main_region_end])
-        found = {q: [float(x) for x in arr.split(",")]
-                 for q, arr in pairs}
+        # The FIRST match is only trusted when its opening quote sits
+        # on an object boundary ('{' or ',' immediately before it) --
+        # a cut landing mid-token can otherwise leave a name FRAGMENT
+        # that still matches (e.g. '...df": [2.1, 1.9]' yielding a
+        # bogus 'df' entry that pollutes the compared subset).
+        region = tail[:main_region_end]
+        matches = list(re.finditer(
+            r'"([A-Za-z0-9_]+)": ?\[([0-9eE+\-., ]+)\]', region))
+        if matches and not region[:matches[0].start()].rstrip() \
+                .endswith(("{", ",")):
+            matches = matches[1:]
+        found = {m.group(1): [float(x) for x in m.group(2).split(",")]
+                 for m in matches}
     if found:
         return {"queries": {q: min(ts) for q, ts in found.items()},
                 "passes": found, "sf": doc.get("sf"),
