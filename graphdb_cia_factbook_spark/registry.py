@@ -95,42 +95,41 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 7 rotation (round 6 recorded 50/50 green; cumulative
-    # official coverage 247/348, zero latest-record reds).  This
-    # round leads with the ANN / retrieval / semantic-dedup block --
-    # the largest never-recorded family and the north-star surface
-    # (BASELINE.json mandates similarity search) -- then the
-    # embedding-infrastructure entries, the multimodal trio, the
-    # streaming stragglers, and the sketch/statistics aggs (including
-    # the two freshly rewritten scale-safe plans, so their new
-    # implementations get official rows, not just replica green).
-    # All 50 passed the strict tools/hash_parity.py sweep (sf0.01 +
-    # sf0.1, plus --vanilla) before this rotation was committed.
-    # ANN / similarity / retrieval (16)
-    "llm_ann_pq", "llm_ann_lsh", "llm_ann_hamming", "llm_ann_rerank",
-    "llm_bm25", "llm_mmr_rerank", "llm_rank_fusion", "llm_mrl_recall",
-    "llm_knn_ivf", "llm_mutual_knn", "llm_knn_confusion",
-    "llm_maxsim_late_interaction", "llm_dsir_weights",
-    "llm_query_expansion", "llm_prefix_join", "llm_class_centroids",
-    # semantic / fingerprint dedup family (10)
-    "llm_semantic_dedup", "llm_semantic_decontaminate", "llm_simhash",
-    "llm_winnow_fingerprint", "llm_block_dedup", "llm_dedup_keep_best",
-    "llm_neardup_distance_audit", "llm_dedup_savings",
-    "llm_dedup_threshold_sweep", "llm_minhash_estimate_audit",
-    # embedding infrastructure (5)
-    "llm_pca_power", "llm_pca_project", "llm_random_projection",
-    "llm_quantile_normalize", "llm_bigram_novelty",
-    # text-analysis stragglers (3)
-    "llm_pmi_keywords", "llm_naive_bayes", "llm_quality",
-    # multimodal trio (3)
-    "mm_wav_meta", "mm_tile_manifest", "mm_audio_windows",
-    # streaming stragglers (6)
-    "st_doc_curation", "st_session_paths", "st_topk_per_window",
-    "st_disorder", "st_alert_debounce", "st_static_enrich",
-    # sketch / statistics aggs, incl. the round-7 plan rewrites (7)
-    "agg_hll_custom", "agg_bloom_custom", "agg_mode",
-    "agg_percentile_disc", "agg_equidepth_histogram",
-    "agg_share_of_parent", "agg_trend_slope",
+    # ROUND 8 rotation (round 7 recorded 49/50 green; cumulative
+    # official coverage 297/348).  Leads with the round's two
+    # behavior-bearing entries: llm_quantile_normalize (round 7's
+    # only scoreboard red -- the driver checker crashed on its raw
+    # ArrayType column, now reshaped to exploded scalar rows) and
+    # llm_maxsim_bucketed (new: the sign-LSH-pruned MaxSim the exact
+    # entry's docstring promised, sf10-receipted).  The other 48 are
+    # the alphabetically-first never-recorded entries -- the
+    # training-data-ops tail (curriculum / packing / sampling /
+    # PII / token statistics), ML-eval, and infra round-trips --
+    # leaving exactly three (s5_compaction_roundtrip,
+    # s_schema_evolution, st_stream_join_outer) for the round-9
+    # mop-up that closes full-registry official coverage.
+    # All 50 passed the strict tools/hash_parity.py sweep at sf0.01
+    # AND sf0.1 AND --vanilla (150/150) before this rotation was
+    # committed.
+    "llm_quantile_normalize", "llm_maxsim_bucketed",
+    "f_text_fold", "funnel_time_to_convert", "llm_ablation_subsets",
+    "llm_bigram_lm", "llm_bitext_mining", "llm_blocklist_filter",
+    "llm_budget_fill", "llm_char_ppl", "llm_chars_per_token",
+    "llm_chunk_overlap", "llm_contrastive_triplets",
+    "llm_curriculum_order", "llm_dataset_card", "llm_epoch_shuffle",
+    "llm_feature_hashing", "llm_hard_negatives",
+    "llm_interleave_mixture", "llm_label_balance",
+    "llm_lang_consistency", "llm_lang_mismatch",
+    "llm_langid_confidence", "llm_length_buckets",
+    "llm_mixture_weights", "llm_negative_sampling", "llm_oov_rate",
+    "llm_pii_scrub", "llm_quota_allocate", "llm_resume_skip",
+    "llm_sft_pairs", "llm_shard_manifest", "llm_source_drift_tvd",
+    "llm_source_overlap", "llm_template_cluster",
+    "llm_term_burstiness", "llm_token_entropy", "llm_token_rarity",
+    "llm_train_val_test", "llm_vocab_coverage", "llm_weighted_sample",
+    "ml_calibration", "ml_classifier_report", "ml_cohens_kappa",
+    "mv_incremental_refresh", "rel_abc_analysis", "rel_date_spine",
+    "s1_jsonl_source", "s3_clustered_write", "s3_csv_roundtrip",
 ]
 
 
