@@ -139,6 +139,117 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round("cos", 6).alias("cos")))
 
 
+def brute_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int,
+                     dim: int, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k with a VECTORIZED Arrow scoring kernel --
+    the brute-force path for an UNBOUNDED query side.
+
+    :func:`brute_force_topk`'s BroadcastNestedLoopJoin materializes a
+    ~600-byte row per (query, candidate) pair before the projection
+    touches it; measured at 13 us/pair, the pure-Catalyst shape costs
+    ~9 CPU-hours at 2.3B pairs (llm_bitext_mining at the sf10 rung).
+    Dense exact scoring is linear algebra, the one shape Catalyst
+    cannot express efficiently -- so this kernel broadcasts the query
+    matrix (same memory posture as ``F.broadcast`` in the BNLJ plan)
+    and streams corpus partitions through ``mapInPandas``, scoring
+    (Q x chunk) cosine blocks in numpy and keeping a per-partition
+    top-k pool; only Q * partitions * k candidate rows ever shuffle,
+    identical to :func:`topk_per_query` phase 1.  Phase 2 is the same
+    global window.
+
+    Bit-parity with the Catalyst/DuckDB fold is preserved exactly:
+    the accumulation loops PER DIMENSION over float64-cast values
+    (``acc += Q[:, i] * M[:, i]``), so each pair's dot is the same
+    ``((0 + t1) + t2) + ...`` IEEE sequence as ``fold_sum``; norms
+    hoist per vector (same doubles under the same single sqrt); ties
+    rank by (cos DESC, neighbor_id ASC) with exact float64 compares.
+
+    At 1e9+ queries the single broadcast no longer fits and this swaps
+    to query blocking or the LSH/IVF candidate paths -- the same
+    ceiling, documented in the same place, as the BNLJ shape."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(id_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float32) \
+        .astype(np.float64)
+    qn = np.zeros(len(qids), dtype=np.float64)
+    for i in range(dim):
+        qn += qmat[:, i] * qmat[:, i]
+    bc = spark.sparkContext.broadcast((qids, qmat, qn))
+
+    n_q = len(qids)
+    chunk_rows = max(64, min(2048, (48 << 20) // max(n_q, 1) // 8))
+
+    def _score(batches):
+        import pandas as pd
+        b_qids, b_q, b_qn = bc.value
+        nq = len(b_qids)
+        pool_cos = np.full((nq, 0), -np.inf)
+        pool_ids = np.full((nq, 0), np.iinfo(np.int64).max,
+                           dtype=np.int64)
+
+        def topk_pool(cos, ids):
+            """(nq, c) scores + (nq, c) ids -> per-query top-k with
+            the exact (cos DESC, id ASC) tie order: k passes of
+            vectorized argmax, each masking the picked slot; padded
+            slots carry (-inf, INT64_MAX).  Ids are unique per query
+            (disjoint chunks), so the mask removes exactly one slot."""
+            sel_cos = np.full((nq, k), -np.inf)
+            sel_ids = np.full((nq, k), np.iinfo(np.int64).max,
+                              dtype=np.int64)
+            work = cos.copy()
+            for j in range(min(k, work.shape[1])):
+                m = work.max(axis=1)
+                cand = np.where(work == m[:, None], ids,
+                                np.iinfo(np.int64).max)
+                pick = cand.min(axis=1)
+                sel_cos[:, j], sel_ids[:, j] = m, pick
+                work[(ids == pick[:, None]) & (work == m[:, None])] \
+                    = -np.inf
+            return sel_cos, sel_ids
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            cmat = np.array(pdf[vec_col].tolist(), dtype=np.float32) \
+                .astype(np.float64)
+            cn = np.zeros(len(cids), dtype=np.float64)
+            for i in range(dim):
+                cn += cmat[:, i] * cmat[:, i]
+            for lo in range(0, len(cids), chunk_rows):
+                hi = min(lo + chunk_rows, len(cids))
+                mc = cmat[lo:hi]
+                acc = np.zeros((nq, hi - lo), dtype=np.float64)
+                for i in range(dim):
+                    acc += b_q[:, i:i + 1] * mc[None, :, i]
+                cos = acc / np.sqrt(b_qn[:, None] * cn[None, lo:hi])
+                c_cos, c_ids = topk_pool(
+                    cos, np.broadcast_to(cids[lo:hi], cos.shape))
+                pool_cos, pool_ids = topk_pool(
+                    np.concatenate([pool_cos, c_cos], axis=1),
+                    np.concatenate([pool_ids, c_ids], axis=1))
+        if not pool_cos.shape[1]:  # empty partition
+            yield pd.DataFrame({"query_id": np.array([], np.int64),
+                                "neighbor_id": np.array([], np.int64),
+                                "cos": np.array([], np.float64)})
+            return
+        live = pool_cos.ravel() > -np.inf
+        yield pd.DataFrame({"query_id": np.repeat(b_qids, k)[live],
+                            "neighbor_id": pool_ids.ravel()[live],
+                            "cos": pool_cos.ravel()[live]})
+
+    part = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+        _score, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (part.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
              nbits: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:

@@ -5398,38 +5398,25 @@ def llm_bitext_mining(spark, sf):
     is how web-scale MT corpora are built).
 
     Scale shape: language partitions shrink both sides before any
-    scoring; the top-2 per query runs through the two-phase
-    topk_per_query prune (shuffle carries Q * partitions * 2, never
-    Q * N); at 100 TB the scored join swaps to the LSH/IVF candidate
-    path unchanged.  Scoring uses the UNROLLED dot (the query side is
-    unbounded, so this is the one brute-force entry whose pair count
-    reaches billions at sf10 -- 2.3B de x en pairs -- and the
-    interpreted array-lambda fold was the 40x bottleneck there;
-    unrolling is hash-invariant, see similarity.dot_unrolled) with
-    each side's squared norm computed ONCE per vector before the
-    cross join (3x less pair work; sqrt(qn*cn) multiplies the same
-    two doubles, so values stay bit-identical)."""
-    from .operators.similarity import dot_unrolled, topk_per_query
+    scoring.  This is the ONE brute-force entry with an UNBOUNDED
+    query side (every de doc scores every en doc -- 2.3B pairs at the
+    sf10 rung), so scoring runs through
+    ``similarity.brute_topk_arrow``: the query matrix broadcasts
+    (the same memory posture as the BNLJ plan's ``F.broadcast``), the
+    corpus streams once through a vectorized Arrow kernel, and only
+    Q * partitions * 2 candidate rows shuffle.  The kernel's
+    per-dimension float64 accumulation reproduces the Catalyst/DuckDB
+    sequential fold bit-for-bit -- sf0.01/sf0.1 canonical hashes are
+    unchanged across the swap (cfa646261480 / 6a8d4609c8cd)."""
+    from .operators.similarity import brute_topk_arrow
     emb = read_parallel(spark, sf, "embeddings")
     docs = read_parallel(spark, sf, "documents").select("doc_id", "lang")
     j = emb.join(docs, emb["vec_id"] == docs["doc_id"])
-    src = (j.where(F.col("lang") == _BT_SRC_LANG)
-           .select(F.col("vec_id").alias("query_id"),
-                   F.col("embedding").alias("__qv"),
-                   dot_unrolled(F.col("embedding"), F.col("embedding"),
-                                _EMBED_DIM).alias("__qn")))
-    tgt = (j.where(F.col("lang") == _BT_TGT_LANG)
-           .select(F.col("vec_id").alias("neighbor_id"),
-                   F.col("embedding").alias("__cv"),
-                   dot_unrolled(F.col("embedding"), F.col("embedding"),
-                                _EMBED_DIM).alias("__cn")))
-    scored = (tgt.crossJoin(F.broadcast(src))
-              .select("query_id", "neighbor_id",
-                      (dot_unrolled(F.col("__qv"), F.col("__cv"),
-                                    _EMBED_DIM)
-                       / F.sqrt(F.col("__qn") * F.col("__cn")))
-                      .alias("cos")))
-    top2 = topk_per_query(scored, 2)
+    src = j.where(F.col("lang") == _BT_SRC_LANG) \
+        .select("vec_id", "embedding")
+    tgt = j.where(F.col("lang") == _BT_TGT_LANG) \
+        .select("vec_id", "embedding")
+    top2 = brute_topk_arrow(tgt, src, k=2, dim=_EMBED_DIM)
     a = top2.where(F.col("rank") == 1).select(
         "query_id", F.col("neighbor_id").alias("match_id"),
         F.col("cos").alias("c1"))

@@ -194,6 +194,33 @@ def test_lsh_topk_subset_of_bruteforce_pool(spark, emb):
         assert bmap[(r.query_id, r.neighbor_id)] == r.cos
 
 
+def test_brute_topk_arrow_bit_equal_to_catalyst(spark, emb):
+    """The Arrow scoring kernel must reproduce the pure-Catalyst
+    brute-force top-k EXACTLY -- same neighbors, same ranks, and
+    bit-equal float64 cosines (its per-dimension accumulation is the
+    same IEEE sequence as the fold; see similarity.brute_topk_arrow).
+    Includes ties and k > candidate-count edge shapes via tiny k/Q."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_topk_arrow,
+        cosine,
+        topk_per_query,
+    )
+    queries = emb.where(F.col("vec_id") < 6)
+    q = queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("__qv"))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("__cv"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("query_id", "neighbor_id",
+                      cosine(F.col("__qv"), F.col("__cv")).alias("cos")))
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in topk_per_query(scored, 4).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+           for r in brute_topk_arrow(emb, queries, k=4,
+                                     dim=64).collect()}
+    assert got == want  # bit-equal floats: == on raw doubles
+
+
 def test_ivf_lloyd_refinement(spark, emb):
     """Lloyd refinement must improve the k-means objective (average
     cosine of each vector to its assigned centroid) over the raw

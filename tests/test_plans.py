@@ -86,7 +86,10 @@ def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
             continue
         plan = plan_of(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, name
-        if not name.startswith("mm_"):
+        # the Arrow whitelist: multimodal decode (mm_*) and the dense
+        # exact-scoring kernel (similarity.brute_topk_arrow -- see its
+        # docstring for why Catalyst cannot express a 2.3B-pair GEMM)
+        if not name.startswith("mm_") and name != "llm_bitext_mining":
             assert "MapInPandas" not in plan, name
         # a true cartesian (non-broadcast cross product) is never the
         # plan you want at 100 TB -- every deliberate cross join in
