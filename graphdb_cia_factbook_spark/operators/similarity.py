@@ -166,19 +166,68 @@ def brute_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int,
     rank by (cos DESC, neighbor_id ASC) with exact float64 compares.
 
     At 1e9+ queries the single broadcast no longer fits and this swaps
-    to query blocking or the LSH/IVF candidate paths -- the same
-    ceiling, documented in the same place, as the BNLJ shape."""
-    import numpy as np
+    to :func:`brute_topk_arrow_blocked` (bounded query blocks,
+    sequentially materialized) or the LSH/IVF candidate paths -- the
+    same ceiling, documented in the same place, as the BNLJ shape.
 
+    EAGER-CONSTRUCTION NOTE (sweep tooling): the query-side collect
+    and the broadcast creation run when this function is CALLED, not
+    when the returned DataFrame is evaluated -- a registry sweep that
+    builds many entries before acting fires one small job per call.
+    The broadcast is registered with :func:`session.track_broadcast`
+    so ``session.clear_scratch`` releases executor copies between
+    logically independent queries (the driver copy frees with the
+    DataFrame's closure at gc)."""
     spark = corpus.sparkSession
     qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], schema="query_id long, neighbor_id long, cos double, "
+                       "rank integer")
+    qids, qmat, qn = _query_matrix(qrows, dim)
+    part, _ = _arrow_phase1(corpus, qids, qmat, qn, k, dim,
+                            id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
+                                               F.asc("neighbor_id"))
+    return (part.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))
+
+
+def _query_matrix(qrows, dim: int):
+    """Collected query rows -> (ids, float64 matrix, squared norms).
+
+    Fails fast on a zero-norm query vector: cosine is undefined there,
+    and the numpy kernel (NaN, silently dropped by the ``> -inf``
+    pool filter) and the Catalyst fold (NULL cos, kept by the window)
+    would otherwise DIVERGE silently on degenerate data."""
+    import numpy as np
+
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
-    qmat = np.array([r[1] for r in qrows], dtype=np.float32) \
-        .astype(np.float64)
+    qmat = (np.array([r[1] for r in qrows], dtype=np.float32)
+            .astype(np.float64).reshape(len(qids), dim))
     qn = np.zeros(len(qids), dtype=np.float64)
     for i in range(dim):
         qn += qmat[:, i] * qmat[:, i]
-    bc = spark.sparkContext.broadcast((qids, qmat, qn))
+    if np.any(qn == 0.0):
+        raise ValueError(
+            "brute_topk_arrow: zero-norm query vector (cosine "
+            "undefined); filter degenerate vectors upstream")
+    return qids, qmat, qn
+
+
+def _arrow_phase1(corpus: DataFrame, qids, qmat, qn, k: int, dim: int,
+                  id_col: str, vec_col: str):
+    """Phase-1 scoring: broadcast one query block, stream corpus
+    partitions through the vectorized kernel, emit each partition's
+    per-query top-k candidates (Q * partitions * k rows max).
+    Returns (candidates DataFrame, broadcast handle) so callers that
+    materialize eagerly can unpersist the block immediately."""
+    import numpy as np
+
+    from ..session import track_broadcast
+
+    spark = corpus.sparkSession
+    bc = track_broadcast(spark.sparkContext.broadcast((qids, qmat, qn)))
 
     n_q = len(qids)
     chunk_rows = max(64, min(2048, (48 << 20) // max(n_q, 1) // 8))
@@ -220,6 +269,11 @@ def brute_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int,
             cn = np.zeros(len(cids), dtype=np.float64)
             for i in range(dim):
                 cn += cmat[:, i] * cmat[:, i]
+            if np.any(cn == 0.0):
+                raise ValueError(
+                    "brute_topk_arrow: zero-norm corpus vector "
+                    "(cosine undefined); filter degenerate vectors "
+                    "upstream")
             for lo in range(0, len(cids), chunk_rows):
                 hi = min(lo + chunk_rows, len(cids))
                 mc = cmat[lo:hi]
@@ -244,9 +298,72 @@ def brute_topk_arrow(corpus: DataFrame, queries: DataFrame, k: int,
 
     part = corpus.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         _score, schema="query_id long, neighbor_id long, cos double")
+    return part, bc
+
+
+def brute_topk_arrow_blocked(corpus: DataFrame, queries: DataFrame,
+                             k: int, dim: int, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             block_rows: int = 262_144,
+                             scratch_dir: str | None = None) -> DataFrame:
+    """:func:`brute_topk_arrow` without the single-collect ceiling:
+    the query side streams through the driver in BOUNDED blocks.
+
+    Queries are assigned to ``ceil(Q / block_rows)`` hash blocks
+    (md5-keyed, balanced in expectation -- no global window, so block
+    assignment itself is scan-side), and blocks are processed
+    SEQUENTIALLY: collect one block, broadcast it, score the corpus
+    with the same bit-exact kernel, materialize that block's
+    Q_blk * partitions * k phase-1 candidates to parquet, unpersist
+    the broadcast, move on.  Peak driver + executor broadcast memory
+    is ONE block regardless of Q; parquet round-trips float64 exactly,
+    and phase 2 (the global per-query window) runs over the unioned
+    candidates -- per-query independence makes the result identical
+    to the all-at-once kernel (pytest pins bit-equality, tie order
+    included).
+
+    The sequential materialization is deliberately EAGER (each block
+    is a job at call time): laziness would keep every block's
+    broadcast alive simultaneously, which is exactly the ceiling this
+    variant removes.  Corpus scans per block are the price; at the
+    1e9-query scale where this path engages, Q dominates N or the
+    LSH/IVF candidate paths apply instead."""
+    import math
+    import uuid
+
+    spark = corpus.sparkSession
+    n_q = queries.select(id_col).count()
+    if n_q == 0:
+        return spark.createDataFrame(
+            [], schema="query_id long, neighbor_id long, cos double, "
+                       "rank integer")
+    n_blocks = max(1, math.ceil(n_q / block_rows))
+    out = (scratch_dir or "/root/repo/scratch") \
+        + f"/topk_blocks_{uuid.uuid4().hex[:12]}"
+    q = queries.select(id_col, vec_col)
+    if n_blocks == 1:
+        blocks = [q]
+    else:
+        blk = F.pmod(F.conv(F.substring(
+            F.md5(F.col(id_col).cast("string")), 1, 14), 16, 10)
+            .cast("long"), F.lit(n_blocks))
+        q = q.withColumn("__blk", blk)
+        blocks = [q.where(F.col("__blk") == b).drop("__blk")
+                  for b in range(n_blocks)]
+    for b, qb in enumerate(blocks):
+        qrows = qb.collect()
+        if not qrows:
+            continue
+        qids, qmat, qn = _query_matrix(qrows, dim)
+        part, bc = _arrow_phase1(corpus, qids, qmat, qn, k, dim,
+                                 id_col, vec_col)
+        part.write.mode("append").parquet(out)
+        bc.unpersist(blocking=False)
+    cand = spark.read.schema(
+        "query_id long, neighbor_id long, cos double").parquet(out)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
                                                F.asc("neighbor_id"))
-    return (part.withColumn("rank", F.row_number().over(w))
+    return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k))
 
 

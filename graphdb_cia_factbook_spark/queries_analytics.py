@@ -348,7 +348,9 @@ def er_golden_record(spark, sf):
     """Entity resolution end to end: plant deterministic dirty
     variants (every 10th customer re-enters with a '~'-suffixed name),
     BLOCK on a name substring so the pair space is per-block bounded
-    (never corpus x corpus), match with edit-distance <= 1 plus a
+    (never corpus x corpus, and hot blocks above ``max_block_size``
+    are excluded from enumeration -- the repo-wide quadratic guard),
+    match with edit-distance <= 1 plus a
     length-differs guard (so equally-long sibling customers never
     merge), resolve transitive clusters on the pair graph only
     (reusing the fuzzy-dedup component machinery), and emit one GOLDEN
@@ -367,15 +369,34 @@ def er_golden_record(spark, sf):
                        F.lit(0.0).alias("acctbal")))
     dirty = base.unionByName(planted)
     blocked = dirty.withColumn("blk", F.substring("name", 10, 8))
-    a = blocked.select(F.col("rid").alias("id_a"),
-                       F.col("name").alias("__na"), "blk")
-    b = blocked.select(F.col("rid").alias("id_b"),
-                       F.col("name").alias("__nb"), "blk")
-    pairs = (a.join(b, "blk")
-             .where((F.col("id_a") < F.col("id_b"))
-                    & (F.length("__na") != F.length("__nb"))
-                    & (F.levenshtein("__na", "__nb") <= 1))
-             .select("id_a", "id_b"))
+    # In-block candidate pairs via ONE groupBy (the
+    # lsh_candidate_pairs shape, operators/dedup.py): members collect
+    # sorted by rid so enumeration emits each unordered pair once with
+    # id_a < id_b, the cheap length-differs guard prunes INSIDE the
+    # lambda (before any row exists), and only survivors pay the
+    # levenshtein.  ``max_block_size`` is the hot-block cap every
+    # other pair-generating op in the repo already carries: a block of
+    # m members costs m^2/2 pair structs in one task, so blocks above
+    # the cap are EXCLUDED from enumeration (a hot name-block at
+    # customer-base scale is boilerplate -- route it to exact dedup
+    # first, the documented LSH-cap contract).  Every verified rung
+    # (sf0.01/sf0.1/sf1/sf10: block sizes <= ~100) sits far under the
+    # cap, so capped and uncapped results are identical there.
+    max_block_size = 10_000
+    blocks = (blocked.groupBy("blk")
+              .agg(F.array_sort(F.collect_list(
+                   F.struct(F.col("rid"), F.col("name")))).alias("ms"))
+              .where((F.size("ms") > 1)
+                     & (F.size("ms") <= max_block_size)))
+    cand = blocks.select(F.explode(F.expr(
+        "flatten(transform(ms, (x, i) -> "
+        "filter(transform(slice(ms, i + 2, size(ms)), y -> "
+        "struct(x.rid AS id_a, y.rid AS id_b, "
+        "x.name AS na, y.name AS nb)), "
+        "p -> length(p.na) <> length(p.nb))))")).alias("p"))
+    pairs = (cand.where(F.levenshtein(F.col("p.na"), F.col("p.nb")) <= 1)
+             .select(F.col("p.id_a").alias("id_a"),
+                     F.col("p.id_b").alias("id_b")))
     clusters = dedup_clusters(dirty.select(F.col("rid").alias("doc_id")),
                               pairs, id_col="doc_id")
     resolved = (dirty.join(clusters.select(F.col("doc_id").alias("rid"),

@@ -5407,7 +5407,14 @@ def llm_bitext_mining(spark, sf):
     Q * partitions * 2 candidate rows shuffle.  The kernel's
     per-dimension float64 accumulation reproduces the Catalyst/DuckDB
     sequential fold bit-for-bit -- sf0.01/sf0.1 canonical hashes are
-    unchanged across the swap (cfa646261480 / 6a8d4609c8cd)."""
+    unchanged across the swap (cfa646261480 / 6a8d4609c8cd).
+
+    Construction is EAGER (the kernel collects the query side and
+    creates its broadcast when this entry is BUILT); sweep tooling
+    releases the broadcast via ``session.clear_scratch`` between
+    entries.  Past ~1e9 queries the blocked kernel
+    (``similarity.brute_topk_arrow_blocked``, bit-identical, bounded
+    driver memory) replaces the single collect."""
     from .operators.similarity import brute_topk_arrow
     emb = read_parallel(spark, sf, "embeddings")
     docs = read_parallel(spark, sf, "documents").select("doc_id", "lang")

@@ -95,41 +95,37 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 8 rotation (round 7 recorded 49/50 green; cumulative
-    # official coverage 297/348).  Leads with the round's two
-    # behavior-bearing entries: llm_quantile_normalize (round 7's
-    # only scoreboard red -- the driver checker crashed on its raw
-    # ArrayType column, now reshaped to exploded scalar rows) and
-    # llm_maxsim_bucketed (new: the sign-LSH-pruned MaxSim the exact
-    # entry's docstring promised, sf10-receipted).  The other 48 are
-    # the alphabetically-first never-recorded entries -- the
-    # training-data-ops tail (curriculum / packing / sampling /
-    # PII / token statistics), ML-eval, and infra round-trips --
-    # leaving exactly three (s5_compaction_roundtrip,
-    # s_schema_evolution, st_stream_join_outer) for the round-9
-    # mop-up that closes full-registry official coverage.
-    # All 50 passed the strict tools/hash_parity.py sweep at sf0.01
-    # AND sf0.1 AND --vanilla (150/150) before this rotation was
-    # committed.
-    "llm_quantile_normalize", "llm_maxsim_bucketed",
-    "f_text_fold", "funnel_time_to_convert", "llm_ablation_subsets",
-    "llm_bigram_lm", "llm_bitext_mining", "llm_blocklist_filter",
-    "llm_budget_fill", "llm_char_ppl", "llm_chars_per_token",
-    "llm_chunk_overlap", "llm_contrastive_triplets",
-    "llm_curriculum_order", "llm_dataset_card", "llm_epoch_shuffle",
-    "llm_feature_hashing", "llm_hard_negatives",
-    "llm_interleave_mixture", "llm_label_balance",
-    "llm_lang_consistency", "llm_lang_mismatch",
-    "llm_langid_confidence", "llm_length_buckets",
-    "llm_mixture_weights", "llm_negative_sampling", "llm_oov_rate",
-    "llm_pii_scrub", "llm_quota_allocate", "llm_resume_skip",
-    "llm_sft_pairs", "llm_shard_manifest", "llm_source_drift_tvd",
-    "llm_source_overlap", "llm_template_cluster",
-    "llm_term_burstiness", "llm_token_entropy", "llm_token_rarity",
-    "llm_train_val_test", "llm_vocab_coverage", "llm_weighted_sample",
-    "ml_calibration", "ml_classifier_report", "ml_cohens_kappa",
-    "mv_incremental_refresh", "rel_abc_analysis", "rel_date_spine",
-    "s1_jsonl_source", "s3_clustered_write", "s3_csv_roundtrip",
+    # ROUND 9 rotation (round 8 recorded 50/50 green; cumulative
+    # official coverage 346/349).  Leads with the ONLY three registry
+    # entries never recorded in any CORRECTNESS_rN.json --
+    # s5_compaction_roundtrip, s_schema_evolution,
+    # st_stream_join_outer, all three already strict-green at
+    # sf0.01/sf0.1/sf10 (SCALE.md round 8) -- closing full-registry
+    # official coverage at 349/349.  Slot 4 is er_golden_record,
+    # re-recorded because round 9 adds the hot-block cap to its
+    # blocking join (hash-invariant at gate scale; the official row
+    # certifies that).  The remaining 46 are the highest-value
+    # re-records: the full bench headline set (whose r1/r2-era
+    # official rows predate the strict hash rule) plus three r1-era
+    # infra entries in the same position.
+    "s5_compaction_roundtrip", "s_schema_evolution",
+    "st_stream_join_outer", "er_golden_record",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "j2_chained_dims", "j4_derived_share",
+    "a1_latest_per_key", "w5_topk_per_group", "o1_top50_orders",
+    "j_asof_prior_purchase", "g1_pagerank", "g1_pagerank_weighted",
+    "g_top_partner", "g_triangles", "llm_exact_dedup",
+    "llm_minhash_lsh", "llm_ann_brute", "llm_ann_ivf", "llm_tfidf",
+    "st_tumbling", "st_session", "llm_span_dedup", "ts_ewma",
+    "q9_product_profit", "q21_waiting_suppliers", "llm_dsir_weights",
+    "g_link_prediction", "g_mst", "llm_mmr_rerank",
+    "hier_subtree_rollup", "ts_cusum", "llm_pack_sequences",
+    "q8_market_share", "dq_psi", "agg_skyline",
+    "llm_curation_pipeline", "llm_retrieval_eval",
+    "q12_priority_by_status", "llm_incremental_dedup",
+    "g_temporal_reachability", "ts_rolling_median",
+    "llm_minhash_lsh_sharp", "g_betweenness", "a3_distinct_values",
+    "s2_typed_scan", "f1_parse_currency", "p1_filter_in_skip",
 ]
 
 

@@ -58,6 +58,20 @@ def get_spark(app_name: str = "graphdb_cia_factbook_spark",
     return spark
 
 
+#: Broadcast variables created by operators (the Arrow top-k query
+#: blocks) register here so ``clear_scratch`` can release executor
+#: copies between logically independent queries -- otherwise repeated
+#: registry sweeps in one session accumulate broadcast memory.
+_TRACKED_BROADCASTS: list = []
+
+
+def track_broadcast(bc):
+    """Register an operator-created broadcast for release by
+    :func:`clear_scratch`.  Returns ``bc`` unchanged."""
+    _TRACKED_BROADCASTS.append(bc)
+    return bc
+
+
 def clear_scratch(spark: SparkSession) -> int:
     """Drop all persisted/checkpointed RDD blocks and cached plans.
 
@@ -79,5 +93,12 @@ def clear_scratch(spark: SparkSession) -> int:
     for rid in ids:
         jrdds.get(rid).unpersist(True)
     spark.catalog.clearCache()
+    # non-blocking: a still-live DataFrame that references a tracked
+    # broadcast can lazily re-broadcast from the driver copy
+    while _TRACKED_BROADCASTS:
+        try:
+            _TRACKED_BROADCASTS.pop().unpersist(blocking=False)
+        except Exception:
+            pass
     gc.collect()
     return len(ids)

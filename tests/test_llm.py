@@ -221,6 +221,60 @@ def test_brute_topk_arrow_bit_equal_to_catalyst(spark, emb):
     assert got == want  # bit-equal floats: == on raw doubles
 
 
+def test_brute_topk_arrow_blocked_bit_equal(spark, emb, tmp_path):
+    """The query-blocked kernel (bounded driver memory) must equal the
+    all-at-once kernel EXACTLY when forced through multiple blocks:
+    per-query independence makes each block's phase-1 pool identical
+    to the all-at-once pool restricted to that block's queries, and
+    parquet round-trips float64 exactly, so the same phase-2 window
+    sees bit-identical input."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_topk_arrow,
+        brute_topk_arrow_blocked,
+    )
+    queries = emb.where(F.col("vec_id") < 24)
+    want = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+            for r in brute_topk_arrow(emb, queries, k=3,
+                                      dim=64).collect()}
+    got = {(r.query_id, r.rank): (r.neighbor_id, r.cos)
+           for r in brute_topk_arrow_blocked(
+               emb, queries, k=3, dim=64, block_rows=7,
+               scratch_dir=str(tmp_path)).collect()}
+    assert got == want  # bit-equal floats: == on raw doubles
+
+
+def test_brute_topk_arrow_empty_query_side(spark, emb, tmp_path):
+    """Zero queries must return an empty frame with the declared
+    schema, not crash on a 1-D (0,) numpy matrix (ADVICE round 8)."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_topk_arrow,
+        brute_topk_arrow_blocked,
+    )
+    none = emb.where(F.col("vec_id") < 0)
+    out = brute_topk_arrow(emb, none, k=3, dim=64)
+    assert out.columns == ["query_id", "neighbor_id", "cos", "rank"]
+    assert out.count() == 0
+    out2 = brute_topk_arrow_blocked(emb, none, k=3, dim=64,
+                                    scratch_dir=str(tmp_path))
+    assert out2.columns == out.columns and out2.count() == 0
+
+
+def test_brute_topk_arrow_zero_norm_fails_fast(spark, emb):
+    """A zero-norm query vector must raise loudly at construction:
+    numpy would produce NaN cosines (silently dropped by the pool
+    filter) while the Catalyst fold keeps NULL-cos rows -- a silent
+    divergence on degenerate data (ADVICE round 8)."""
+    import pytest
+
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_topk_arrow,
+    )
+    zero = spark.createDataFrame(
+        [(999999, [0.0] * 64)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="zero-norm"):
+        brute_topk_arrow(emb, zero, k=3, dim=64)
+
+
 def test_ivf_lloyd_refinement(spark, emb):
     """Lloyd refinement must improve the k-means objective (average
     cosine of each vector to its assigned centroid) over the raw

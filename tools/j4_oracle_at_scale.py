@@ -83,8 +83,12 @@ FROM ({oracle}) q""").fetchone()
     print(f"duckdb: n={drow[0]} digest={drow[1]} "
           f"[{time.perf_counter() - t0:.1f}s]")
 
+    # SUM over 0 rows is NULL on both engines: compare None-ness
+    # first so an empty side reports MISMATCH instead of crashing
+    # (same contract as checksum_oracle_at_scale.py)
     ok = int(srow["n"]) == int(drow[0]) and \
-        int(srow["digest"]) == int(drow[1])
+        (srow["digest"] is None) == (drow[1] is None) and \
+        (srow["digest"] is None or int(srow["digest"]) == int(drow[1]))
     print("MATCH" if ok else "MISMATCH")
     return 0 if ok else 1
 
