@@ -10,17 +10,24 @@ generalized: each engine reduces its own result to
 string))`` and only two 1-row aggregates ever cross to the driver.
 
 Cross-engine canonical formatting is guaranteed by REFUSING columns
-whose engine string forms can diverge: only integer, string, boolean,
-and date columns are accepted (int/bool/date render identically on
-both engines; j4's share double needed entry-specific flooring, which
-is why the float case stays in its own tool).  NULLs map to a
+whose engine string forms can diverge: integer, string, boolean, and
+date columns are accepted as-is (they render identically on both
+engines), timestamps canonicalize EXACTLY through epoch microseconds
+(``unix_micros`` / ``epoch_us`` -- session tz is UTC on both sides),
+and float/double columns are refused UNLESS ``--float-scale=N`` is
+passed, which canonicalizes them as ``floor(x * N)`` BIGINT on both
+engines (the j4 flooring pattern generalized: identical IEEE doubles
+give identical products and floors, so bit-equal values match and
+diverged values mismatch -- the receipt's granularity is 1/N and the
+flag records that choice in the receipt line).  NULLs map to a
 sentinel both sides; columns concatenate in sorted-name order.
 
 Self-validation: at sf0.01/sf0.1 the plain ``hash_parity.py`` gate is
 green for every registry entry, so digests agreeing there certifies
 the method before any big rung relies on it.
 
-Usage: python tools/checksum_oracle_at_scale.py sf_dir name [name...]
+Usage: python tools/checksum_oracle_at_scale.py [--float-scale=N]
+       sf_dir name [name...]
 """
 
 from __future__ import annotations
@@ -43,6 +50,10 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir, names = args[0], args[1:]
+    float_scale = None
+    for a in sys.argv[1:]:
+        if a.startswith("--float-scale="):
+            float_scale = float(a.split("=", 1)[1])
 
     import __spark_entry__ as entrymod
     from pyspark.sql import functions as F
@@ -57,21 +68,44 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
 
+    ts_types = {"timestamp", "timestamp_ntz"}
+    float_types = {"float", "double"}
+
+    def canon_pair(c: str, simple: str):
+        """(spark Column, duckdb expr) canonical forms for one column,
+        or None if the type has no cross-engine-exact form."""
+        if simple in OK_SPARK:
+            return (F.col(c).cast("string"), f"CAST({c} AS VARCHAR)")
+        if simple in ts_types:
+            # exact: epoch microseconds, both sessions UTC
+            return (F.unix_micros(F.col(c).cast("timestamp"))
+                    .cast("string"),
+                    f"CAST(epoch_us({c}) AS VARCHAR)")
+        if simple in float_types and float_scale is not None:
+            # opt-in flooring at 1/float_scale granularity: identical
+            # IEEE doubles -> identical products -> identical floors
+            return (F.floor(F.col(c).cast("double") * float_scale)
+                    .cast("long").cast("string"),
+                    f"CAST(CAST(floor(CAST({c} AS DOUBLE) * "
+                    f"{float_scale!r}) AS BIGINT) AS VARCHAR)")
+        return None
+
     n_ok = n_fail = 0
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        bad = [f"{f.name}:{f.dataType.simpleString()}"
-               for f in df.schema.fields
-               if f.dataType.simpleString() not in OK_SPARK]
+        simples = {f.name: f.dataType.simpleString()
+                   for f in df.schema.fields}
+        bad = [f"{c}:{s}" for c, s in simples.items()
+               if canon_pair(c, s) is None]
         if bad:
             print(f"SKIP  {name}: non-canonical column types {bad}")
             n_fail += 1
             continue
         cols = sorted(df.columns)
+        pairs = {c: canon_pair(c, simples[c]) for c in cols}
         row_str = F.concat_ws(US, *[
-            F.coalesce(F.col(c).cast("string"), F.lit(NULL))
-            for c in cols])
+            F.coalesce(pairs[c][0], F.lit(NULL)) for c in cols])
         digest = F.conv(F.substring(F.md5(row_str), 1, 12), 16, 10) \
             .cast("decimal(38,0)")
         srow = df.agg(F.count(F.lit(1)).alias("n"),
@@ -81,7 +115,7 @@ def main() -> int:
 
         t0 = time.perf_counter()
         dexpr = (" || '" + US + "' || ").join(
-            f"COALESCE(CAST({c} AS VARCHAR), '{NULL}')" for c in cols)
+            f"COALESCE({pairs[c][1]}, '{NULL}')" for c in cols)
         drow = con.execute(f"""
 SELECT COUNT(*),
        SUM(('0x' || substr(md5({dexpr}), 1, 12))::BIGINT::HUGEINT)
@@ -94,8 +128,12 @@ FROM ({oracles[name]}) q""").fetchone()
         tag = "OK   " if ok else "FAIL "
         n_ok += ok
         n_fail += not ok
+        scale_note = ""
+        if any(simples[c] in float_types for c in cols):
+            scale_note = f" float-scale={float_scale!r}"
         print(f"{tag} {name}: n={srow['n']} digest={srow['d']} "
-              f"[spark {ts:.1f}s / duckdb {td:.1f}s]", flush=True)
+              f"[spark {ts:.1f}s / duckdb {td:.1f}s]{scale_note}",
+              flush=True)
     print(f"{n_ok} ok, {n_fail} fail/skip")
     return 0 if n_fail == 0 else 1
 
