@@ -33,6 +33,13 @@ def dsum(col, scale: int = 4) -> Column:
     bit-stable across engines and cluster sizes -- required for the
     DuckDB oracle hash-match and good hygiene for any reproducible
     pipeline.  Result is cast back to double.
+
+    Cross-engine ceiling (round-9 agg_winsorized lesson): the final
+    decimal->double cast is correctly rounded on Spark (BigDecimal)
+    but goes through int128 on DuckDB, so once the SCALED sum
+    (``sum * 10^scale``) exceeds 2^53 the two engines can land one
+    ulp apart.  Consumers whose sums reach that magnitude should
+    round the result (or lower ``scale``) on both sides.
     """
     c = col if isinstance(col, Column) else F.col(col)
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")

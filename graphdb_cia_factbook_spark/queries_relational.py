@@ -803,11 +803,11 @@ SELECT l.l_returnflag,
        CAST(SUM(CASE WHEN l.l_extendedprice < c.p05
                      OR l.l_extendedprice > c.p95 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_clipped,
-       CAST(SUM(CAST(
+       ROUND(CAST(SUM(CAST(
          CASE WHEN l.l_extendedprice < c.p05 THEN c.p05
               WHEN l.l_extendedprice > c.p95 THEN c.p95
               ELSE l.l_extendedprice END AS DECIMAL(27,6)))
-         AS DOUBLE) / COUNT(*) AS winsorized_mean
+         AS DOUBLE) / COUNT(*), 6) AS winsorized_mean
 FROM lineitem l JOIN cuts c ON l.l_returnflag = c.l_returnflag
 GROUP BY l.l_returnflag
 """)
@@ -816,7 +816,15 @@ def agg_winsorized(spark, sf):
     (broadcast back as a tiny dim) clip the tails before a
     decimal-exact mean -- the outlier-robust aggregate monitoring
     pipelines use where a plain mean follows one corrupt row.  Two
-    passes; the clip compares identical doubles on both engines."""
+    passes; the clip compares identical doubles on both engines.
+
+    The mean rounds to 6 decimals (the anomaly_zscore posture): at the
+    sf10 rung the clipped sum's SCALED decimal exceeds 2^53, where
+    DuckDB's decimal->double cast converts through int128 and can land
+    one ulp off Spark's correctly-rounded BigDecimal conversion
+    (measured: 1061397464025.000000 -> 1061397464024.9999 vs ...25.0);
+    rounding the quotient absorbs that sub-1e-6 divergence on both
+    engines."""
     li = read_table(spark, sf, "lineitem").select("l_returnflag",
                                                   "l_extendedprice")
     cuts = (li.groupBy("l_returnflag")
@@ -831,8 +839,9 @@ def agg_winsorized(spark, sf):
             .groupBy("l_returnflag")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.sum(was_clipped.cast("int")).alias("n_clipped"),
-                 (F.sum(clipped.cast("decimal(27,6)")).cast("double")
-                  / F.count(F.lit(1))).alias("winsorized_mean")))
+                 F.round(F.sum(clipped.cast("decimal(27,6)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("winsorized_mean")))
 
 
 @register("s4_merge_into", """
