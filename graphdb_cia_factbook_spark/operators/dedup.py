@@ -241,27 +241,51 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
     """Brute n-gram Jaccard: all pairs sharing >= 1 sufficiently-rare
     shingle, exact Jaccard >= threshold over the FULL shingle sets.
 
-    The shingle-keyed self-join bounds the pair space to
+    Shingle-keyed candidate generation bounds the pair space to
     actually-overlapping docs (never a cross join), but a shingle
     appearing in m docs contributes m^2/2 candidate pairs -- one
     boilerplate phrase shared by 1M docs would alone materialize 5e11
     pairs.  ``max_shingle_df`` is the standard hot-shingle guard:
     shingles whose document frequency exceeds it are excluded from
     CANDIDATE GENERATION (scoring still uses every shingle), capping
-    the join at df_cap * |distinct shingles| pairs.  A high-Jaccard
+    the per-shingle contribution at df_cap^2/2 pairs.  A high-Jaccard
     pair is recalled unless ALL its shared shingles are
     boilerplate-common -- exactly the pairs near-dedup should not
-    merge anyway.  Prefer MinHash-LSH beyond ~10M docs."""
+    merge anyway.  Prefer MinHash-LSH beyond ~10M docs.
+
+    Scale shape (round-9 sf10 lesson): pairs enumerate from per-
+    shingle sorted doc arrays (the :func:`lsh_candidate_pairs` shape
+    -- ONE groupBy, arrays bounded by the df cap) instead of a
+    shingle-keyed self-join, and the stream DEDUPLICATES ON A
+    VOLUME-SIZED SHUFFLE: a dup-heavy corpus legitimately enumerates
+    billions of raw pairs (measured 3.54B at the sf10 rung, where
+    every doc has ~100 near-copies), and a distinct running on the
+    session's default partition count would hand each reducer a
+    hundred-million-row hash aggregate (measured: 48g-heap OOM at 32
+    partitions).  The exact raw-pair volume is knowable CHEAPLY
+    before enumeration -- ``sum(df^2/2)`` over the per-shingle counts
+    -- so the repartition width is computed from it (~4M pairs per
+    reducer), the same rows-per-partition contract as
+    ``graph._sized_partitions``, at any corpus size."""
     sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
-    rare = (sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_shingle_df)
-            .select("shingle"))
-    sh_cand = sh.join(rare, "shingle", "left_semi")
-    all_pairs = (sh_cand.withColumnRenamed(id_col, "id_a")
-                 .join(sh_cand.withColumnRenamed(id_col, "id_b"), "shingle")
-                 .where(F.col("id_a") < F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
+    buckets = (sh.groupBy("shingle")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .where((F.size("ids") > 1)
+                      & (F.size("ids") <= max_shingle_df)))
+    buckets = _hold(buckets)
+    # 1-row aggregate over bucket SIZES (cheap, runs before any pair
+    # exists) -- the same eager-at-construction posture as _hold
+    raw_pairs = (buckets
+                 .agg(F.sum(F.size("ids").cast("long")
+                            * (F.size("ids") - 1) / 2).alias("n"))
+                 .collect()[0]["n"]) or 0
+    n_part = max(32, min(4096, int(raw_pairs // 4_000_000) + 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+    all_pairs = (pairs.select("p.id_a", "p.id_b")
+                 .repartition(n_part, "id_a", "id_b").distinct())
     return (pair_jaccard(all_pairs, sh, id_col)
             .where(F.col("jaccard") >= threshold))
 
@@ -386,40 +410,59 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     cap, only recall of pairs whose EVERY shared fp is
     boilerplate-common is.
 
-    Scale shape: candidate pairs arise only from shared rare
-    fingerprints (equi-join on fp, bounded by max_fp_df^2 per fp);
-    sizes are doc-keyed aggregates; nothing quadratic materializes.
+    Scale shape (round-9 sf10 lesson, the ngram_jaccard_dedup twin):
+    candidate ORDERED pairs enumerate from per-fingerprint sorted doc
+    arrays (ONE groupBy, arrays bounded by the df cap) and dedupe on
+    a VOLUME-SIZED shuffle -- the raw ordered-pair volume
+    (``sum(df * (df-1))`` over the per-fp counts) is knowable cheaply
+    before enumeration, and a dup-heavy corpus legitimately reaches
+    billions of raw pairs where a session-default-partition distinct
+    hands each reducer a heap-breaking hash aggregate.  Scoring then
+    intersects per-doc FINGERPRINT SETS per candidate pair
+    (``fp`` is distinct per doc, so ``size(array_intersect)`` IS the
+    oracle's co-fp join count) -- linear in |candidates|, replacing
+    the second fp-keyed self-join that re-materialized the quadratic
+    (the round-5 pair_jaccard lesson applied to containment).
     Winnowing's guarantee (one shared fingerprint per shared
     window+k-1 token run) bounds what containment can miss."""
     from .text import winnow_fingerprints
     fp = _hold(winnow_fingerprints(df, id_col, text_col,
                                    k=k_shingle, window=window))
-    sizes = fp.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
-    rare = (fp.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .where(F.col("__df") <= max_fp_df)
-            .select("fp"))
-    fp_cand = fp.join(rare, "fp", "left_semi")
-    cand = _hold(fp_cand.select(F.col(id_col).alias("id_a"), "fp")
-                 .join(fp_cand.select(F.col(id_col).alias("id_b"), "fp"),
-                       "fp")
-                 .where(F.col("id_a") != F.col("id_b"))
-                 .select("id_a", "id_b").distinct())
+    buckets = (fp.groupBy("fp")
+               .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+               .where((F.size("ids") > 1)
+                      & (F.size("ids") <= max_fp_df)))
+    buckets = _hold(buckets)
+    raw_pairs = (buckets
+                 .agg(F.sum(F.size("ids").cast("long")
+                            * (F.size("ids") - 1)).alias("n"))
+                 .collect()[0]["n"]) or 0
+    n_part = max(32, min(4096, int(raw_pairs // 4_000_000) + 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, x -> "
+        "transform(filter(ids, y -> y <> x), "
+        "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
+    # cand feeds two branches (the doc prune and the scoring joins);
+    # hold it so the enumeration+distinct runs once
+    cand = _hold(pairs.select("p.id_a", "p.id_b")
+                 .repartition(n_part, "id_a", "id_b").distinct())
     cand_docs = (cand.select(F.col("id_a").alias(id_col))
                  .union(cand.select(F.col("id_b").alias(id_col)))
                  .distinct())
-    fp_sc = fp.join(F.broadcast(cand_docs), id_col, "left_semi")
-    shared = (fp_sc.select(F.col(id_col).alias("id_a"), "fp")
-              .join(fp_sc.select(F.col(id_col).alias("id_b"), "fp"), "fp")
-              .where(F.col("id_a") != F.col("id_b"))
-              .join(cand, ["id_a", "id_b"], "left_semi")
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("n_shared")))
-    return (shared
-            .join(sizes.withColumnRenamed(id_col, "id_a")
-                  .withColumnRenamed("n_fp", "n_fp_a"), "id_a")
+    fp_sets = (fp.join(F.broadcast(cand_docs), id_col, "left_semi")
+               .groupBy(id_col)
+               .agg(F.collect_set("fp").alias("fps")))
+    return (cand
+            .join(fp_sets.select(F.col(id_col).alias("id_a"),
+                                 F.col("fps").alias("__fa")), "id_a")
+            .join(fp_sets.select(F.col(id_col).alias("id_b"),
+                                 F.col("fps").alias("__fb")), "id_b")
+            .withColumn("n_shared",
+                        F.size(F.array_intersect("__fa", "__fb"))
+                        .cast("long"))
             .select("id_a", "id_b", "n_shared",
-                    (F.col("n_shared") / F.col("n_fp_a").cast("double"))
+                    (F.col("n_shared")
+                     / F.size("__fa").cast("double"))
                     .alias("containment"))
             .where(F.col("containment") >= min_containment))
 
