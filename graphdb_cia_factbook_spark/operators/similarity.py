@@ -432,6 +432,87 @@ def near_dup_pairs(emb: DataFrame, threshold: float, nbits: int = 4,
             .select("id_a", "id_b", F.round("cos", 6).alias("cos")))
 
 
+def near_dup_pairs_arrow(emb: DataFrame, threshold: float, dim: int,
+                         nbits: int = 4, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         max_bucket_size: int | None = None,
+                         chunk_rows: int = 1024) -> DataFrame:
+    """:func:`near_dup_pairs` scored by a per-bucket vectorized Arrow
+    kernel -- same output contract, bit-identical cosines (pytest
+    pins equality against the Catalyst path).
+
+    The Catalyst shape materializes one ~600-byte row (both vectors)
+    per in-bucket pair before the projection touches it -- the same
+    pair-materialization ceiling the round-8 bitext kernel hit in a
+    BroadcastNestedLoopJoin, here in a hash join: at the sf10 rung
+    (200k vectors, 16 buckets) that is ~1.25B pair rows and an
+    unfinishable plan.  This kernel groups each bucket's vectors into
+    ONE Arrow batch (``applyInPandas``), scores chunk x bucket cosine
+    blocks in numpy with the SAME per-dimension float64 accumulation
+    as the fold (``((0 + t1) + t2) + ...`` per pair, norms hoisted
+    per vector, one sqrt), and emits only the >= threshold survivors
+    -- the pair space never exists as rows.  Parallelism is one task
+    per bucket (production sizes ``nbits ~ log2(N / target_bucket)``
+    so bucket count tracks the cluster; ``max_bucket_size`` is the
+    same backstop as the Catalyst path); peak task memory is
+    ``chunk_rows * bucket_size`` doubles, not bucket_size^2.
+
+    Rounding to 6 decimals happens in Catalyst AFTER the kernel
+    (Spark HALF_UP vs numpy half-even would otherwise diverge on
+    exact boundaries); the threshold compares full precision exactly
+    like the oracle's WHERE."""
+    keyed = emb.select(F.col(id_col).alias("__id"),
+                       F.col(vec_col).alias("__v"),
+                       sign_signature(F.col(vec_col), nbits)
+                       .alias("bucket"))
+    if max_bucket_size is not None:
+        keep = (keyed.groupBy("bucket")
+                .agg(F.count(F.lit(1)).alias("__bsz"))
+                .where(F.col("__bsz") <= max_bucket_size)
+                .select("bucket"))
+        keyed = keyed.join(F.broadcast(keep), "bucket", "left_semi")
+
+    def _score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["__id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = (np.array(pdf["__v"].tolist(), dtype=np.float32)
+               .astype(np.float64)[order])
+        n = len(ids)
+        nrm = np.zeros(n, dtype=np.float64)
+        for i in range(dim):
+            nrm += mat[:, i] * mat[:, i]
+        out = []
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            acc = np.zeros((hi - lo, n), dtype=np.float64)
+            for i in range(dim):
+                acc += mat[lo:hi, i:i + 1] * mat[None, :, i]
+            # ids sorted ascending -> id_a < id_b is the strict upper
+            # triangle; NaN cosines (zero-norm) fail the >= like the
+            # fold path's NULL fails the WHERE
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = acc / np.sqrt(nrm[lo:hi, None] * nrm[None, :])
+                mask = (cos >= threshold) \
+                    & (np.arange(n)[None, :] > (lo + np.arange(hi - lo))[:, None])
+            r, c = np.nonzero(mask)
+            out.append(pd.DataFrame({"id_a": ids[lo + r],
+                                     "id_b": ids[c],
+                                     "cos": cos[r, c]}))
+        if not out:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cos": pd.Series(dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    scored = keyed.groupBy("bucket").applyInPandas(
+        _score, schema="id_a long, id_b long, cos double")
+    return scored.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def knn_classify(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  id_col: str = "vec_id", vec_col: str = "embedding",
                  label_col: str = "label",

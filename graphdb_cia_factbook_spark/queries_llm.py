@@ -1236,9 +1236,18 @@ WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
 """)
 def llm_embed_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (cos >= 0.35) candidate-limited
-    to 4-bit sign-LSH buckets."""
-    return near_dup_pairs(read_parallel(spark, sf, "embeddings"),
-                          threshold=0.35, nbits=4)
+    to 4-bit sign-LSH buckets.
+
+    Scored by the per-bucket Arrow kernel
+    (``similarity.near_dup_pairs_arrow``): the Catalyst hash-join
+    shape materializes ~1.25B 600-byte pair rows at the sf10 rung
+    (the round-8 bitext pair-materialization ceiling, in a hash
+    join); the kernel scores each bucket as numpy chunk blocks with
+    the fold's exact IEEE accumulation -- bit-identical output,
+    pytest-pinned against :func:`similarity.near_dup_pairs`."""
+    from .operators.similarity import near_dup_pairs_arrow
+    return near_dup_pairs_arrow(read_parallel(spark, sf, "embeddings"),
+                                threshold=0.35, dim=_EMBED_DIM, nbits=4)
 
 
 # ---------------------------------------------------------------------------

@@ -1538,6 +1538,26 @@ def test_funnel_time_to_convert_ordering(spark):
     assert 0 < r.n_converted <= purch
 
 
+def test_near_dup_pairs_arrow_bit_equal(spark, emb):
+    """The per-bucket Arrow scoring kernel must reproduce the Catalyst
+    near_dup_pairs EXACTLY -- same pairs, bit-equal rounded cosines
+    (same per-dimension IEEE accumulation as the fold, rounding done
+    in Catalyst on both paths)."""
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        near_dup_pairs,
+        near_dup_pairs_arrow,
+    )
+    want = {(r.id_a, r.id_b): r.cos
+            for r in near_dup_pairs(emb, threshold=0.2,
+                                    nbits=4).collect()}
+    got = {(r.id_a, r.id_b): r.cos
+           for r in near_dup_pairs_arrow(emb, threshold=0.2, dim=64,
+                                         nbits=4,
+                                         chunk_rows=7).collect()}
+    assert got == want  # bit-equal floats: == on raw doubles
+    assert want  # non-vacuous at this threshold
+
+
 def test_near_dup_pairs_hot_bucket_cap(spark):
     """max_bucket_size excludes over-cap buckets from candidate
     generation (the sign-LSH analog of the MinHash hot-bucket rule)

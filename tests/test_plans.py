@@ -87,10 +87,14 @@ def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
         plan = plan_of(fn(spark, SF), "simple")
         assert "BatchEvalPython" not in plan, name
         # the Arrow whitelist: multimodal decode (mm_*) and the dense
-        # exact-scoring kernel (similarity.brute_topk_arrow -- see its
-        # docstring for why Catalyst cannot express a 2.3B-pair GEMM)
+        # exact-scoring kernels (similarity.brute_topk_arrow for
+        # bitext, similarity.near_dup_pairs_arrow for embed near-dup
+        # -- see their docstrings for why Catalyst cannot express a
+        # billions-of-pairs GEMM without materializing the pairs)
         if not name.startswith("mm_") and name != "llm_bitext_mining":
             assert "MapInPandas" not in plan, name
+        if name != "llm_embed_neardup":
+            assert "FlatMapGroupsInPandas" not in plan, name
         # a true cartesian (non-broadcast cross product) is never the
         # plan you want at 100 TB -- every deliberate cross join in
         # this repo broadcasts a scalar/dim side (BroadcastNestedLoop)
