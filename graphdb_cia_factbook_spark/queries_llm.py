@@ -1227,12 +1227,16 @@ def llm_ann_quantized(spark, sf):
 
 @register("llm_embed_neardup", f"""
 WITH e AS (SELECT vec_id, embedding,
-                  {_bucket_sql('embedding', 4)} AS bucket
-           FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cos
-FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE {_cos_sql('a.embedding', 'b.embedding')} >= 0.35
+                  {_bucket_sql('embedding', 4)} AS bucket,
+                  {_dot_sql_unrolled('embedding', 'embedding')} AS nrm
+           FROM embeddings),
+s AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_dot_sql_unrolled('a.embedding', 'b.embedding')}
+           / sqrt(a.nrm * b.nrm) AS c
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cos FROM s WHERE c >= 0.35
 """)
 def llm_embed_neardup(spark, sf):
     """Embedding-cosine near-dup pairs (cos >= 0.35) candidate-limited
