@@ -150,9 +150,17 @@ def pair_jaccard(pairs: DataFrame, sh: DataFrame, id_col: str) -> DataFrame:
     cand_docs = (pairs.select(F.col("id_a").alias(id_col))
                  .union(pairs.select(F.col("id_b").alias(id_col)))
                  .distinct())
+    # shuffle_hash hint: doc_sets carries the per-doc SET ARRAYS, so
+    # row-count stats under-estimate its bytes by ~100x and AQE will
+    # happily plan it as a broadcast -- collecting a corpus-sized
+    # array table to the driver (measured at sf10: the broadcast
+    # build job ships ~30MB per task and dies on maxResultSize /
+    # heap).  A set table sized by the corpus is never the side you
+    # broadcast at 100 TB; pin the shuffle join.
     doc_sets = (sh.join(F.broadcast(cand_docs), id_col, "left_semi")
                 .groupBy(id_col)
-                .agg(F.collect_set("shingle").alias("shs")))
+                .agg(F.collect_set("shingle").alias("shs"))
+                .hint("shuffle_hash"))
     return (pairs
             .join(doc_sets.select(F.col(id_col).alias("id_a"),
                                   F.col("shs").alias("shs_a")), "id_a")
@@ -449,9 +457,12 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     cand_docs = (cand.select(F.col("id_a").alias(id_col))
                  .union(cand.select(F.col("id_b").alias(id_col)))
                  .distinct())
+    # shuffle_hash: fp_sets carries per-doc ARRAYS -- row-count stats
+    # under-estimate its bytes and AQE broadcasts it (see pair_jaccard)
     fp_sets = (fp.join(F.broadcast(cand_docs), id_col, "left_semi")
                .groupBy(id_col)
-               .agg(F.collect_set("fp").alias("fps")))
+               .agg(F.collect_set("fp").alias("fps"))
+               .hint("shuffle_hash"))
     return (cand
             .join(fp_sets.select(F.col(id_col).alias("id_a"),
                                  F.col("fps").alias("__fa")), "id_a")
