@@ -216,18 +216,26 @@ def _query_matrix(qrows, dim: int):
 
 
 def _arrow_phase1(corpus: DataFrame, qids, qmat, qn, k: int, dim: int,
-                  id_col: str, vec_col: str):
+                  id_col: str, vec_col: str, track: bool = True):
     """Phase-1 scoring: broadcast one query block, stream corpus
     partitions through the vectorized kernel, emit each partition's
     per-query top-k candidates (Q * partitions * k rows max).
     Returns (candidates DataFrame, broadcast handle) so callers that
-    materialize eagerly can unpersist the block immediately."""
+    materialize eagerly can unpersist the block immediately.
+
+    ``track=False`` skips :func:`session.track_broadcast` for callers
+    that own the broadcast lifecycle themselves (the blocked variant
+    destroys each block right after materializing it) -- registering
+    those would grow ``_TRACKED_BROADCASTS`` with dead handles that
+    pin the Python Broadcast objects until the next clear_scratch."""
     import numpy as np
 
     from ..session import track_broadcast
 
     spark = corpus.sparkSession
-    bc = track_broadcast(spark.sparkContext.broadcast((qids, qmat, qn)))
+    bc = spark.sparkContext.broadcast((qids, qmat, qn))
+    if track:
+        track_broadcast(bc)
 
     n_q = len(qids)
     chunk_rows = max(64, min(2048, (48 << 20) // max(n_q, 1) // 8))
@@ -337,9 +345,18 @@ def brute_topk_arrow_blocked(corpus: DataFrame, queries: DataFrame,
         return spark.createDataFrame(
             [], schema="query_id long, neighbor_id long, cos double, "
                        "rank integer")
+    from ..session import track_scratch_dir
+
     n_blocks = max(1, math.ceil(n_q / block_rows))
-    out = (scratch_dir or "/root/repo/scratch") \
-        + f"/topk_blocks_{uuid.uuid4().hex[:12]}"
+    # the returned DataFrame reads this directory lazily, so it cannot
+    # be deleted here; when spilling under the default scratch root it
+    # is registered with session so clear_scratch reclaims it between
+    # logically independent queries (callers who pass scratch_dir own
+    # that directory's lifecycle themselves)
+    out = ((scratch_dir or "/root/repo/scratch")
+           + f"/topk_blocks_{uuid.uuid4().hex[:12]}")
+    if scratch_dir is None:
+        track_scratch_dir(out)
     q = queries.select(id_col, vec_col)
     if n_blocks == 1:
         blocks = [q]
@@ -356,9 +373,16 @@ def brute_topk_arrow_blocked(corpus: DataFrame, queries: DataFrame,
             continue
         qids, qmat, qn = _query_matrix(qrows, dim)
         part, bc = _arrow_phase1(corpus, qids, qmat, qn, k, dim,
-                                 id_col, vec_col)
+                                 id_col, vec_col, track=False)
         part.write.mode("append").parquet(out)
-        bc.unpersist(blocking=False)
+        # the block's candidates are durably on disk -- no live
+        # consumer remains, so destroy (not just unpersist) frees the
+        # driver copy too; track=False above keeps the dead handle out
+        # of session._TRACKED_BROADCASTS
+        try:
+            bc.destroy(blocking=False)
+        except TypeError:  # older destroy() signature
+            bc.destroy()
     cand = spark.read.schema(
         "query_id long, neighbor_id long, cos double").parquet(out)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"),
@@ -461,6 +485,20 @@ def near_dup_pairs_arrow(emb: DataFrame, threshold: float, dim: int,
     (Spark HALF_UP vs numpy half-even would otherwise diverge on
     exact boundaries); the threshold compares full precision exactly
     like the oracle's WHERE."""
+    # parallelism is one task per LSH bucket: if 2^nbits is far below
+    # the cluster's core count, most executors idle while the few
+    # bucket tasks run -- the docstring's "production sizes nbits"
+    # promise, surfaced as a runtime signal instead of prose (warn,
+    # don't raise: at oracle scales a handful of buckets is correct
+    # and cheap)
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    if (1 << nbits) < par:
+        import warnings
+        warnings.warn(
+            f"near_dup_pairs_arrow: 2^nbits={1 << nbits} buckets < "
+            f"defaultParallelism={par}; most cores will idle -- size "
+            f"nbits ~ log2(N / target_bucket) for cluster runs",
+            RuntimeWarning, stacklevel=2)
     keyed = emb.select(F.col(id_col).alias("__id"),
                        F.col(vec_col).alias("__v"),
                        sign_signature(F.col(vec_col), nbits)
@@ -485,6 +523,18 @@ def near_dup_pairs_arrow(emb: DataFrame, threshold: float, dim: int,
         nrm = np.zeros(n, dtype=np.float64)
         for i in range(dim):
             nrm += mat[:, i] * mat[:, i]
+        if np.any(nrm == 0.0):
+            # cosine is undefined on a zero-norm vector, and the three
+            # implementations would otherwise disagree silently: this
+            # kernel's NaN fails `>= t` (numpy: NaN comparisons are
+            # False), the DuckDB oracle's NULL fails the WHERE, but
+            # the Catalyst fold's 0/0 is NaN and Spark SQL orders NaN
+            # GREATER than any double -- it would KEEP the pair.  Same
+            # fail-fast posture as _query_matrix: degenerate data is
+            # the caller's bug, not a semantics choice.
+            raise ValueError(
+                "near_dup_pairs_arrow: zero-norm vector (cosine "
+                "undefined); filter degenerate vectors upstream")
         out = []
         for lo in range(0, n, chunk_rows):
             hi = min(lo + chunk_rows, n)
@@ -492,8 +542,8 @@ def near_dup_pairs_arrow(emb: DataFrame, threshold: float, dim: int,
             for i in range(dim):
                 acc += mat[lo:hi, i:i + 1] * mat[None, :, i]
             # ids sorted ascending -> id_a < id_b is the strict upper
-            # triangle; NaN cosines (zero-norm) fail the >= like the
-            # fold path's NULL fails the WHERE
+            # triangle; zero-norm vectors were rejected above, so no
+            # NaN can reach this comparison
             with np.errstate(invalid="ignore", divide="ignore"):
                 cos = acc / np.sqrt(nrm[lo:hi, None] * nrm[None, :])
                 mask = (cos >= threshold) \

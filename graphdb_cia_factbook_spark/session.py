@@ -72,6 +72,21 @@ def track_broadcast(bc):
     return bc
 
 
+#: Scratch parquet directories written by eager operators (the
+#: blocked Arrow top-k's phase-1 candidate spill) register here so
+#: ``clear_scratch`` can delete them -- the returned DataFrames read
+#: them lazily, so the operator itself can never know when the last
+#: consumer is done.  Same lifecycle caveat as localCheckpoints.
+_TRACKED_SCRATCH_DIRS: list[str] = []
+
+
+def track_scratch_dir(path: str) -> str:
+    """Register an operator-written scratch directory for deletion by
+    :func:`clear_scratch`.  Returns ``path`` unchanged."""
+    _TRACKED_SCRATCH_DIRS.append(path)
+    return path
+
+
 def clear_scratch(spark: SparkSession) -> int:
     """Drop all persisted/checkpointed RDD blocks and cached plans.
 
@@ -100,5 +115,11 @@ def clear_scratch(spark: SparkSession) -> int:
             _TRACKED_BROADCASTS.pop().unpersist(blocking=False)
         except Exception:
             pass
+    # scratch parquet spills (blocked Arrow top-k phase-1 candidates)
+    # -- non-recomputable like checkpoints: the same "no live
+    # consumer" caution above applies
+    import shutil
+    while _TRACKED_SCRATCH_DIRS:
+        shutil.rmtree(_TRACKED_SCRATCH_DIRS.pop(), ignore_errors=True)
     gc.collect()
     return len(ids)

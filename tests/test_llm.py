@@ -1577,3 +1577,60 @@ def test_near_dup_pairs_hot_bucket_cap(spark):
     capped = near_dup_pairs(emb, threshold=0.9, nbits=4, max_bucket_size=3)
     got_capped = {(r.id_a, r.id_b) for r in capped.collect()}
     assert got_capped == {(10, 11)}   # the 4-doc bucket is excluded whole
+
+
+def test_near_dup_pairs_arrow_zero_norm_fails_fast(spark):
+    """A zero-norm vector must raise loudly inside the kernel: its NaN
+    cosine would fail the numpy `>=` (and the oracle's NULL fails the
+    WHERE) while the Catalyst fold's NaN is ordered GREATER than any
+    double by Spark SQL and would KEEP the pair -- a silent three-way
+    divergence on degenerate data (ADVICE round 9)."""
+    import pytest
+
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        near_dup_pairs_arrow)
+    rows = [(0, [1.0, 1.0, 1.0, 1.0]), (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [0.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="zero-norm"):
+        near_dup_pairs_arrow(emb, threshold=0.5, dim=4, nbits=2).collect()
+
+
+def test_near_dup_pairs_arrow_bucket_parallelism_warning(spark):
+    """One task per LSH bucket: when 2^nbits is below the cluster's
+    defaultParallelism the docstring's sizing promise must surface as
+    a runtime RuntimeWarning, not stay prose (VERDICT round 9)."""
+    import warnings
+
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        near_dup_pairs_arrow)
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assert spark.sparkContext.defaultParallelism > 2
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        near_dup_pairs_arrow(emb, threshold=0.5, dim=2, nbits=1)
+    assert any(issubclass(x.category, RuntimeWarning)
+               and "defaultParallelism" in str(x.message) for x in w)
+
+
+def test_blocked_topk_scratch_tracked_and_cleared(spark, emb):
+    """The blocked kernel's phase-1 parquet spill must not leak: a
+    default-scratch run registers its uuid directory with the session
+    tracker, and clear_scratch deletes it (ADVICE round 9).  A caller
+    passing scratch_dir owns that directory -- nothing is tracked."""
+    import os
+
+    from graphdb_cia_factbook_spark import session as sess
+    from graphdb_cia_factbook_spark.operators.similarity import (
+        brute_topk_arrow_blocked)
+    queries = emb.where(F.col("vec_id") < 8)
+    before = list(sess._TRACKED_SCRATCH_DIRS)
+    out = brute_topk_arrow_blocked(emb, queries, k=2, dim=64,
+                                   block_rows=3)
+    new = [d for d in sess._TRACKED_SCRATCH_DIRS if d not in before]
+    assert len(new) == 1 and os.path.isdir(new[0])
+    assert out.count() > 0          # consumer done before the clear
+    sess.clear_scratch(spark)
+    assert not os.path.exists(new[0])
+    assert not sess._TRACKED_SCRATCH_DIRS

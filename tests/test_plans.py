@@ -93,7 +93,10 @@ def test_no_python_row_udfs_in_catalyst_paths(spark, queries):
         # billions-of-pairs GEMM without materializing the pairs)
         if not name.startswith("mm_") and name != "llm_bitext_mining":
             assert "MapInPandas" not in plan, name
-        if name != "llm_embed_neardup":
+        # udaf_weighted_median is the registered applyInPandas UDAF
+        # surface (PLAN_BUDGET-pinned python: 1) -- it has always
+        # planned as FlatMapGroupsInPandas, by design
+        if name not in ("llm_embed_neardup", "udaf_weighted_median"):
             assert "FlatMapGroupsInPandas" not in plan, name
         # a true cartesian (non-broadcast cross product) is never the
         # plan you want at 100 TB -- every deliberate cross join in

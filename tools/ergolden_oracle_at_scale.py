@@ -65,10 +65,14 @@ FROM customer
 UNION ALL
 SELECT c_custkey + 10000000 AS rid, c_name || '~' AS name, 0.0
 FROM customer WHERE c_custkey % 10 = 0""")
+    # QUALIFY mirrors the engine's max_block_size=10000 hot-block cap
+    # (and the registered oracle's capped CTE) -- blocks here are
+    # ~1,100 members, far under it, so capped == uncapped at this rung
     con.execute("""CREATE TEMP TABLE blocked AS
 SELECT rid, name, acctbal, substr(name, 10, 8) AS blk,
        length(name) AS ln
-FROM dirty""")
+FROM dirty
+QUALIFY COUNT(*) OVER (PARTITION BY blk) <= 10000""")
     # length inequality INSIDE the join condition: only cross-length
     # pairs pay the levenshtein (same predicate as the registry
     # oracle's WHERE, reordered -- conjunction order cannot change
