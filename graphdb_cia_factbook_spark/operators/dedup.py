@@ -242,6 +242,62 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame,
         (F.col(id_col) == F.col("cluster_id")).alias("is_canonical"))
 
 
+def _doc_count_sides(keyed: DataFrame, id_col: str, key_col: str,
+                     max_df: int) -> DataFrame:
+    """Per-doc scoring sides for COUNT-decomposed set intersection:
+    one row per doc with its total distinct-key count (``__sz``) and
+    its HOT-key set (keys with document frequency > ``max_df``)
+    dictionary-encoded to a sorted int array (``__hot``).
+
+    The decomposition (see :func:`ngram_jaccard_dedup`):
+    ``|A ∩ B| = n_rare (a co-occurrence COUNT from the enumeration
+    stream, no arrays) + |hot(A) ∩ hot(B)|``.  Only the hot remainder
+    needs per-doc sets, and the hot DICTIONARY is bounded by
+    construction: at most ``|keyed| / max_df`` distinct keys can
+    exceed the cap, so the global row_number window here runs over a
+    provably small table (32.6M shingle rows / df-cap 1000 = <=32.6k
+    dictionary rows at the sf10 rung) and the per-doc arrays carry
+    4-byte codes instead of ~25-byte shingle strings."""
+    dfs = keyed.groupBy(key_col).agg(F.count(F.lit(1)).alias("__df"))
+    hot_dict = (dfs.where(F.col("__df") > max_df)
+                .select(key_col)
+                .withColumn("__code",
+                            F.row_number().over(Window.orderBy(key_col))))
+    hot_sets = (keyed.join(F.broadcast(hot_dict), key_col)
+                .groupBy(id_col)
+                .agg(F.array_sort(F.collect_set("__code")).alias("__hot")))
+    sizes = keyed.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    # the side table feeds BOTH pair sides of _attach_sides -- hold it
+    # so the dfs/hot/sizes subtree runs once, not once per join side
+    return _hold(sizes.join(hot_sets, id_col, "left")
+                 .withColumn("__hot", F.coalesce(
+                     F.col("__hot"), F.expr("array()").cast("array<int>"))))
+
+
+def _attach_sides(counts: DataFrame, side: DataFrame, id_col: str,
+                  n_part: int) -> DataFrame:
+    """Join the (id_a, id_b, rare-count) stream to the per-doc scoring
+    sides at VOLUME-SIZED width.  The side table scales with the
+    corpus, so it is never broadcast (the pair_jaccard shuffle_hash
+    lesson); the candidate stream carries only 8-byte ids + a count
+    through each exchange -- the per-pair payload the old
+    set-carrying joins shipped (two ~3 KB shingle-string arrays per
+    row, measured ~1.5 TB of exchange at the sf10 rung's candidate
+    volume) never exists."""
+    sa = side.select(F.col(id_col).alias("id_a"),
+                     F.col("__sz").alias("__sza"),
+                     F.col("__hot").alias("__ha"))
+    sb = side.select(F.col(id_col).alias("id_b"),
+                     F.col("__sz").alias("__szb"),
+                     F.col("__hot").alias("__hb"))
+    j1 = (counts.repartition(n_part, "id_a")
+          .join(sa.repartition(n_part, "id_a").hint("shuffle_hash"),
+                "id_a"))
+    return (j1.repartition(n_part, "id_b")
+            .join(sb.repartition(n_part, "id_b").hint("shuffle_hash"),
+                  "id_b"))
+
+
 def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.8,
@@ -261,20 +317,34 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
     boilerplate-common -- exactly the pairs near-dedup should not
     merge anyway.  Prefer MinHash-LSH beyond ~10M docs.
 
-    Scale shape (round-9 sf10 lesson): pairs enumerate from per-
-    shingle sorted doc arrays (the :func:`lsh_candidate_pairs` shape
-    -- ONE groupBy, arrays bounded by the df cap) instead of a
-    shingle-keyed self-join, and the stream DEDUPLICATES ON A
-    VOLUME-SIZED SHUFFLE: a dup-heavy corpus legitimately enumerates
-    billions of raw pairs (measured 3.54B at the sf10 rung, where
-    every doc has ~100 near-copies), and a distinct running on the
-    session's default partition count would hand each reducer a
-    hundred-million-row hash aggregate (measured: 48g-heap OOM at 32
-    partitions).  The exact raw-pair volume is knowable CHEAPLY
-    before enumeration -- ``sum(df^2/2)`` over the per-shingle counts
-    -- so the repartition width is computed from it (~4M pairs per
-    reducer), the same rows-per-partition contract as
-    ``graph._sized_partitions``, at any corpus size."""
+    Scale shape (round-9 sf10 lesson, COMPLETED in round 10): pairs
+    enumerate from per-shingle sorted doc arrays (the
+    :func:`lsh_candidate_pairs` shape -- ONE groupBy, arrays bounded
+    by the df cap) instead of a shingle-keyed self-join, and the
+    stream aggregates ON A VOLUME-SIZED SHUFFLE: a dup-heavy corpus
+    legitimately enumerates billions of raw pairs (measured 3.54B at
+    the sf10 rung), and any per-pair stage running on the session's
+    default partition count hands each reducer a heap-breaking
+    workload.  The exact raw-pair volume is knowable CHEAPLY before
+    enumeration -- ``sum(df^2/2)`` over the per-shingle counts -- so
+    every downstream width is computed from it (~4M pairs per
+    reducer, the ``graph._sized_partitions`` contract).
+
+    The round-10 completion: round 9 volume-sized only the pair
+    DISTINCT; the sf10 receipt run then OOM'd one stage later, in
+    :func:`pair_jaccard`'s verify joins -- each candidate row there
+    carries BOTH docs' full shingle-string sets (~3 KB/pair sides),
+    which at billions of candidates is a multi-TB exchange no width
+    fixes.  Verification is now COUNT-DECOMPOSED: the enumeration
+    stream itself is the rare-shingle co-occurrence count
+    (``groupBy(id_a, id_b).count()`` REPLACES the distinct -- same
+    shuffle, and the count IS ``|A ∩ B ∩ rare|`` because per-doc
+    shingles are distinct), and the remainder ``|A ∩ B ∩ hot|`` uses
+    per-doc HOT-ONLY sets, dictionary-encoded to int codes -- the hot
+    dictionary is bounded by ``|sh| / max_df`` rows by construction
+    (:func:`_doc_count_sides`).  Exact same jaccard integers; the
+    per-pair exchange payload drops from two string sets to two ids,
+    a count, and two small int arrays."""
     sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
     buckets = (sh.groupBy("shingle")
                .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -292,9 +362,17 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
-    all_pairs = (pairs.select("p.id_a", "p.id_b")
-                 .repartition(n_part, "id_a", "id_b").distinct())
-    return (pair_jaccard(all_pairs, sh, id_col)
+    counts = (pairs.select("p.id_a", "p.id_b")
+              .repartition(n_part, "id_a", "id_b")
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__nr")))
+    side = _doc_count_sides(sh, id_col, "shingle", max_shingle_df)
+    j = _attach_sides(counts, side, id_col, n_part)
+    n_inter = (F.col("__nr")
+               + F.size(F.array_intersect("__ha", "__hb")))
+    return (j.select("id_a", "id_b",
+                     (n_inter / (F.col("__sza") + F.col("__szb")
+                                 - n_inter)).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 
@@ -418,19 +496,17 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     cap, only recall of pairs whose EVERY shared fp is
     boilerplate-common is.
 
-    Scale shape (round-9 sf10 lesson, the ngram_jaccard_dedup twin):
-    candidate ORDERED pairs enumerate from per-fingerprint sorted doc
-    arrays (ONE groupBy, arrays bounded by the df cap) and dedupe on
-    a VOLUME-SIZED shuffle -- the raw ordered-pair volume
-    (``sum(df * (df-1))`` over the per-fp counts) is knowable cheaply
-    before enumeration, and a dup-heavy corpus legitimately reaches
-    billions of raw pairs where a session-default-partition distinct
-    hands each reducer a heap-breaking hash aggregate.  Scoring then
-    intersects per-doc FINGERPRINT SETS per candidate pair
-    (``fp`` is distinct per doc, so ``size(array_intersect)`` IS the
-    oracle's co-fp join count) -- linear in |candidates|, replacing
-    the second fp-keyed self-join that re-materialized the quadratic
-    (the round-5 pair_jaccard lesson applied to containment).
+    Scale shape (round-9 sf10 lesson, COMPLETED in round 10 -- the
+    ngram_jaccard_dedup twin): candidate ORDERED pairs enumerate from
+    per-fingerprint sorted doc arrays (ONE groupBy, arrays bounded by
+    the df cap) on a VOLUME-SIZED shuffle -- the raw ordered-pair
+    volume (``sum(df * (df-1))`` over the per-fp counts) is knowable
+    cheaply before enumeration.  Verification is COUNT-DECOMPOSED
+    (see :func:`ngram_jaccard_dedup`): the enumeration stream
+    aggregates straight to the rare-fp co-occurrence count, and only
+    the bounded hot remainder touches per-doc sets (int-coded, hot
+    dictionary <= |fp| / max_fp_df rows by construction) -- candidate
+    rows never carry fingerprint-string sets through an exchange.
     Winnowing's guarantee (one shared fingerprint per shared
     window+k-1 token run) bounds what containment can miss."""
     from .text import winnow_fingerprints
@@ -450,30 +526,26 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
         "flatten(transform(ids, x -> "
         "transform(filter(ids, y -> y <> x), "
         "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
-    # cand feeds two branches (the doc prune and the scoring joins);
-    # hold it so the enumeration+distinct runs once
-    cand = _hold(pairs.select("p.id_a", "p.id_b")
-                 .repartition(n_part, "id_a", "id_b").distinct())
-    cand_docs = (cand.select(F.col("id_a").alias(id_col))
-                 .union(cand.select(F.col("id_b").alias(id_col)))
-                 .distinct())
-    # shuffle_hash: fp_sets carries per-doc ARRAYS -- row-count stats
-    # under-estimate its bytes and AQE broadcasts it (see pair_jaccard)
-    fp_sets = (fp.join(F.broadcast(cand_docs), id_col, "left_semi")
-               .groupBy(id_col)
-               .agg(F.collect_set("fp").alias("fps"))
-               .hint("shuffle_hash"))
-    return (cand
-            .join(fp_sets.select(F.col(id_col).alias("id_a"),
-                                 F.col("fps").alias("__fa")), "id_a")
-            .join(fp_sets.select(F.col(id_col).alias("id_b"),
-                                 F.col("fps").alias("__fb")), "id_b")
-            .withColumn("n_shared",
-                        F.size(F.array_intersect("__fa", "__fb"))
-                        .cast("long"))
+    # COUNT-DECOMPOSED verification (the ngram_jaccard_dedup round-10
+    # completion): the enumeration stream aggregates straight to the
+    # rare-fp co-occurrence count (fp is distinct per doc, so the
+    # count IS |fp(a) ∩ fp(b) ∩ rare|), and the hot remainder uses
+    # per-doc hot-only int-code sets (dictionary bounded by
+    # |fp| / max_fp_df rows) -- no candidate row ever carries a full
+    # fingerprint-string set through an exchange
+    counts = (pairs.select("p.id_a", "p.id_b")
+              .repartition(n_part, "id_a", "id_b")
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("__nr")))
+    side = _doc_count_sides(fp, id_col, "fp", max_fp_df)
+    j = _attach_sides(counts, side, id_col, n_part)
+    return (j.withColumn("n_shared",
+                         (F.col("__nr")
+                          + F.size(F.array_intersect("__ha", "__hb")))
+                         .cast("long"))
             .select("id_a", "id_b", "n_shared",
                     (F.col("n_shared")
-                     / F.size("__fa").cast("double"))
+                     / F.col("__sza").cast("double"))
                     .alias("containment"))
             .where(F.col("containment") >= min_containment))
 
