@@ -298,6 +298,56 @@ def _attach_sides(counts: DataFrame, side: DataFrame, id_col: str,
                   "id_b"))
 
 
+def _counted_scores(pairs: DataFrame, side: DataFrame, id_col: str,
+                    raw_pairs: int, score,
+                    max_pairs_per_pass: int = 800_000_000) -> DataFrame:
+    """Aggregate a raw co-occurrence pair stream to per-pair counts,
+    attach the scoring sides, and apply ``score`` (projection +
+    threshold filter) -- SLICED when the measured raw volume exceeds
+    ``max_pairs_per_pass``.
+
+    The single count exchange is volume-sized, but its total BYTES
+    still scale with the raw volume: at the sf10 rung's measured
+    3.54B raw pairs one exchange spills ~60 GB -- more than this
+    host's free disk next to the pipeline's checkpoints (the receipt
+    run filled the disk).  Above the per-pass budget the (id_a, id_b)
+    key space is hash-partitioned into ``ceil(raw / budget)`` slices
+    processed SEQUENTIALLY (the ``brute_topk_arrow_blocked`` posture:
+    bounded passes, eagerly materialized): each pass filters the
+    enumeration stream BEFORE the exchange, so peak spill is one
+    slice's shuffle, and only >= threshold SURVIVORS hit the scratch
+    parquet.  Slicing a groupBy on its own group key is exact by
+    construction, and per-pair independence makes the union
+    identical to the single-pass result.  On a real cluster the
+    budget rises with aggregate shuffle capacity (it is a per-PASS
+    spill bound, not a semantics knob)."""
+    n_slices = int(raw_pairs // max_pairs_per_pass) + 1
+    width = max(32, min(4096,
+                        int(raw_pairs // n_slices // 4_000_000) + 1))
+
+    def one(src: DataFrame) -> DataFrame:
+        counts = (src.repartition(width, "id_a", "id_b")
+                  .groupBy("id_a", "id_b")
+                  .agg(F.count(F.lit(1)).alias("__nr")))
+        return score(_attach_sides(counts, side, id_col, width))
+
+    if n_slices <= 1:
+        return one(pairs)
+    import uuid
+
+    from ..session import track_scratch_dir
+    spark = pairs.sparkSession
+    out = track_scratch_dir(
+        f"/root/repo/scratch/pair_slices_{uuid.uuid4().hex[:12]}")
+    key = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_slices))
+    schema = None
+    for s in range(n_slices):
+        res = one(pairs.where(key == s))
+        res.write.mode("append").parquet(out)
+        schema = res.schema
+    return spark.read.schema(schema).parquet(out)
+
+
 def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.8,
@@ -357,23 +407,22 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                  .agg(F.sum(F.size("ids").cast("long")
                             * (F.size("ids") - 1) / 2).alias("n"))
                  .collect()[0]["n"]) or 0
-    n_part = max(32, min(4096, int(raw_pairs // 4_000_000) + 1))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(x AS id_a, y AS id_b))))")).alias("p"))
-    counts = (pairs.select("p.id_a", "p.id_b")
-              .repartition(n_part, "id_a", "id_b")
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("__nr")))
     side = _doc_count_sides(sh, id_col, "shingle", max_shingle_df)
-    j = _attach_sides(counts, side, id_col, n_part)
-    n_inter = (F.col("__nr")
-               + F.size(F.array_intersect("__ha", "__hb")))
-    return (j.select("id_a", "id_b",
-                     (n_inter / (F.col("__sza") + F.col("__szb")
-                                 - n_inter)).alias("jaccard"))
-            .where(F.col("jaccard") >= threshold))
+
+    def _score(j: DataFrame) -> DataFrame:
+        n_inter = (F.col("__nr")
+                   + F.size(F.array_intersect("__ha", "__hb")))
+        return (j.select("id_a", "id_b",
+                         (n_inter / (F.col("__sza") + F.col("__szb")
+                                     - n_inter)).alias("jaccard"))
+                .where(F.col("jaccard") >= threshold))
+
+    return _counted_scores(pairs.select("p.id_a", "p.id_b"), side,
+                           id_col, int(raw_pairs), _score)
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame,
@@ -521,7 +570,6 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
                  .agg(F.sum(F.size("ids").cast("long")
                             * (F.size("ids") - 1)).alias("n"))
                  .collect()[0]["n"]) or 0
-    n_part = max(32, min(4096, int(raw_pairs // 4_000_000) + 1))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(ids, x -> "
         "transform(filter(ids, y -> y <> x), "
@@ -533,21 +581,21 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     # per-doc hot-only int-code sets (dictionary bounded by
     # |fp| / max_fp_df rows) -- no candidate row ever carries a full
     # fingerprint-string set through an exchange
-    counts = (pairs.select("p.id_a", "p.id_b")
-              .repartition(n_part, "id_a", "id_b")
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("__nr")))
     side = _doc_count_sides(fp, id_col, "fp", max_fp_df)
-    j = _attach_sides(counts, side, id_col, n_part)
-    return (j.withColumn("n_shared",
-                         (F.col("__nr")
-                          + F.size(F.array_intersect("__ha", "__hb")))
-                         .cast("long"))
-            .select("id_a", "id_b", "n_shared",
-                    (F.col("n_shared")
-                     / F.col("__sza").cast("double"))
-                    .alias("containment"))
-            .where(F.col("containment") >= min_containment))
+
+    def _score(j: DataFrame) -> DataFrame:
+        return (j.withColumn("n_shared",
+                             (F.col("__nr")
+                              + F.size(F.array_intersect("__ha", "__hb")))
+                             .cast("long"))
+                .select("id_a", "id_b", "n_shared",
+                        (F.col("n_shared")
+                         / F.col("__sza").cast("double"))
+                        .alias("containment"))
+                .where(F.col("containment") >= min_containment))
+
+    return _counted_scores(pairs.select("p.id_a", "p.id_b"), side,
+                           id_col, int(raw_pairs), _score)
 
 
 def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",

@@ -1634,3 +1634,28 @@ def test_blocked_topk_scratch_tracked_and_cleared(spark, emb):
     sess.clear_scratch(spark)
     assert not os.path.exists(new[0])
     assert not sess._TRACKED_SCRATCH_DIRS
+
+
+def test_counted_scores_sliced_equals_single_pass(spark, docs):
+    """Forcing the pair stream through multiple hash slices must
+    reproduce the single-pass result EXACTLY: slicing a groupBy on
+    its own group key is a partition of the key space, and per-pair
+    independence makes the union identical (the
+    brute_topk_arrow_blocked argument, dedup edition)."""
+    from unittest import mock
+
+    from graphdb_cia_factbook_spark.operators import dedup
+
+    want = {(r.id_a, r.id_b, r.jaccard)
+            for r in dedup.ngram_jaccard_dedup(
+                docs, threshold=0.3).collect()}
+    orig = dedup._counted_scores
+
+    def forced(pairs, side, id_col, raw_pairs, score, **kw):
+        return orig(pairs, side, id_col, raw_pairs, score,
+                    max_pairs_per_pass=50)
+    with mock.patch.object(dedup, "_counted_scores", side_effect=forced):
+        got = {(r.id_a, r.id_b, r.jaccard)
+               for r in dedup.ngram_jaccard_dedup(
+                   docs, threshold=0.3).collect()}
+    assert got == want and want  # bit-equal doubles, non-vacuous
