@@ -51,16 +51,37 @@ def main() -> int:
     from graphdb_cia_factbook_spark.registry import queries
     from graphdb_cia_factbook_spark.session import get_spark
 
-    spark = get_spark("ngram-oracle-at-scale")
+    import os
+
+    # the Spark result caches to parquet so a rerun after a DuckDB-
+    # phase failure (the first sf10 attempt was OOM-KILLED by the
+    # kernel when the uncapped DuckDB ran next to a live Spark JVM)
+    # skips the ~20-min engine side; --fresh forces a re-run
+    cache = "/root/repo/scratch/ngram_sf10_spark_cache" \
+        if "sf10" in sf_dir else None
     t0 = time.perf_counter()
-    got = {(r.id_a, r.id_b, r.jaccard)
-           for r in queries()["llm_ngram_jaccard"](
-               spark, sf_dir).collect()}
+    if cache and os.path.isdir(cache) and "--fresh" not in sys.argv:
+        got = {tuple(r) for r in duckdb.connect().execute(
+            f"SELECT * FROM read_parquet('{cache}/*.parquet')"
+        ).fetchall()}
+    else:
+        spark = get_spark("ngram-oracle-at-scale")
+        res = queries()["llm_ngram_jaccard"](spark, sf_dir)
+        if cache:
+            res.write.mode("overwrite").parquet(cache)
+            got = {tuple(r) for r in duckdb.connect().execute(
+                f"SELECT * FROM read_parquet('{cache}/*.parquet')"
+            ).fetchall()}
+        else:
+            got = {(r.id_a, r.id_b, r.jaccard) for r in res.collect()}
+        spark.stop()  # free the JVM before the DuckDB phase
     print(f"spark llm_ngram_jaccard: {len(got)} rows "
           f"[{time.perf_counter() - t0:.1f}s]", flush=True)
 
     con = duckdb.connect()
     con.execute("SET preserve_insertion_order=false")
+    # spill, don't die, when a Spark JVM shares the host
+    con.execute("SET memory_limit='48GB'")
     con.execute(f"CREATE VIEW documents AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/documents.parquet')")
     t0 = time.perf_counter()
