@@ -300,7 +300,8 @@ def _attach_sides(counts: DataFrame, side: DataFrame, id_col: str,
 
 def _counted_scores(pairs: DataFrame, side: DataFrame, id_col: str,
                     raw_pairs: int, score,
-                    max_pairs_per_pass: int = 800_000_000) -> DataFrame:
+                    max_pairs_per_pass: int = 800_000_000,
+                    scratch_dir: str | None = None) -> DataFrame:
     """Aggregate a raw co-occurrence pair stream to per-pair counts,
     attach the scoring sides, and apply ``score`` (projection +
     threshold filter) -- SLICED when the measured raw volume exceeds
@@ -320,7 +321,14 @@ def _counted_scores(pairs: DataFrame, side: DataFrame, id_col: str,
     construction, and per-pair independence makes the union
     identical to the single-pass result.  On a real cluster the
     budget rises with aggregate shuffle capacity (it is a per-PASS
-    spill bound, not a semantics knob)."""
+    spill bound, not a semantics knob).
+
+    ``scratch_dir``: root for the sliced-pass survivor spill (the
+    ``brute_topk_arrow_blocked`` contract) -- when ``None`` the
+    shared ``/root/repo/scratch`` root is used and the directory is
+    registered with :func:`session.clear_scratch` for reclamation;
+    callers who pass their own root own that directory's lifecycle
+    themselves."""
     n_slices = int(raw_pairs // max_pairs_per_pass) + 1
     width = max(32, min(4096,
                         int(raw_pairs // n_slices // 4_000_000) + 1))
@@ -337,8 +345,10 @@ def _counted_scores(pairs: DataFrame, side: DataFrame, id_col: str,
 
     from ..session import track_scratch_dir
     spark = pairs.sparkSession
-    out = track_scratch_dir(
-        f"/root/repo/scratch/pair_slices_{uuid.uuid4().hex[:12]}")
+    out = ((scratch_dir or "/root/repo/scratch")
+           + f"/pair_slices_{uuid.uuid4().hex[:12]}")
+    if scratch_dir is None:
+        track_scratch_dir(out)
     key = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(n_slices))
     schema = None
     for s in range(n_slices):
@@ -351,7 +361,8 @@ def _counted_scores(pairs: DataFrame, side: DataFrame, id_col: str,
 def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", k_shingle: int = 3,
                         threshold: float = 0.8,
-                        max_shingle_df: int = 1000) -> DataFrame:
+                        max_shingle_df: int = 1000,
+                        scratch_dir: str | None = None) -> DataFrame:
     """Brute n-gram Jaccard: all pairs sharing >= 1 sufficiently-rare
     shingle, exact Jaccard >= threshold over the FULL shingle sets.
 
@@ -422,7 +433,8 @@ def ngram_jaccard_dedup(df: DataFrame, id_col: str = "doc_id",
                 .where(F.col("jaccard") >= threshold))
 
     return _counted_scores(pairs.select("p.id_a", "p.id_b"), side,
-                           id_col, int(raw_pairs), _score)
+                           id_col, int(raw_pairs), _score,
+                           scratch_dir=scratch_dir)
 
 
 def decontaminate(train: DataFrame, benchmark: DataFrame,
@@ -526,7 +538,8 @@ def simhash_neardup_pairs(df: DataFrame, id_col: str = "doc_id",
 def winnow_containment(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k_shingle: int = 3,
                        window: int = 4, min_containment: float = 0.5,
-                       max_fp_df: int = 1000) -> DataFrame:
+                       max_fp_df: int = 1000,
+                       scratch_dir: str | None = None) -> DataFrame:
     """CONTAINMENT detection via winnowing fingerprints: for ordered
     pairs (a, b), ``containment = |fp(a) ∩ fp(b)| / |fp(a)|`` -- near
     1.0 when document a's content appears inside b even if b is much
@@ -538,12 +551,13 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
     ``ngram_jaccard_dedup.max_shingle_df``): one boilerplate
     fingerprint shared by m docs contributes m^2 ordered candidates,
     so fingerprints with document frequency above the cap are excluded
-    from CANDIDATE GENERATION.  Scoring is then EXACT over the full
-    fingerprint sets of the candidate pairs (the self-join is pruned
-    to candidate docs first, so hot fps re-enter only within that
-    bounded doc set) -- the containment value is unaffected by the
-    cap, only recall of pairs whose EVERY shared fp is
-    boilerplate-common is.
+    from CANDIDATE GENERATION.  Scoring then recovers the EXACT
+    full-set intersection via the count decomposition below: the
+    rare-fp part is the enumeration stream's grouped count, and hot
+    fps (df > cap) re-enter through the bounded per-doc hot-only
+    sets intersected per surviving pair -- the containment value is
+    unaffected by the cap, only recall of pairs whose EVERY shared
+    fp is boilerplate-common is.
 
     Scale shape (round-9 sf10 lesson, COMPLETED in round 10 -- the
     ngram_jaccard_dedup twin): candidate ORDERED pairs enumerate from
@@ -595,7 +609,8 @@ def winnow_containment(df: DataFrame, id_col: str = "doc_id",
                 .where(F.col("containment") >= min_containment))
 
     return _counted_scores(pairs.select("p.id_a", "p.id_b"), side,
-                           id_col, int(raw_pairs), _score)
+                           id_col, int(raw_pairs), _score,
+                           scratch_dir=scratch_dir)
 
 
 def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",

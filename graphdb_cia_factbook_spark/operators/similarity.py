@@ -463,7 +463,10 @@ def near_dup_pairs_arrow(emb: DataFrame, threshold: float, dim: int,
                          chunk_rows: int = 1024) -> DataFrame:
     """:func:`near_dup_pairs` scored by a per-bucket vectorized Arrow
     kernel -- same output contract, bit-identical cosines (pytest
-    pins equality against the Catalyst path).
+    pins equality against the Catalyst path).  One deliberate
+    divergence: zero-norm vectors raise ``ValueError`` here
+    (fail-fast, see below) where the Catalyst fold would silently
+    keep the resulting NaN pairs.
 
     The Catalyst shape materializes one ~600-byte row (both vectors)
     per in-bucket pair before the projection touches it -- the same

@@ -1606,7 +1606,8 @@ def test_near_dup_pairs_arrow_bucket_parallelism_warning(spark):
         near_dup_pairs_arrow)
     rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0])]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    assert spark.sparkContext.defaultParallelism > 2
+    if spark.sparkContext.defaultParallelism <= 2:
+        pytest.skip("nbits=1 warning cannot fire on a 1-2 core host")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         near_dup_pairs_arrow(emb, threshold=0.5, dim=2, nbits=1)

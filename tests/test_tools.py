@@ -235,3 +235,56 @@ class TestBenchCompareLoader:
                 bench_compare.main()
         finally:
             _sys.argv = argv
+
+
+class TestDiskPreflight:
+    """tools/scale_common.disk_preflight — the round-10 post-mortem
+    hardening: a disk-bound at-scale receipt run must refuse to start
+    when the filesystem lacks the tool's documented peak headroom,
+    instead of dying 20 minutes into the DuckDB phase (VERDICT
+    round 10, item 5)."""
+
+    def _mod(self):
+        spec = importlib.util.spec_from_file_location(
+            "scale_common",
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools" / "scale_common.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_refuses_when_peak_exceeds_free(self, tmp_path):
+        import pytest
+        sc = self._mod()
+        with pytest.raises(SystemExit, match="documented peak"):
+            # no filesystem has an exabyte free
+            sc.disk_preflight(1e9, path=str(tmp_path), sweep=False)
+
+    def test_passes_and_returns_free_gb(self, tmp_path):
+        sc = self._mod()
+        free = sc.disk_preflight(0.0001, path=str(tmp_path),
+                                 sweep=False)
+        assert free > 0
+
+    def test_sweep_removes_only_stale_dirs(self, tmp_path, monkeypatch):
+        import os
+        import time
+        sc = self._mod()
+        stale = tmp_path / "blockmgr-stale"
+        live = tmp_path / "blockmgr-live"
+        stale.mkdir()
+        live.mkdir()
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        monkeypatch.setattr(sc, "_STALE_SPILL_GLOBS",
+                            (str(tmp_path / "blockmgr-*"),))
+        removed = sc.sweep_stale_spill()
+        assert removed == 1
+        assert not stale.exists() and live.exists()
+
+    def test_every_at_scale_tool_is_wired(self):
+        # the preflight is only protection if every disk-bound staged
+        # tool actually calls it
+        tools_dir = pathlib.Path(__file__).resolve().parents[1] / "tools"
+        for path in sorted(tools_dir.glob("*_oracle_at_scale.py")):
+            assert "disk_preflight" in path.read_text(), path.name

@@ -39,6 +39,10 @@ from hash_parity import canon_hash  # noqa: E402
 
 
 def main() -> int:
+    # round-10 post-mortem: refuse disk-bound runs without
+    # headroom instead of dying 20 minutes in (SCALE.md)
+    from tools.scale_common import disk_preflight
+    disk_preflight(15)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/scratch/sf10"
     chunk = int(args[1]) if len(args) > 1 else 2000

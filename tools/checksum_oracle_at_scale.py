@@ -48,6 +48,10 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 
 
 def main() -> int:
+    # round-10 post-mortem: refuse disk-bound runs without
+    # headroom instead of dying 20 minutes in (SCALE.md)
+    from tools.scale_common import disk_preflight
+    disk_preflight(15)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir, names = args[0], args[1:]
     float_scale = None

@@ -23,6 +23,10 @@ import duckdb  # noqa: E402
 
 
 def main() -> int:
+    # round-10 post-mortem: refuse disk-bound runs without
+    # headroom instead of dying 20 minutes in (SCALE.md)
+    from tools.scale_common import disk_preflight
+    disk_preflight(15)
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else "/root/repo/scratch/sf10"
 
