@@ -95,33 +95,32 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 10 rotation (round 9 recorded 50/50 green; cumulative
-    # official coverage is the full 349/349 with zero unhealed reds).
-    # With every entry recorded at least once, rotation policy
-    # switches to FRESHNESS: these are the 50 entries whose LATEST
-    # official record is oldest (2 from r1, 37 from r2, 11 from r3 --
-    # computed from all nine CORRECTNESS files; registry order within
-    # the same round).  The r1/r2-era rows predate the strict
-    # value-hash rule, so re-recording them upgrades the weakest
-    # certificates first.  After this round no entry's record is
-    # older than r3.  Entries NOT in this list keep registration
-    # (module import) order after it -- nothing is dropped.
-    "f_date_parts", "w7_first_last_frame", "p2_regex_filter",
-    "p8_masked_update", "j1_left_broadcast", "j5_map_lookup",
-    "j7_semi_endpoints", "j_anti_no_orders", "a2_dedup_pairs",
-    "a4_group_collect", "a5_count_distinct", "agg_cube", "agg_rollup",
-    "w1_rank_min", "w3_lag_lead", "w4_moving_sum", "u1_union_tagged",
-    "set_intersect", "set_except_all", "w6_ntile_percent_rank",
-    "f_levenshtein_names", "agg_pivot", "agg_unpivot",
-    "agg_median_quartiles", "agg_stats_corr", "j_range_value_bands",
-    "j_salted_hot_key", "j_merge_hint", "j_shuffle_hash_hint",
-    "agg_approx_sketches", "s1_text_crawl", "s1_from_records",
-    "f2_extract_year", "f4_f5_percentage", "f8_population_parse",
-    "f6_f7_goods_split", "f9_f10_impute_scale", "f14_f15_json_ts",
-    "j6_canonicalize", "g_edge_build", "g_degrees", "g_trade_rank",
-    "g2_articlerank", "g_hits", "g_ppr", "g_clustering_coeff",
-    "g_connected_components", "g_property_edges", "g_bfs_hops",
-    "g_sssp_weighted",
+    # ROUND 11 rotation, FRESHNESS policy (round 10 re-recorded the
+    # 50 pre-strict-era r1/r2/r3 rows 50/50 green; cumulative
+    # official coverage remains 349/349 with zero unhealed reds).
+    # These are the 50 entries whose LATEST official record is now
+    # oldest: all 27 remaining r3-era rows plus the 23
+    # alphabetically-first r4 rows (computed from all ten
+    # CORRECTNESS files).  After this round no entry's official
+    # record predates r4.  Entries NOT in this list keep
+    # registration (module import) order after it -- nothing is
+    # dropped, only reordered.
+    "g_kcore", "g_label_propagation", "llm_ann_lsh_multiprobe",
+    "llm_ann_quantized", "llm_bpe_token_count", "llm_decontaminate",
+    "llm_dedup_clusters", "llm_embed_neardup", "llm_fixed_sample",
+    "llm_knn_classify", "llm_langid", "llm_ngram_jaccard",
+    "llm_quality_filter", "llm_repetition", "llm_simhash_neardup",
+    "llm_stratified_sample", "llm_token_stats",
+    "llm_winnow_containment", "mm_decode", "mm_frame_sample",
+    "mm_png_meta", "sql_top_partner_top10", "st_concurrency",
+    "st_dedup", "st_sessionize", "st_sliding", "st_stream_join",
+    "ab_test_welch", "agg_chi2_uniform_dow", "agg_concentration",
+    "agg_entropy", "agg_eta_squared", "agg_histogram", "agg_ks_test",
+    "agg_spearman", "agg_theil", "agg_yoy_growth", "anomaly_mad",
+    "anomaly_tukey", "attribution_last_touch", "attribution_position",
+    "boot_mean_ci", "cohort_retention", "copurchase_pairs",
+    "copurchase_rules", "dq_benford", "dq_dp_counts",
+    "dq_k_anonymity", "dq_profile", "dq_referential",
 ]
 
 
