@@ -288,3 +288,30 @@ class TestDiskPreflight:
         tools_dir = pathlib.Path(__file__).resolve().parents[1] / "tools"
         for path in sorted(tools_dir.glob("*_oracle_at_scale.py")):
             assert "disk_preflight" in path.read_text(), path.name
+
+
+class TestLedgerAudit:
+    """tools/ledger_audit.py — round 10's one defect was a prose
+    ledger counting a pending receipt as landed; the audit makes the
+    checkable part of that class mechanical (official-ledger
+    recompute, citation existence, cumulative-claim ceiling)."""
+
+    def _mod(self):
+        spec = importlib.util.spec_from_file_location(
+            "ledger_audit",
+            pathlib.Path(__file__).resolve().parents[1]
+            / "tools" / "ledger_audit.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_ledgers_are_honest(self):
+        la = self._mod()
+        assert la.audit() == []
+
+    def test_recompute_covers_registry(self):
+        la = self._mod()
+        import __spark_entry__ as entrymod
+        latest, greens, reds = la.recompute_official()
+        assert set(latest) == set(entrymod.queries())
+        assert not reds
