@@ -162,11 +162,11 @@ def main() -> None:
     calibration = {"before": calibrate()}
 
     passes: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    mids = []
     for _pass in range(4):
         for name in HEADLINE:
             passes[name].append(run_one(name))
-        if _pass == 1:
-            calibration["mid"] = calibrate()
+        mids.append(calibrate())
     for _extra in range(2):
         noisy = [n for n, ts in passes.items()
                  if max(ts) > 1.5 * min(ts)]
@@ -177,8 +177,17 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in passes.items()}
 
     calibration["after"] = calibrate()
-    vals = list(calibration.values())
-    calibration["worst_ratio"] = round(max(vals) / min(vals), 3)
+    # worst_ratio compares the UNDER-LOAD mid samples only (one per
+    # pass, like-for-like): round 11 found the idle before/after
+    # samples run at single-core boost clock ~18% faster than the
+    # same loop next to a busy Spark pool -- two back-to-back runs
+    # both showed worst_ratio ~1.22, in OPPOSITE directions (run 1's
+    # 'before' fast, run 2's 'after' fast) while their mid samples
+    # agreed within 3%.  Edge samples stay in the JSON for context;
+    # the ratio now measures the mid-run throttling it was built to
+    # catch, not frequency-governor transitions at the run's edges.
+    calibration["mid"] = mids
+    calibration["worst_ratio"] = round(max(mids) / min(mids), 3)
 
     out = {
         "metric": "headline_queries_total",
