@@ -278,9 +278,24 @@ class TestDiskPreflight:
         os.utime(stale, (old, old))
         monkeypatch.setattr(sc, "_STALE_SPILL_GLOBS",
                             (str(tmp_path / "blockmgr-*"),))
+        monkeypatch.setattr(sc, "_live_jvm", lambda: False)
         removed = sc.sweep_stale_spill()
         assert removed == 1
         assert not stale.exists() and live.exists()
+
+    def test_sweep_refuses_next_to_live_jvm(self, tmp_path, monkeypatch):
+        import os
+        import time
+        sc = self._mod()
+        stale = tmp_path / "blockmgr-stale"
+        stale.mkdir()
+        old = time.time() - 7200
+        os.utime(stale, (old, old))
+        monkeypatch.setattr(sc, "_STALE_SPILL_GLOBS",
+                            (str(tmp_path / "blockmgr-*"),))
+        monkeypatch.setattr(sc, "_live_jvm", lambda: True)
+        assert sc.sweep_stale_spill() == 0
+        assert stale.exists()
 
     def test_every_at_scale_tool_is_wired(self):
         # the preflight is only protection if every disk-bound staged

@@ -31,14 +31,40 @@ _STALE_SPILL_GLOBS = ("/tmp/blockmgr-*", "/tmp/spark-*")
 _STALE_AGE_S = 3600.0
 
 
+def _live_jvm() -> bool:
+    """True when any JVM is running on this host.
+
+    The stale-age heuristic alone is unsafe next to a LIVE Spark
+    session: a long receipt-grind JVM (round 10 ran 2.5h ones)
+    creates its ``/tmp/spark-*`` / ``blockmgr-*`` roots at startup
+    and may never touch the ROOT's mtime again -- after an hour they
+    look "stale" while very much in use.  Spill dirs don't encode
+    the owning PID, so the safe single-host rule is: any live JVM
+    means no sweeping at all.
+    """
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/comm") as fh:
+                if fh.read().strip() == "java":
+                    return True
+        except OSError:
+            continue
+    return False
+
+
 def sweep_stale_spill(min_age_s: float = _STALE_AGE_S) -> int:
     """Delete orphaned Spark spill dirs older than ``min_age_s``.
 
-    Returns the number of directories removed.  Age is the tree
-    root's mtime -- a LIVE run touches its blockmgr root on every
-    spill file create, so anything an hour cold is a leak from a
-    killed process, not an active job.
+    Returns the number of directories removed.  Refuses to sweep
+    anything while a JVM is live (see :func:`_live_jvm`); with no
+    JVM running, every matching dir is by definition orphaned, and
+    the age cutoff only spares freshly-created dirs of a session
+    that is starting up concurrently.
     """
+    if _live_jvm():
+        return 0
     now = time.time()
     removed = 0
     for pat in _STALE_SPILL_GLOBS:
