@@ -35,6 +35,27 @@ def _hold(df: DataFrame) -> DataFrame:
     return df.localCheckpoint()
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Re-spread a materialized-but-narrow intermediate across the
+    cluster before a compute-heavy map stage.
+
+    AQE coalesces shuffle output by BYTES, so a small shingle table
+    lands in very few partitions (measured: 4 of 32 at bench scale) --
+    the right call for shuffle cost, but it then starves per-row-
+    expensive consumers (the 32x-md5 MinHash signature aggregate ran
+    on 4 of 32 cores, 2.1s -> 0.6s after widening).  Round-robin
+    repartition to cluster width, ONLY when the input is narrower than
+    the cluster: a 100-TB shingle table is already wider than the
+    cluster and skips this path entirely (same contract as
+    ``sources.read_parallel``; the REPARTITION_BY_NUM exchange is
+    excluded from the plan-budget data-shuffle count for exactly this
+    reason)."""
+    width = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
+    return df
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact dedup: group by md5(normalized text); canonical doc is the
@@ -191,8 +212,11 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     rows_per_band = num_hashes // bands
     # the shingle table feeds the signature AND the verification
     # self-join; the signature->bands->pairs chain is linear (single
-    # consumer each) so only sh and the final pairs materialize
-    sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
+    # consumer each) so only sh and the final pairs materialize.
+    # _widen: both consumers open with per-row hashing (num_hashes x
+    # md5 mins / collect_set), so the checkpointed table must feed
+    # every core, not the 4 partitions AQE's byte-based coalesce left
+    sh = _widen(_hold(shingle_sets(df, id_col, text_col, k_shingle)))
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band),
                                id_col, max_bucket_size=max_bucket_size)
