@@ -668,9 +668,14 @@ def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
             .select(id_col, F.posexplode(spans).alias("pos", "span_text"))
             .withColumn("okey",
                         F.col(id_col) * 1_000_000_000 + F.col("pos")))
-    first = (rows.groupBy("span_text")
-             .agg(F.min("okey").alias("first_okey")))
-    marked = (rows.join(first, "span_text")
+    # first_okey as a window MIN over the span partition: the old
+    # groupBy + join-back shape read the explode chain twice and paid
+    # a third exchange for the join; the window shares the span_text
+    # exchange with the MIN itself (guide: a window keyed like the
+    # preceding aggregation needs no second shuffle).  Same integer
+    # MIN, same rows -- only the plan changes.
+    w_span = Window.partitionBy("span_text")
+    marked = (rows.withColumn("first_okey", F.min("okey").over(w_span))
               .withColumn("is_dup", F.col("okey") != F.col("first_okey")))
     kept = F.array_join(
         F.transform(
