@@ -65,6 +65,22 @@ class Graph:
             e = e.where(F.col("type") == edge_type)
         return Graph(self.vertices, e)
 
+    def hold(self) -> "Graph":
+        """Materialize the edge table once (eager localCheckpoint)
+        before an operator that references it several times.
+
+        The trade edge table is nations-squared-bounded BY
+        CONSTRUCTION (the build aggregates the fact table down to one
+        row per (src, dst)), so this is a tiny stationary table at any
+        corpus scale -- but a LAZY plan re-runs the full
+        fact-join-aggregate chain once per reference (measured: the
+        triangle wedge join planned the lineitem build 3x, 19 parquet
+        scans in one query; g_triangles 1.98s -> 1.35s held).  This is
+        the Spark analog of the reference's one-time GDS graph
+        projection.  Same lifecycle note as dedup._hold: a cluster run
+        would persist/stage instead."""
+        return Graph(self.vertices, self.edges.localCheckpoint())
+
     def degrees(self) -> DataFrame:
         """A5/G-degrees: in/out degree + weighted totals per vertex.
         Two vertex-sized partial aggs joined back -- all map-side

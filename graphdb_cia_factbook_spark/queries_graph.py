@@ -150,7 +150,7 @@ LEFT JOIN (SELECT dst, COUNT(*) AS in_deg,
 def g_degrees(spark, sf):
     """A5/G-degrees: weighted in/out degrees per vertex
     (country totals, preprocess_upload_neo4j.py:194-201)."""
-    return build_trade_graph(spark, sf).degrees()
+    return build_trade_graph(spark, sf).hold().degrees()
 
 
 @register("g_trade_rank", f"""
@@ -1112,7 +1112,7 @@ def g_assortativity(spark, sf):
     near-constant degrees (zero variance makes count-degree corr
     undefined).  Two broadcast strength joins + one co-moment
     aggregate (rounded 6, the corr contract)."""
-    g = build_trade_graph(spark, sf)
+    g = build_trade_graph(spark, sf).hold()
     edges = g.edges.select("src", "dst")
     out = g.edges.groupBy(F.col("src").alias("id")) \
         .agg(dsum("amount").alias("od"))
@@ -1275,7 +1275,7 @@ def g_neighborhood_agg(spark, sf):
     one GNN aggregation layer as a DataFrame plan.  See
     operators.graph.neighborhood_agg."""
     from .operators.graph import build_trade_graph, neighborhood_agg
-    g = build_trade_graph(spark, sf)
+    g = build_trade_graph(spark, sf).hold()
     return neighborhood_agg(g, ["out_deg", "out_amount"])
 
 
@@ -1968,7 +1968,7 @@ def g_edge_betweenness(spark, sf):
     the most shortest paths).  Shares the path-counting BFS closure
     with g_betweenness.  See operators.graph.edge_betweenness."""
     from .operators.graph import Graph, edge_betweenness
-    g = build_trade_graph(spark, sf)
+    g = build_trade_graph(spark, sf).hold()
     n_verts = g.vertices.count()
     assert n_verts - 1 <= _BETW_LEVELS
     w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
@@ -2746,7 +2746,7 @@ def g_rank_agreement(spark, sf):
     all-pairs join is vertex-squared -- fine on dimension-sized
     rankings, sample at web scale); completes the rank-statistics
     family next to Spearman."""
-    g = build_trade_graph(spark, sf)
+    g = build_trade_graph(spark, sf).hold()
     from pyspark.sql import Window as W
     deg = (g.vertices.select("id")
            .join(g.edges.groupBy(F.col("src").alias("id"))
