@@ -582,7 +582,11 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
         if hop > max_hops:
             _warn_hop_budget("bfs_hops", max_hops)
             break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        # no checkpoint on the union: every leaf (the per-hop nxt) is
+        # already a materialized checkpoint, so the union is pure plan
+        # glue -- re-checkpointing it copied the ENTIRE closure once
+        # per hop (O(hops^2) bytes at any scale)
+        visited = visited.union(nxt)
         frontier = nxt
     return (graph.vertices.select("id")
             .join(visited, "id", "left")
@@ -624,7 +628,11 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
         if hop > max_hops:
             _warn_hop_budget("_multi_root_bfs", max_hops)
             break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        # no checkpoint on the union: every leaf (the per-hop nxt) is
+        # already a materialized checkpoint, so the union is pure plan
+        # glue -- re-checkpointing it copied the ENTIRE closure once
+        # per hop (O(hops^2) bytes at any scale)
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 
@@ -1197,7 +1205,11 @@ def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
         if hop > max_hops:
             _warn_hop_budget("_multi_root_bfs_paths", max_hops)
             break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        # no checkpoint on the union: every leaf (the per-hop nxt) is
+        # already a materialized checkpoint, so the union is pure plan
+        # glue -- re-checkpointing it copied the ENTIRE closure once
+        # per hop (O(hops^2) bytes at any scale)
+        visited = visited.union(nxt)
         frontier = nxt
     return visited
 
@@ -1879,7 +1891,11 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
             # truncation here would mark far-apart endpoints as bridges
             _warn_hop_budget("bridges", max_hops)
             break
-        visited = visited.union(nxt).localCheckpoint(eager=False)
+        # no checkpoint on the union: every leaf (the per-hop nxt) is
+        # already a materialized checkpoint, so the union is pure plan
+        # glue -- re-checkpointing it copied the ENTIRE closure once
+        # per hop (O(hops^2) bytes at any scale)
+        visited = visited.union(nxt)
         frontier = nxt
     reached = (visited.where(F.col("id") == F.col("eb"))
                .select("ea", "eb", F.lit(True).alias("__r")))

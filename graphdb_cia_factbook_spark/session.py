@@ -119,6 +119,7 @@ def clear_scratch(spark: SparkSession) -> int:
     spark.catalog.clearCache()
     # non-blocking: a still-live DataFrame that references a tracked
     # broadcast can lazily re-broadcast from the driver copy
+    dropped_broadcasts = bool(_TRACKED_BROADCASTS)
     while _TRACKED_BROADCASTS:
         try:
             _TRACKED_BROADCASTS.pop().unpersist(blocking=False)
@@ -128,7 +129,12 @@ def clear_scratch(spark: SparkSession) -> int:
     # -- non-recomputable like checkpoints: the same "no live
     # consumer" caution above applies
     import shutil
+    had_scratch = bool(_TRACKED_SCRATCH_DIRS) or dropped_broadcasts
     while _TRACKED_SCRATCH_DIRS:
         shutil.rmtree(_TRACKED_SCRATCH_DIRS.pop(), ignore_errors=True)
-    gc.collect()
+    # gc releases the py4j handles of what was just dropped so the JVM
+    # side can actually free it -- pure overhead (~20ms/call) when this
+    # sweep found nothing, which is most queries in a bench pass
+    if ids or had_scratch:
+        gc.collect()
     return len(ids)
