@@ -1601,6 +1601,7 @@ def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
     ue = (undirected_edges(graph.edges).select("a", "b")
           .distinct().localCheckpoint())
     cur = ue
+    n_prev = cur.count()
     for _ in range(max_iter):
         sym = cur.union(cur.select(F.col("b").alias("a"),
                                    F.col("a").alias("b")))
@@ -1614,10 +1615,13 @@ def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
         kept = (cur.join(wedges, ["a", "b"], "left")
                 .where(F.coalesce("sup", F.lit(0)) >= k - 2)
                 .select("a", "b").localCheckpoint())
-        if kept.count() == cur.count():
-            cur = kept
-            break
+        # fixpoint test reuses last round's count (cur was counted
+        # when it was kept) -- recounting it was a duplicate job
+        n_kept = kept.count()
         cur = kept
+        if n_kept == n_prev:
+            break
+        n_prev = n_kept
     return (ue.join(cur.select("a", "b",
                                F.lit(True).alias("in_truss")),
                     ["a", "b"], "left")

@@ -415,6 +415,7 @@ def ancestor_closure(parents: DataFrame, node_col: str = "node",
                           F.col(parent_col).alias("anc"),
                           F.lit(1).alias("dist"))
            .distinct().localCheckpoint())
+    n_prev = clo.count()
     for _ in range(max_rounds):
         a, b = clo.alias("a"), clo.alias("b")
         nxt = (a.join(b, F.col("a.anc") == F.col("b.node"))
@@ -425,7 +426,10 @@ def ancestor_closure(parents: DataFrame, node_col: str = "node",
                   .groupBy("node", "anc")
                   .agg(F.min("dist").alias("dist"))
                   .localCheckpoint())
-        if merged.count() == clo.count():
+        # fixpoint test reuses last round's count -- clo is merged from
+        # the previous iteration, so recounting it was a duplicate job
+        n_merged = merged.count()
+        if n_merged == n_prev:
             return merged
-        clo = merged
+        clo, n_prev = merged, n_merged
     return clo
