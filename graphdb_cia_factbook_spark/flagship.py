@@ -19,7 +19,11 @@ from .operators.graph import build_trade_graph, pagerank
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = build_trade_graph(spark, sf_dir)
+    # hold: the edge table feeds BOTH the rank loop (which checkpoints
+    # its own share-normalized copy during construction) and the
+    # top-partner window at action time -- lazily that is two
+    # sequential full builds with no chance to overlap
+    g = build_trade_graph(spark, sf_dir).hold()
     ranks = pagerank(g, damping=0.85, max_iter=20, weighted=False)
 
     w = Window.partitionBy("src").orderBy(F.desc("amount"), F.asc("dst"))
