@@ -114,6 +114,10 @@ SF1_HOT = [
     "q1_pricing_summary", "q9_product_profit", "llm_exact_dedup",
     "llm_incremental_dedup", "llm_curation_pipeline", "llm_minhash_lsh",
     "llm_ann_ivf", "g1_pagerank", "st_tumbling", "ts_ewma",
+    # round 12 (VERDICT item 5): the queries round 11-12's loop and
+    # dedup changes touched get a 10x receipt in the driver-visible
+    # artifact (additive only -- existing entries never move)
+    "g_mst", "g_betweenness", "llm_minhash_lsh_sharp", "llm_span_dedup",
 ]
 SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "scratch", "sf1")

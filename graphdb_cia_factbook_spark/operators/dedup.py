@@ -213,10 +213,19 @@ def minhash_lsh_dedup(df: DataFrame, id_col: str = "doc_id",
     # the shingle table feeds the signature AND the verification
     # self-join; the signature->bands->pairs chain is linear (single
     # consumer each) so only sh and the final pairs materialize.
-    # _widen: both consumers open with per-row hashing (num_hashes x
-    # md5 mins / collect_set), so the checkpointed table must feed
-    # every core, not the 4 partitions AQE's byte-based coalesce left
-    sh = _widen(_hold(shingle_sets(df, id_col, text_col, k_shingle)))
+    # _widen, COMPUTE-GATED (round 12): the round-robin re-spread of
+    # the AQE-byte-coalesced checkpoint pays a full shuffle of the
+    # shingle table to buy parallelism for the num_hashes x md5
+    # signature aggregate -- a win only when the freed compute exceeds
+    # the shuffle.  Measured at bench scale (driver r11): 32 hashes
+    # 1.19x FASTER widened, 12 hashes 0.84x SLOWER (the shuffle cost
+    # exceeds 12 hashes of freed md5 work).  Gate at >= 24 hashes: the
+    # sharp operating point widens, the default stays on the
+    # AQE-chosen layout.  At 100 TB the table is wider than the
+    # cluster and _widen is a no-op either way.
+    sh = _hold(shingle_sets(df, id_col, text_col, k_shingle))
+    if num_hashes >= 24:
+        sh = _widen(sh)
     sig = minhash_signatures(sh, id_col, num_hashes)
     cand = lsh_candidate_pairs(lsh_bands(sig, id_col, bands, rows_per_band),
                                id_col, max_bucket_size=max_bucket_size)
@@ -673,7 +682,14 @@ def span_dedup(df: DataFrame, span: int = 10, id_col: str = "doc_id",
     # a third exchange for the join; the window shares the span_text
     # exchange with the MIN itself (guide: a window keyed like the
     # preceding aggregation needs no second shuffle).  Same integer
-    # MIN, same rows -- only the plan changes.
+    # MIN, same rows -- only the plan changes.  NULL guard (round-11
+    # ADVICE): the old inner join dropped any NULL span_text row
+    # (NULL != NULL in a join) while a window PARTITION BY groups
+    # NULLs together -- filter them out so the rewrite is exactly the
+    # join shape even if a pathological corpus produced NULL spans
+    # (the current tokenizer cannot, but equivalence should not rest
+    # on that).
+    rows = rows.where(F.col("span_text").isNotNull())
     w_span = Window.partitionBy("span_text")
     marked = (rows.withColumn("first_okey", F.min("okey").over(w_span))
               .withColumn("is_dup", F.col("okey") != F.col("first_okey")))

@@ -152,6 +152,8 @@ def _sized_partitions(df: DataFrame, rows_per_partition: int = 100_000) -> DataF
     import os
     width = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     target = max(1, min(width, n // rows_per_partition + 1))
+    if df.rdd.getNumPartitions() == target:
+        return df  # already the right width: skip a copy job (§1/§5)
     return df.repartition(target).localCheckpoint()
 
 
@@ -177,12 +179,27 @@ def _superstep_mode(spark: SparkSession, small: bool) -> None:
     unchanged by partition-count choices.
 
     The flip is session-level by necessity (per-plan AQE is not a
-    DataFrame property): session hygiene restores it at every query
-    boundary (``session.clear_scratch``, which
-    ``registry._prepare_session`` runs at each entry and bench.py runs
-    after each timed action)."""
+    DataFrame property): it goes through ``session.conf_flip``, which
+    records the PRIOR value so that session hygiene restores exactly
+    that value at every query boundary (``session.clear_scratch``,
+    which ``registry._prepare_session`` runs at each entry and
+    bench.py runs after each timed action).  Library callers that
+    invoke pagerank/_rank_loop directly outside the registry should
+    call ``clear_scratch`` after materializing the ranks, or AQE stays
+    off for the rest of their session.
+
+    Loop-shape invariant (round-11 measured, do not undo): AQE-off is
+    a WIN only for loops whose per-superstep join is an EXPLICIT
+    broadcast (the rank family: the vertex vector is broadcast by
+    hand, so the static planner already emits the right join).  The
+    BFS / Borůvka / temporal-relay loops join stats-less checkpointed
+    frontiers; they NEED AQE's runtime broadcast conversion (the
+    static planner falls back to SortMergeJoin) and measured
+    1.33-1.89x WORSE with AQE off.  Keep AQE on for any loop that does
+    not broadcast its iterate explicitly."""
     if small:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        from ..session import conf_flip
+        conf_flip(spark, "spark.sql.adaptive.enabled", "false")
 
 
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
@@ -233,7 +250,11 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
         ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     edges_share = edges_share.localCheckpoint()  # stationary all supersteps
     has_out = edges_share.select(F.col("src").alias("id")).distinct()
-    dangling = verts.join(has_out, "id", "left_anti").localCheckpoint()
+    # lazy checkpoint + count: the count materializes the checkpoint
+    # in the SAME job (an eager checkpoint would run one job to copy
+    # and a second to count -- guide §1/§5, fewer driver actions)
+    dangling = verts.join(has_out, "id", "left_anti") \
+        .localCheckpoint(eager=False)
     n_dangling = dangling.count()
     synth = verts.select(F.col("id").alias("src"), F.col("id").alias("dst"),
                          F.lit(0.0).alias("share"))
@@ -249,7 +270,26 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
     # plausibly fits executor memory (~24B/row); past that it must
     # SHUFFLE onto the stationary src-partitioned edge table
     small_vector = n <= 10_000_000
-    _superstep_mode(verts.sparkSession, small_vector)
+    spark = verts.sparkSession
+    _superstep_mode(spark, small_vector)
+    # scale-adaptive reduce width for the superstep aggregate (round
+    # 12, guide §2.2): when the stationary edge table sits in ONE
+    # partition (_sized_partitions put it there because the graph is
+    # tiny), the per-superstep exchange at the session default (= core
+    # count) launches that many near-empty reduce tasks 20 times over
+    # -- pure scheduler latency with AQE off.  One map partition means
+    # the partial aggregate already emits exactly one row per key, so
+    # ANY reduce partitioning merges exactly one partial per key: the
+    # double-sum reduction order is pinned and the shrink is
+    # numerically neutral by construction (this is the same argument
+    # that made _superstep_mode safe).  A big graph keeps multiple
+    # edge partitions and never enters this branch; the conf is
+    # restored right after the loop (every loop segment is planned
+    # in-builder by the eager=False checkpoints below).
+    shuffle_restore = None
+    if small_vector and edges_share.rdd.getNumPartitions() == 1:
+        shuffle_restore = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
 
     for i in range(max_iter):
         rhs = F.broadcast(ranks) if small_vector else ranks
@@ -290,9 +330,15 @@ def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                  + F.lit(damping) * (F.col("contrib") + F.col("__dm") / n))
                 .alias("rank"))
         # the dangling path already materializes once per superstep;
-        # the periodic checkpoint only serves the no-dangling path
-        if not n_dangling and (i + 1) % checkpoint_every == 0:
+        # the periodic checkpoint only serves the no-dangling path.
+        # The final iteration always checkpoints so the LAST loop
+        # segment is physically planned here in the builder, while the
+        # shuffle-width shrink above is still in effect.
+        if not n_dangling and ((i + 1) % checkpoint_every == 0
+                               or i == max_iter - 1):
             ranks = ranks.localCheckpoint(eager=False)
+    if shuffle_restore is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle_restore)
     return ranks.withColumnRenamed("rank", out_name)
 
 
@@ -307,7 +353,8 @@ def pagerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
     default matches; ``weighted=True`` exposes the variant the
     reference author probably intended.
     """
-    verts = graph.vertices.select("id").localCheckpoint()
+    # lazy checkpoint: count() materializes it in the same job
+    verts = graph.vertices.select("id").localCheckpoint(eager=False)
     n = verts.count()
 
     weight = (F.col("amount") if weighted and "amount" in graph.edges.columns
@@ -340,7 +387,8 @@ def personalized_pagerank(graph: Graph, sources: list,
     mass, so scores would stop summing to 1 with no error -- rejected
     up front with one small count."""
     assert len(set(sources)) == len(sources), "duplicate ppr sources"
-    verts = graph.vertices.select("id").localCheckpoint()
+    # lazy checkpoint: count() materializes it in the same job
+    verts = graph.vertices.select("id").localCheckpoint(eager=False)
     n = verts.count()
     n_found = verts.where(F.col("id").isin(sources)).count()
     missing = len(sources) - n_found
@@ -372,7 +420,8 @@ def articlerank(graph: Graph, damping: float = 0.85, max_iter: int = 20,
     the mean out-degree over ALL vertices; damping 0.85, start 1/N,
     dangling mass redistributed as in PageRank.
     """
-    verts = graph.vertices.select("id").localCheckpoint()
+    # lazy checkpoint: count() materializes it in the same job
+    verts = graph.vertices.select("id").localCheckpoint(eager=False)
     n = verts.count()
 
     edges = graph.edges.select("src", "dst")
@@ -582,10 +631,17 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
         if hop > max_hops:
             _warn_hop_budget("bfs_hops", max_hops)
             break
-        # no checkpoint on the union: every leaf (the per-hop nxt) is
-        # already a materialized checkpoint, so the union is pure plan
-        # glue -- re-checkpointing it copied the ENTIRE closure once
-        # per hop (O(hops^2) bytes at any scale)
+        # LOOP-SHAPE INVARIANT (round 11, do not undo): no checkpoint
+        # on the union -- every leaf (the per-hop nxt) is already a
+        # materialized checkpoint, so the union is pure plan glue;
+        # re-checkpointing it copied the ENTIRE closure once per hop
+        # (O(hops^2) bytes at any scale).  The union DOES accrete one
+        # plan leg per hop, but that growth is linear and bounded by
+        # max_hops (~20-30), far below analyzer-pain territory.  The
+        # same invariant holds at every visited-union site below
+        # (_multi_root_bfs, _multi_root_bfs_paths, bridges).  See also
+        # _superstep_mode's docstring for the companion invariant: AQE
+        # must stay ON for these stats-less frontier joins.
         visited = visited.union(nxt)
         frontier = nxt
     return (graph.vertices.select("id")
@@ -827,7 +883,8 @@ def hits(graph: Graph, max_iter: int = 10,
     broadcast join + one aggregate.  The final normalization is two
     windows over vertex-sized tables.
     """
-    verts = graph.vertices.select("id").localCheckpoint()
+    # lazy checkpoint: count() materializes it in the same job
+    verts = graph.vertices.select("id").localCheckpoint(eager=False)
     n = verts.count()
     edges = _sized_partitions(
         graph.edges.select("src", "dst", F.lit(1.0).alias("w"))
@@ -1421,29 +1478,68 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
     DIAMETER (linear in components for chain-shaped merges); pointer
     doubling is logarithmic and runs ~half the Spark jobs per round."""
     edges = uedges.select("a", "b", "w").localCheckpoint()
+    # lazy checkpoint + count: one job materializes comp AND sizes the
+    # small-graph gate below (same fusion as _rank_loop's dangling)
     comp = vertices.select("id", F.col("id").alias("component")) \
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
+    small = comp.count() <= 10_000_000
+    spark = vertices.sparkSession
+    if small:
+        # every join in the contraction loop has a vertex- or
+        # component-sized side (comp projections, the hooking/doubling
+        # parent maps, the relabel table); when those fit executor
+        # memory, hint them broadcast EXPLICITLY so the static planner
+        # gets the right join without AQE's runtime conversion -- then
+        # AQE itself can go (via _superstep_mode / conf_flip, restored
+        # at the query boundary): its per-exchange materialize+re-plan
+        # round trips were the dominant cost of the loop (measured:
+        # ~4 AQE stage jobs per round plus planning gaps; see
+        # OPTIMIZATION_r12.md).  The r11 negative result ("AQE-off
+        # makes Boruvka worse") was measured WITHOUT these hints --
+        # stats-less checkpointed inputs then fall back to
+        # SortMergeJoin; with the hints the static plan is right.  At
+        # >10M vertices nothing is hinted and AQE stays on.
+        _superstep_mode(spark, True)
+        # with AQE off, the static shuffle width (= core count) would
+        # put every component-sized aggregate through that many
+        # near-empty reduce tasks; width follows the materialized edge
+        # table instead (scale-adaptive, restored at the query
+        # boundary by conf_flip).  Numerically exact at ANY width:
+        # the loop's only aggregates are integer/struct MINs.
+        from ..session import conf_flip
+        conf_flip(spark, "spark.sql.shuffle.partitions",
+                  str(edges.rdd.getNumPartitions()))
+    _b = F.broadcast if small else (lambda df: df)
     mst = None
     for _ in range(max_rounds):
-        ca = comp.select(F.col("id").alias("a"),
-                         F.col("component").alias("__ca"))
-        cb = comp.select(F.col("id").alias("b"),
-                         F.col("component").alias("__cb"))
+        ca = _b(comp.select(F.col("id").alias("a"),
+                            F.col("component").alias("__ca")))
+        cb = _b(comp.select(F.col("id").alias("b"),
+                            F.col("component").alias("__cb")))
+        # driver-action diet (round 12, guide §1/§5: fewer jobs per
+        # round): the live table is consumed exactly once -- an
+        # EXPLODE emits both (c, e, p) directions in the same pass, so
+        # `live` no longer needs its own checkpoint (the old shape
+        # materialized live, then union'd two projections of it), and
+        # the round's termination test moves onto minpick (empty ==
+        # no live inter-component edge) -- two driver actions per
+        # round become zero.  Map-side partial aggregation collapses
+        # the exploded rows to component-sized output before the
+        # shuffle, so the explode does not widen the exchange.
         live = (edges.join(ca, "a").join(cb, "b")
-                .where(F.col("__ca") != F.col("__cb"))
-                .localCheckpoint())
-        if live.isEmpty():
-            break
+                .where(F.col("__ca") != F.col("__cb")))
         pick_struct = F.struct("w", "a", "b")
         # per-component min outgoing edge, carrying the partner
         # component: min by (edge, partner) == min by edge, since each
         # (component, edge) pair has exactly one partner
-        cand = (live.select(F.col("__ca").alias("c"),
-                            pick_struct.alias("e"),
-                            F.col("__cb").alias("p"))
-                .union(live.select(F.col("__cb").alias("c"),
-                                   pick_struct.alias("e"),
-                                   F.col("__ca").alias("p"))))
+        cand = (live.select(F.explode(F.array(
+                    F.struct(F.col("__ca").alias("c"),
+                             pick_struct.alias("e"),
+                             F.col("__cb").alias("p")),
+                    F.struct(F.col("__cb").alias("c"),
+                             pick_struct.alias("e"),
+                             F.col("__ca").alias("p")))).alias("x"))
+                .select("x.c", "x.e", "x.p"))
         minpick = (cand.groupBy("c")
                    .agg(F.min(F.struct("e", "p")).alias("m"))
                    .select("c", F.col("m.e.a").alias("a"),
@@ -1451,6 +1547,8 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
                            F.col("m.e.w").alias("w"),
                            F.col("m.p").alias("p"))
                    .localCheckpoint())
+        if minpick.isEmpty():
+            break
         picked = minpick.select("a", "b", "w").distinct()
         # no cross-round distinct/checkpoint: a picked edge's endpoints
         # merge this round, so it can never be live (or re-picked)
@@ -1460,29 +1558,40 @@ def boruvka_mst(vertices: DataFrame, uedges: DataFrame,
         # each other they necessarily picked the SAME edge (each
         # other's edge is outgoing from both, so both minima coincide;
         # weights are distinct) -- root that 2-cycle at min(c, p).
+        # Stays an EAGER checkpoint: an A/B of the lazy form (hooking
+        # folded into doubling iteration 1) measured WORSE -- the
+        # doubling join references parent twice, so laziness re-plans
+        # and re-runs the hooking join's AQE exchanges once per
+        # reference, costing more than the one checkpoint job saved.
         pr = minpick.select("c", "p")
-        pmap = pr.select(F.col("c").alias("__pc"),
-                         F.col("p").alias("__pp"))
+        pmap = _b(pr.select(F.col("c").alias("__pc"),
+                            F.col("p").alias("__pp")))
         parent = (pr.join(pmap, pr.p == pmap.__pc)
                   .select("c", F.when((F.col("__pp") == F.col("c"))
                                       & (F.col("c") < F.col("p")),
                                       F.col("c"))
                           .otherwise(F.col("p")).alias("p"))
                   .localCheckpoint())
-        # pointer doubling: parent <- parent(parent) until fixpoint
+        # pointer doubling: parent <- parent(parent) until fixpoint.
+        # The changed-count rides the SAME job that materializes the
+        # jumped checkpoint (a __chg flag summed by a scan-sized agg)
+        # instead of a separate join-back against the previous parent
+        # -- one action per doubling step, no second scan.
         while True:
-            pj = parent.select(F.col("c").alias("__jc"),
-                               F.col("p").alias("__jp"))
+            pj = _b(parent.select(F.col("c").alias("__jc"),
+                                  F.col("p").alias("__jp")))
             jumped = (parent.join(pj, parent.p == pj.__jc, "left")
-                      .select("c", F.coalesce("__jp", "p").alias("p"))
+                      .select("c",
+                              F.coalesce("__jp", "p").alias("p"),
+                              (F.coalesce("__jp", "p") != F.col("p"))
+                              .cast("int").alias("__chg"))
                       .localCheckpoint(eager=False))
-            changed = (jumped.alias("n").join(parent.alias("o"), "c")
-                       .where(F.col("n.p") != F.col("o.p")).count())
-            parent = jumped
-            if changed == 0:
+            changed = jumped.agg(F.sum("__chg")).first()[0]
+            parent = jumped.select("c", "p")
+            if not changed:
                 break
-        relab = parent.select(F.col("c").alias("component"),
-                              F.col("p").alias("__new"))
+        relab = _b(parent.select(F.col("c").alias("component"),
+                                 F.col("p").alias("__new")))
         # left join: components with no live edge keep their label
         comp = (comp.join(relab, "component", "left")
                 .select("id", F.coalesce("__new", "component")

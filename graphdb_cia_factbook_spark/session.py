@@ -87,6 +87,27 @@ def track_scratch_dir(path: str) -> str:
     return path
 
 
+#: Session confs flipped by an operator for the duration of ONE query
+#: (graph._superstep_mode turns AQE off for small superstep loops),
+#: mapped to the PRIOR value to restore at the next query boundary.
+#: clear_scratch restores the recorded value -- not a hardcoded
+#: default -- so a harness session deliberately configured with AQE
+#: off stays that way (round-11 ADVICE items 1-2).
+_CONF_RESTORE: dict[str, str] = {}
+
+
+def conf_flip(spark: SparkSession, key: str, value: str) -> None:
+    """Set a session conf for the CURRENT query only: records the
+    prior value (first flip wins) for :func:`clear_scratch` to restore
+    at the query boundary."""
+    if key not in _CONF_RESTORE:
+        try:
+            _CONF_RESTORE[key] = spark.conf.get(key)
+        except Exception:  # noqa: BLE001 -- unknown key: nothing to restore
+            _CONF_RESTORE[key] = None
+    spark.conf.set(key, value)
+
+
 def clear_scratch(spark: SparkSession) -> int:
     """Drop all persisted/checkpointed RDD blocks and cached plans.
 
@@ -103,14 +124,22 @@ def clear_scratch(spark: SparkSession) -> int:
     clearing under a live consumer fails its next action."""
     import gc
 
-    # restore AQE: small iterative operators turn it off for their own
-    # action (graph._superstep_mode -- AQE re-plans every superstep
-    # exchange, pure driver latency on tiny supersteps); the flip is
-    # session-level, so the query boundary puts it back
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-    except Exception:
-        pass
+    # restore operator-flipped confs to their RECORDED prior values:
+    # small iterative operators turn AQE off for their own action
+    # (graph._superstep_mode via conf_flip -- AQE re-plans every
+    # superstep exchange, pure driver latency on tiny supersteps); the
+    # flip is session-level, so the query boundary puts back whatever
+    # the session had before -- not a hardcoded "true", which would
+    # override a harness session deliberately built with AQE off
+    while _CONF_RESTORE:
+        key, val = _CONF_RESTORE.popitem()
+        try:
+            if val is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, val)
+        except Exception:
+            pass
 
     jrdds = spark.sparkContext._jsc.getPersistentRDDs()
     ids = list(jrdds.keySet().toArray())

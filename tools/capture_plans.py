@@ -2,9 +2,15 @@
 
 Usage:  python tools/capture_plans.py <suffix> [query ...]
 
-Writes plans/r11/<query>_<suffix>.txt for each query (default: the
-whole bench HEADLINE list).  Planning only -- nothing executes, so
-this is safe to run next to other jobs.
+Writes plans/$PLANS_ROUND/<query>_<suffix>.txt for each query
+(default round: r12; default queries: the whole bench HEADLINE list).
+
+NOTE (round-11 ADVICE): this is NOT planning-only -- query builders
+that hold intermediates (Graph.hold, dedup._hold, BFS edge tables,
+power-iteration supersteps) run eager localCheckpoints at BUILD time,
+so capturing plans executes real Spark jobs and writes checkpoint
+blocks.  clear_scratch runs between queries so those blocks don't
+accumulate across the sweep.
 """
 
 from __future__ import annotations
@@ -22,12 +28,14 @@ def main() -> None:
     suffix = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r11")
+        os.path.abspath(__file__))), "plans",
+        os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     import bench
     names = sys.argv[2:] or bench.HEADLINE
 
+    from graphdb_cia_factbook_spark.session import clear_scratch
     spark = get_spark("capture_plans")
     queries = registry.queries()
     for name in names:
@@ -38,6 +46,7 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(plan)
         print(f"{name}: {len(plan.splitlines())} plan lines -> {path}")
+        clear_scratch(spark)
 
 
 if __name__ == "__main__":
