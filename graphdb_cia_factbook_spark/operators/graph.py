@@ -202,6 +202,50 @@ def _superstep_mode(spark: SparkSession, small: bool) -> None:
         conf_flip(spark, "spark.sql.adaptive.enabled", "false")
 
 
+def _small_loop_mode(spark: SparkSession, small: bool,
+                     width_df: DataFrame):
+    """The small-iterative-loop diet (round 12), shared by Borůvka and
+    the BFS family: when the loop's per-step state is provably small,
+    (a) AQE goes off for the query (:func:`_superstep_mode` -- its
+    per-exchange materialize+re-plan round trips are pure driver
+    latency on tiny supersteps), (b) the static shuffle width follows
+    the materialized stationary table instead of the core count (near-
+    empty reduce tasks otherwise dominate; restored at the query
+    boundary via ``session.conf_flip``), and (c) the returned wrapper
+    puts an EXPLICIT broadcast hint on the loop's vertex/frontier-
+    sized join sides.  The hints are what make AQE-off safe: round
+    11's negative result ("AQE-off makes BFS/Borůvka loops 1.33-1.89x
+    worse") was measured WITHOUT them, so the stats-less checkpointed
+    frontiers fell back to SortMergeJoin; with the hints the static
+    plan is already the one AQE would have converged to, minus the
+    re-planning.  Width-shrink safety: every aggregate inside the
+    gated loops is an integer/struct MIN, COUNT, SUM(long) or
+    DISTINCT -- reduction-order-exact at any partition count.  A big
+    input fails the ``small`` gate and keeps AQE + cluster width.
+
+    Returns ``(hint, restore)``: callers whose loop executes every
+    superstep in-builder (the BFS family: isEmpty materializes each
+    hop) call ``restore()`` right after the loop so the REST of the
+    query -- e.g. betweenness's closure joins, which want AQE's
+    runtime broadcasts -- plans at the session's normal settings
+    (measured: leaving the diet on for the whole query cost more than
+    the loop saved).  conf_flip still backstops the exception path at
+    the query boundary."""
+    if not small:
+        return (lambda df: df), (lambda: None)
+    keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+    prior = {k: spark.conf.get(k) for k in keys}
+    _superstep_mode(spark, True)
+    from ..session import conf_flip
+    conf_flip(spark, "spark.sql.shuffle.partitions",
+              str(width_df.rdd.getNumPartitions()))
+
+    def restore() -> None:
+        for k, v in prior.items():
+            spark.conf.set(k, v)
+    return F.broadcast, restore
+
+
 def _rank_loop(verts: DataFrame, edges_share: DataFrame, n: int,
                damping: float, max_iter: int, checkpoint_every: int,
                out_name: str, teleport: DataFrame | None = None) -> DataFrame:
@@ -616,20 +660,26 @@ def bfs_hops(graph: Graph, sources: list, max_hops: int = 20,
                 .withColumn("dist", F.lit(0)).localCheckpoint())
     visited = frontier
 
+    # small-loop gate: frontier/visited bounded by the vertex count
+    # here (single shared frontier) -- see _small_loop_mode
+    small = graph.vertices.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(edges.sparkSession, small, edges)
     # one extra probe round past the budget: warn only if the live
     # frontier would STILL discover vertices (ADVICE r4 -- the bare
     # for/else false-positived when BFS completed at exactly max_hops)
     for hop in range(1, max_hops + 2):
-        nxt = (edges.join(frontier, edges.src == frontier.id)
+        nxt = (edges.join(_b(frontier), edges.src == frontier.id)
                .select(F.col("dst").alias("id"))
                .distinct()
-               .join(visited.select("id"), "id", "left_anti")
+               .join(_b(visited.select("id")), "id", "left_anti")
                .withColumn("dist", F.lit(hop))
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
+            _restore()
             break
         if hop > max_hops:
             _warn_hop_budget("bfs_hops", max_hops)
+            _restore()
             break
         # LOOP-SHAPE INVARIANT (round 11, do not undo): no checkpoint
         # on the union -- every leaf (the per-hop nxt) is already a
@@ -671,18 +721,23 @@ def _multi_root_bfs(graph: Graph, sources: list | None = None,
                 .withColumn("dist", F.lit(0)).localCheckpoint())
     visited = frontier
 
+    # small-loop gate: see _small_loop_mode / _multi_root_bfs_paths
+    small = frontier.count() * graph.vertices.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(edges.sparkSession, small, edges)
     for hop in range(1, max_hops + 2):
-        nxt = (edges.join(frontier, edges.src == frontier.id)
+        nxt = (edges.join(_b(frontier), edges.src == frontier.id)
                .select("root", F.col("dst").alias("id"))
                .distinct()
-               .join(visited.select("root", "id"), ["root", "id"],
+               .join(_b(visited.select("root", "id")), ["root", "id"],
                      "left_anti")
                .withColumn("dist", F.lit(hop))
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
+            _restore()
             break
         if hop > max_hops:
             _warn_hop_budget("_multi_root_bfs", max_hops)
+            _restore()
             break
         # no checkpoint on the union: every leaf (the per-hop nxt) is
         # already a materialized checkpoint, so the union is pure plan
@@ -1247,20 +1302,27 @@ def _multi_root_bfs_paths(graph: Graph, sources: list | None = None,
                              F.lit(1).cast("long").alias("npaths"))
                 .localCheckpoint())
     visited = frontier
+    # small-loop gate: frontier/visited are bounded by the CLOSURE
+    # size (roots x vertices); below ~10M rows every loop join has a
+    # broadcastable side and the diet applies (_small_loop_mode)
+    small = frontier.count() * graph.vertices.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(edges.sparkSession, small, edges)
     for hop in range(1, max_hops + 2):
-        nxt = (edges.join(frontier, edges.src == frontier.id)
+        nxt = (edges.join(_b(frontier), edges.src == frontier.id)
                .groupBy("root", F.col("dst").alias("nid"))
                .agg(F.sum("npaths").alias("npaths"))
                .withColumnRenamed("nid", "id")
-               .join(visited.select("root", "id"), ["root", "id"],
+               .join(_b(visited.select("root", "id")), ["root", "id"],
                      "left_anti")
                .withColumn("dist", F.lit(hop))
                .select("root", "id", "dist", "npaths")
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
+            _restore()
             break
         if hop > max_hops:
             _warn_hop_budget("_multi_root_bfs_paths", max_hops)
+            _restore()
             break
         # no checkpoint on the union: every leaf (the per-hop nxt) is
         # already a materialized checkpoint, so the union is pure plan
@@ -1987,8 +2049,12 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
     # frontier per excluded edge starts at its own a-endpoint
     frontier = eid.select("ea", "eb", F.col("ea").alias("id"))
     visited = frontier
+    # small-loop gate: per-excluded-edge BFS state is bounded by
+    # |E| x |V| -- see _small_loop_mode
+    small = ue.count() * graph.vertices.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(sym.sparkSession, small, sym)
     for hop in range(1, max_hops + 2):
-        nxt = (frontier.join(sym, frontier.id == sym.a)
+        nxt = (_b(frontier).join(sym, frontier.id == sym.a)
                # drop the excluded edge in both directions
                .where(~((F.col("id") == F.col("ea"))
                         & (F.col("b") == F.col("eb")))
@@ -1996,13 +2062,15 @@ def bridges(graph: Graph, max_hops: int = 30) -> DataFrame:
                           & (F.col("b") == F.col("ea"))))
                .select("ea", "eb", F.col("b").alias("id"))
                .distinct()
-               .join(visited, ["ea", "eb", "id"], "left_anti")
+               .join(_b(visited), ["ea", "eb", "id"], "left_anti")
                .localCheckpoint(eager=False))
         if nxt.isEmpty():
+            _restore()
             break
         if hop > max_hops:
             # truncation here would mark far-apart endpoints as bridges
             _warn_hop_budget("bridges", max_hops)
+            _restore()
             break
         # no checkpoint on the union: every leaf (the per-hop nxt) is
         # already a materialized checkpoint, so the union is pure plan
@@ -2212,17 +2280,26 @@ def temporal_reachability_cooccurrence(memberships: DataFrame,
     membership builder becomes a purely semantic guard (flash-crowd
     buckets excluded), not a performance necessity."""
     mem = memberships.select("t", id_col)
+    # materialize the stationary membership table once (it feeds two
+    # joins in EVERY round) and fuse the small-loop gate's count into
+    # the same job; arr is vertex-sized by construction (one row per
+    # user), so mem's row count upper-bounds every per-round state
+    mem = mem.localCheckpoint(eager=False)
+    small = mem.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(mem.sparkSession, small, mem)
     arr = arrivals
     for _ in range(rounds):
-        act = (mem.join(arr.withColumnRenamed("arr", "__arr"), id_col)
+        act = (mem.join(_b(arr.withColumnRenamed("arr", "__arr")),
+                        id_col)
                .where(F.col("t") >= F.col("__arr"))
                .select("t").distinct())
-        relay = (mem.join(act, "t")
+        relay = (mem.join(_b(act), "t")
                  .groupBy(id_col).agg(F.min("t").alias("__new")))
-        arr = (arr.join(relay, id_col, "left")
+        arr = (arr.join(_b(relay), id_col, "left")
                .select(id_col,
                        F.least(F.col("arr"),
                                F.coalesce(F.col("__new"), F.col("arr")))
                        .alias("arr"))
                .localCheckpoint(eager=False))
+    _restore()
     return arr

@@ -416,19 +416,31 @@ def ancestor_closure(parents: DataFrame, node_col: str = "node",
                           F.lit(1).alias("dist"))
            .distinct().localCheckpoint())
     n_prev = clo.count()
+    # small-loop diet (round 12, see graph._small_loop_mode): the
+    # closure is bounded by nodes x depth; when its current size is
+    # broadcastable, hint the self-join's build side explicitly, drop
+    # AQE's per-exchange re-plan, and match the reduce width to the
+    # checkpointed closure.  MIN(int) is reduction-order-exact at any
+    # width.  Gate re-checked per round on the count the fixpoint test
+    # already pays for -- a closure that outgrows the gate falls back
+    # to the AQE shape mid-loop.
+    from .graph import _small_loop_mode
     for _ in range(max_rounds):
-        a, b = clo.alias("a"), clo.alias("b")
+        _b, _restore = _small_loop_mode(clo.sparkSession,
+                                        n_prev <= 10_000_000, clo)
+        a, b = clo.alias("a"), _b(clo.alias("b"))
         nxt = (a.join(b, F.col("a.anc") == F.col("b.node"))
                .select(F.col("a.node").alias("node"),
                        F.col("b.anc").alias("anc"),
                        (F.col("a.dist") + F.col("b.dist")).alias("dist")))
+        # lazy checkpoint + count: the fixpoint count materializes the
+        # round's checkpoint in the SAME job (eager paid two)
         merged = (clo.union(nxt)
                   .groupBy("node", "anc")
                   .agg(F.min("dist").alias("dist"))
-                  .localCheckpoint())
-        # fixpoint test reuses last round's count -- clo is merged from
-        # the previous iteration, so recounting it was a duplicate job
+                  .localCheckpoint(eager=False))
         n_merged = merged.count()
+        _restore()
         if n_merged == n_prev:
             return merged
         clo, n_prev = merged, n_merged

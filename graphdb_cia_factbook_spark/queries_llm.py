@@ -1390,20 +1390,29 @@ SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, rn AS term_rank
 FROM ranked WHERE rn <= {_TFIDF_TOPK}
 """)
 def llm_tfidf(spark, sf):
-    """TF-IDF top-{k} terms per document: tf x ln(N/df).  Two
-    token-sized shuffles (tf groupBy, df groupBy) + a broadcast-sized
-    term-frequency join -- the classic keyword extractor at corpus
-    scale."""
+    """TF-IDF top-{k} terms per document: tf x ln(N/df).
+
+    ONE tokenize pass (round 12, guide §2.4): ``tf`` has exactly one
+    row per (doc, term), so the document frequency is a plain
+    ``COUNT(*) OVER (PARTITION BY term)`` on the tf aggregate -- the
+    same integer ``COUNT(DISTINCT doc_id)`` computed, without
+    re-tokenizing the corpus for a second groupBy or joining the df
+    table back.  The earlier two-pass shape spent HALF its CPU
+    tokenizing the corpus twice (the two subtrees overlap on idle
+    cores locally but compete for the same cores -- total CPU is what
+    a busy cluster pays); plan goes 2 scans + 3 shuffles + a broadcast
+    build to 1 scan + 3 shuffles."""
     docs = read_parallel(spark, sf, "documents")
     n_docs = float(docs.count())
     tok = docs.select("doc_id",
                       F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    scored = (tf.join(df, "term")
-              .select("doc_id", "term",
-                      (F.col("tf") * F.log(F.lit(n_docs) / F.col("df")))
-                      .alias("tfidf")))
+    w_term = Window.partitionBy("term")
+    scored = tf.select("doc_id", "term",
+                       (F.col("tf")
+                        * F.log(F.lit(n_docs)
+                                / F.count(F.lit(1)).over(w_term)))
+                       .alias("tfidf"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") <= _TFIDF_TOPK)
