@@ -95,32 +95,34 @@ _LOADED = False
 #: this list keep registration (module import) order after it --
 #: nothing is dropped, only reordered.
 _GATE_PRIORITY = [
-    # ROUND 11 rotation, FRESHNESS policy (round 10 re-recorded the
-    # 50 pre-strict-era r1/r2/r3 rows 50/50 green; cumulative
-    # official coverage remains 349/349 with zero unhealed reds).
-    # These are the 50 entries whose LATEST official record is now
-    # oldest: all 27 remaining r3-era rows plus the 23
-    # alphabetically-first r4 rows (computed from all ten
-    # CORRECTNESS files).  After this round no entry's official
-    # record predates r4.  Entries NOT in this list keep
-    # registration (module import) order after it -- nothing is
-    # dropped, only reordered.
-    "g_kcore", "g_label_propagation", "llm_ann_lsh_multiprobe",
-    "llm_ann_quantized", "llm_bpe_token_count", "llm_decontaminate",
-    "llm_dedup_clusters", "llm_embed_neardup", "llm_fixed_sample",
-    "llm_knn_classify", "llm_langid", "llm_ngram_jaccard",
-    "llm_quality_filter", "llm_repetition", "llm_simhash_neardup",
-    "llm_stratified_sample", "llm_token_stats",
-    "llm_winnow_containment", "mm_decode", "mm_frame_sample",
-    "mm_png_meta", "sql_top_partner_top10", "st_concurrency",
-    "st_dedup", "st_sessionize", "st_sliding", "st_stream_join",
-    "ab_test_welch", "agg_chi2_uniform_dow", "agg_concentration",
-    "agg_entropy", "agg_eta_squared", "agg_histogram", "agg_ks_test",
-    "agg_spearman", "agg_theil", "agg_yoy_growth", "anomaly_mad",
-    "anomaly_tukey", "attribution_last_touch", "attribution_position",
-    "boot_mean_ci", "cohort_retention", "copurchase_pairs",
-    "copurchase_rules", "dq_benford", "dq_dp_counts",
-    "dq_k_anonymity", "dq_profile", "dq_referential",
+    # ROUND 12 rotation, TOUCHED-FIRST policy (VERDICT r11 item 8: an
+    # optimization round's oracle evidence must not rest on
+    # self-reported receipts).  Entries 1-25 are every query whose
+    # EXECUTION PATH round 12 changed (the minhash widen gate + span
+    # filter, the rank-loop width shrink + job fusions reaching every
+    # _rank_loop/hits caller, the Borůvka/BFS/bridges/temporal/
+    # ancestor-closure small-loop diet, and the tfidf single-pass
+    # rewrite); entries 26-50 continue the freshness rotation (the 25
+    # untouched entries whose latest official record is oldest -- all
+    # r4, then r5-era rows; computed from all eleven CORRECTNESS
+    # files).  Entries NOT in this list keep registration (module
+    # import) order after it -- nothing is dropped, only reordered.
+    "g1_pagerank", "g1_pagerank_weighted", "g2_articlerank", "g_ppr",
+    "g_hits", "g_mst", "g_betweenness", "g_edge_betweenness",
+    "g_bfs_hops", "g_bridges", "g_local_bridges", "g_closeness",
+    "g_center_periphery", "g_harmonic", "g_diameter",
+    "g_effective_diameter", "g_temporal_reachability",
+    "hier_subtree_rollup", "llm_minhash_lsh", "llm_minhash_lsh_sharp",
+    "llm_dedup_clusters", "llm_dedup_keep_best",
+    "llm_dedup_threshold_sweep", "llm_span_dedup", "llm_tfidf",
+    "dq_rules", "dq_sequence_gaps", "dq_skew", "funnel_conversion",
+    "markov_transitions", "ml_gains_table", "ml_ols_2var",
+    "q2_top_supplier_per_part", "q4_order_priority",
+    "q6_forecast_revenue", "q7_volume_shipping", "rec_item_cosine",
+    "rfm_segments", "survival_km", "ts_cooccurrence", "w_streaks",
+    "agg_cramers_v", "agg_winsorized", "anomaly_zscore",
+    "dq_embeddings", "llm_bpe_encode", "llm_bpe_learn",
+    "llm_caption_pairs", "llm_cluster_cards", "llm_cms_heavy_hitters",
 ]
 
 
