@@ -82,7 +82,19 @@ def minhash_signatures(sh: DataFrame, id_col: str,
     md5(i || '|' || shingle).  Lexicographic min over md5 hex == min
     over a uniform 128-bit hash family, and is engine-portable.
     One groupBy over the shingle rows computes all ``num_hashes``
-    mins map-side (partial agg) -- no per-hash pass."""
+    mins map-side (partial agg) -- no per-hash pass.
+
+    NEGATIVE RESULT, measured round 12 (do not redo): hashing each
+    DISTINCT shingle once and joining the hash row back (shingles
+    repeat across docs, dup factor 9.6x at bench scale, so the md5
+    count drops 9.6x) measured **1.30x WORSE** on the 32-hash sharp
+    entry in an interleaved A/B.  The inline form min-folds each md5
+    inside one codegen loop and never materializes it; the join form
+    pays a distinct exchange, a ~30 MB broadcast build, and -- the
+    dominant cost -- 260k joined rows x 32 hash-string columns (~1 KB/
+    row) flowing between the join and the partial aggregate.  The md5
+    compute it saves was only ~0.6s spread over the cluster; the wide
+    intermediate costs more at every scale."""
     return sh.groupBy(id_col).agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle"))))
         .alias(f"h{i}") for i in range(num_hashes)])

@@ -528,26 +528,34 @@ def connected_components(graph: Graph, max_iter: int = 50) -> DataFrame:
     minimal default.)"""
     ue = undirected_edges(graph.edges).localCheckpoint()
     both = ue.union(ue.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # lazy checkpoint + count: the small-loop gate's count materializes
+    # the label table in the same job (guide §1/§5)
     labels = graph.vertices.select(
-        "id", F.col("id").alias("component")).localCheckpoint()
+        "id", F.col("id").alias("component")).localCheckpoint(eager=False)
+    small = labels.count() <= 10_000_000
+    _b, _restore = _small_loop_mode(ue.sparkSession, small, ue)
 
     for _ in range(max_iter):
-        neigh = (both.join(labels, both.a == labels.id)
+        neigh = (both.join(_b(labels), both.a == labels.id)
                  .groupBy(F.col("b").alias("id"))
                  .agg(F.min("component").alias("nbr_min")))
-        new = (labels.join(neigh, "id", "left")
-               .select("id", F.least(
-                   F.col("component"),
-                   F.coalesce(F.col("nbr_min"), F.col("component")))
-                   .alias("component"))
+        relaxed = F.least(F.col("component"),
+                          F.coalesce(F.col("nbr_min"), F.col("component")))
+        # the fixpoint count rides the SAME job that materializes the
+        # superstep checkpoint (a __chg flag summed by a scan-sized
+        # agg) instead of a separate join-back against the previous
+        # labels -- one action per superstep, no second scan (the same
+        # fusion as Borůvka's pointer doubling)
+        new = (labels.join(_b(neigh), "id", "left")
+               .select("id", relaxed.alias("component"),
+                       (relaxed != F.col("component")).cast("int")
+                       .alias("__chg"))
                .localCheckpoint(eager=False))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .count())
-        labels = new
-        if changed == 0:
+        changed = new.agg(F.sum("__chg")).first()[0]
+        labels = new.select("id", "component")
+        if not changed:
             break
+    _restore()
     return labels
 
 
@@ -1783,9 +1791,11 @@ def k_truss(graph: Graph, k: int = 4, max_iter: int = 100) -> DataFrame:
                   .groupBy(F.col("wa").alias("a"),
                            F.col("wb").alias("b"))
                   .agg(F.count(F.lit(1)).alias("sup")))
+        # lazy checkpoint + count: the fixpoint count materializes the
+        # round's checkpoint in the same job (eager paid two)
         kept = (cur.join(wedges, ["a", "b"], "left")
                 .where(F.coalesce("sup", F.lit(0)) >= k - 2)
-                .select("a", "b").localCheckpoint())
+                .select("a", "b").localCheckpoint(eager=False))
         # fixpoint test reuses last round's count (cur was counted
         # when it was kept) -- recounting it was a duplicate job
         n_kept = kept.count()
